@@ -1,0 +1,67 @@
+"""odeint: solve dy/dt = func(t, y), y(t0) = y0.
+
+Signature parity with the reference (``paddlexde/functional/odeint.py:9-35`` in
+DrownFish19/PaddleXDE): ``odeint(func, y0, t_span, solver, *, rtol, atol,
+options)``. Differences, all deliberate:
+
+- ``y0`` may be ANY pytree (the reference's tuple-state support was a
+  commented-out sketch, ``xde/base_xde.py:35-48``);
+- the solution layout is canonical: time on axis -2 of every leaf (matching the
+  reference's fixed solvers; its adaptive solvers disagreed — SURVEY §2.11-8) —
+  pass ``time_axis=0`` for time-first;
+- ``xde.format`` exists and works (the reference raises AttributeError,
+  SURVEY §2.11-1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..xde.term import ode_term
+from .solve import integrate_term
+
+__all__ = ["odeint"]
+
+
+def odeint(
+    func,
+    y0,
+    t_span,
+    solver="dopri5",
+    *,
+    rtol=1e-7,
+    atol=1e-9,
+    options: Optional[dict] = None,
+    time_axis: int = -2,
+):
+    """Integrate an ODE system.
+
+    Args:
+        func: vector field ``func(t, y) -> dy/dt`` (pytree-valued).
+        y0: initial state pytree.
+        t_span: 1-D array of output times (monotonic; decreasing spans are
+            integrated in reversed time).
+        solver: a solver marker (``Euler``/``RK4``/``Dopri5``/...) or string name.
+        rtol, atol: adaptive error tolerances.
+        options: solver options dict (``norm``, ``step_size``, ``interp``,
+            ``first_step``, ``safety``, ``ifactor``, ``dfactor``, ``step_t``,
+            ``jump_t``, ``min_step``, ``max_step``, ``max_num_steps``,
+            ``return_stats``).
+        time_axis: where to place the time axis in each output leaf.
+
+    Returns:
+        Solution pytree with a length-``len(t_span)`` time axis per leaf
+        (plus :class:`~paddlexde_tpu.solver.adaptive.AdaptiveStats` when
+        ``options={"return_stats": True}``).
+    """
+    term = ode_term(func)
+    return integrate_term(
+        term,
+        y0,
+        t_span,
+        solver,
+        rtol=rtol,
+        atol=atol,
+        options=options,
+        time_axis=time_axis,
+    )

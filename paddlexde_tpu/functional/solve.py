@@ -1,0 +1,148 @@
+"""Shared dispatch from the functional API into the solver engines.
+
+Centralizes the three things the reference scatters across ``functional/*.py``
+and solver constructors (DrownFish19/PaddleXDE):
+
+- solver resolution + ``options`` plumbing (reference passes ``**options`` into
+  solver ctors, ``functional/odeint.py:30-31``),
+- reverse-time canonicalization (the reference leaves decreasing ``t_span``
+  half-handled, SURVEY §2.11-10): decreasing spans are integrated in the
+  substituted time ``s = -t`` with a negated vector field — exact for the
+  additive terms the adaptive engine accepts,
+- the canonical output layout (SURVEY §2.11-8): engines produce time-first
+  ``[T, ...]``; the API edge moves time to axis -2 of every leaf (the reference
+  fixed-solver ``[B, T, D]`` convention, ``base_fixed_solver.py:143``), with
+  ``time_axis=0`` opting into raw time-first.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..solver.adaptive import solve_adaptive
+from ..solver.fixed import solve_fixed
+from ..solver.registry import SolverSpec, resolve_solver
+from ..utils.norms import rms_norm
+from ..xde.term import XDETerm
+
+__all__ = ["integrate_term", "format_solution"]
+
+_FIXED_KEYS = {"interp", "step_size", "grid_constructor", "time_dtype"}
+_ADAPTIVE_KEYS = {
+    "norm",
+    "first_step",
+    "safety",
+    "ifactor",
+    "dfactor",
+    "min_step",
+    "max_step",
+    "max_num_steps",
+    "step_t",
+    "jump_t",
+    "return_stats",
+    "time_dtype",
+}
+_ADAMS_KEYS = {"implicit", "max_iters", "max_order", "step_size", "grid_constructor", "time_dtype", "norm"}
+
+
+def _is_decreasing(t_span) -> bool:
+    try:
+        ct = np.asarray(t_span)
+    except Exception:
+        return False  # traced t_span: assume increasing (document at API level)
+    return ct.size >= 2 and float(ct[-1]) < float(ct[0])
+
+
+def _negate_tree(tree):
+    return jax.tree.map(jnp.negative, tree)
+
+
+def _reversed_term(term: XDETerm) -> XDETerm:
+    """Time substitution t = -s: dy/ds = -move(-s, ·, y)."""
+
+    def move(s, ds, y):
+        return _negate_tree(term.move(-s, -ds, y))
+
+    return XDETerm(move=move, fuse=term.fuse, additive=term.additive, kind=term.kind)
+
+
+def format_solution(solution, time_axis: int = -2):
+    """Move the leading time axis of every leaf to ``time_axis`` (default -2)."""
+    if time_axis == 0:
+        return solution
+
+    def leaf(arr):
+        if arr.ndim <= 1:
+            return arr
+        return jnp.moveaxis(arr, 0, time_axis if time_axis >= 0 else arr.ndim + time_axis)
+
+    return jax.tree.map(leaf, solution)
+
+
+def integrate_term(
+    term: XDETerm,
+    y0,
+    t_span,
+    solver,
+    *,
+    rtol=1e-7,
+    atol=1e-9,
+    options: Optional[dict] = None,
+    time_axis: int = -2,
+    interp: Optional[str] = None,
+):
+    """Dispatch one integration; returns the formatted solution pytree.
+
+    ``options`` accepts the reference's solver-kwargs vocabulary (norm,
+    step_size, grid_constructor, first_step, safety/ifactor/dfactor,
+    step_t/jump_t, min_step/max_step, max_num_steps, interp, return_stats).
+    """
+    spec: SolverSpec = resolve_solver(solver)
+    options = dict(options or {})
+    if interp is not None:
+        options.setdefault("interp", interp)
+    options.setdefault("norm", rms_norm)
+
+    known = _FIXED_KEYS | _ADAPTIVE_KEYS | _ADAMS_KEYS | {"scipy_method", "norm"}
+    unknown = set(options) - known
+    if unknown:
+        raise ValueError(
+            f"unknown solver option(s) {sorted(unknown)}; known options: {sorted(known)}"
+        )
+
+    if _is_decreasing(t_span):
+        t_span = -jnp.asarray(t_span)
+        term = _reversed_term(term)
+
+    if spec.kind == "fixed":
+        kw = {k: v for k, v in options.items() if k in _FIXED_KEYS}
+        sol = solve_fixed(term, y0, t_span, method=spec.name, **kw)
+        return format_solution(sol, time_axis)
+    if spec.kind == "adaptive":
+        kw = {k: v for k, v in options.items() if k in _ADAPTIVE_KEYS}
+        out = solve_adaptive(
+            term, y0, t_span, method=spec.name, rtol=rtol, atol=atol, **kw
+        )
+        if options.get("return_stats"):
+            sol, stats = out
+            return format_solution(sol, time_axis), stats
+        return format_solution(out, time_axis)
+    if spec.kind == "adams":
+        from ..solver.adams import solve_adams
+
+        kw = {k: v for k, v in options.items() if k in _ADAMS_KEYS}
+        implicit = spec.name == "implicit_adams" or kw.pop("implicit", False)
+        sol = solve_adams(term, y0, t_span, rtol=rtol, atol=atol, implicit=implicit, **kw)
+        return format_solution(sol, time_axis)
+    if spec.kind == "scipy":
+        from ..solver.scipy_wrapper import solve_scipy
+
+        sol = solve_scipy(term, y0, t_span, rtol=rtol, atol=atol, **{
+            k: v for k, v in options.items() if k in {"scipy_method"}
+        })
+        return format_solution(sol, time_axis)
+    raise ValueError(f"unknown solver kind {spec.kind!r}")

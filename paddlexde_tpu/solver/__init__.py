@@ -1,0 +1,18 @@
+from .adaptive import AdaptiveStats, solve_adaptive  # noqa: F401
+from .fixed import solve_fixed  # noqa: F401
+from .registry import (  # noqa: F401
+    SOLVERS,
+    AdamsBashforthMoulton,
+    AdaptiveHeun,
+    Bosh3,
+    Dopri5,
+    Dopri8,
+    Euler,
+    Fehlberg2,
+    Midpoint,
+    RK4,
+    ScipyWrapperODESolver,
+    SolverSpec,
+    resolve_solver,
+)
+from .tableaus import TABLEAUS, ButcherTableau  # noqa: F401

@@ -1,0 +1,231 @@
+"""Fixed-grid solvers as a single ``lax.scan``.
+
+TPU-native rebuild of the reference's fixed-grid driver
+(``paddlexde/solver/base_fixed_solver.py:103-197`` in DrownFish19/PaddleXDE).
+The reference runs a Python ``for`` over time steps, launching one kernel batch
+per RK stage; here the whole integration is ONE scan whose body fuses all stages,
+so XLA compiles a single tight loop and the MXU sees back-to-back batched matmuls
+from the neural vector field.
+
+Dense output: the reference interpolates step-by-step inside the loop
+(``base_fixed_solver.py:126-141``); we instead scan over the *grid* collecting
+``(y_i, dy_i)`` at every node and then evaluate all requested output times with
+one vectorized bucketize + 2-point interpolation — same math
+(``interpolation/functional/interp_fn.py:4-20``), no serial dependency.
+
+Output layout is canonical time-first ``[T, ...]`` here; the functional layer
+moves the time axis to -2 at the API edge (resolving the reference's fixed-vs-
+adaptive layout mismatch, SURVEY §2.11-8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..xde.term import XDETerm
+
+__all__ = [
+    "euler_step",
+    "midpoint_step",
+    "rk4_step",
+    "solve_fixed",
+    "FIXED_STEP_FNS",
+]
+
+_one_third = 1.0 / 3.0
+_two_thirds = 2.0 / 3.0
+
+
+def euler_step(term: XDETerm, t0, t1, y0):
+    """Order 1. Reference: ``solver/fixed_solver/euler.py:4-11``."""
+    dt = t1 - t0
+    dy0 = term.move(t0, dt, y0)
+    return term.fuse(dy0, dt, y0), dy0
+
+
+def midpoint_step(term: XDETerm, t0, t1, y0):
+    """Order 2. Reference: ``solver/fixed_solver/midpoint.py:4-18``."""
+    dt = t1 - t0
+    half_dt = 0.5 * dt
+    k1 = term.move(t0, dt, y0)
+    y_mid = term.fuse(k1, half_dt, y0)
+    k2 = term.move(t0 + half_dt, half_dt, y_mid)
+    return term.fuse(k2, dt, y0), k1
+
+
+def rk4_step(term: XDETerm, t0, t1, y0):
+    """Kutta's 3/8 rule ("rk4_alt"), order 4, expressed purely in move/fuse.
+
+    Reference: ``solver/base_fixed_solver.py:166-197``. Deliberate fix: the
+    reference's third stage uses ``fuse(k1 - k2/3, ...)`` where the 3/8 tableau
+    (a31=-1/3, a32=1; cf. torchdiffeq's rk4_alt_step_func) requires
+    ``fuse(k2 - k1/3, ...)`` — a transcription slip that silently drops the
+    order. We implement the correct tableau; the convergence-order test
+    (tests/solver/test_convergence.py) pins order ≈ 4.
+    """
+    dt = t1 - t0
+    dt_third = dt * _one_third
+
+    def comb(*pairs):
+        """Linear combination of (coeff, k) pairs, as a dy pytree."""
+        coeffs = [c for c, _ in pairs]
+        trees = [k for _, k in pairs]
+        return jax.tree.map(lambda *ls: sum(c * l for c, l in zip(coeffs, ls)), *trees)
+
+    k1 = term.move(t0, dt, y0)
+    k2 = term.move(t0 + dt_third, dt_third, term.fuse(k1, dt_third, y0))
+    k3 = term.move(
+        t0 + dt * _two_thirds, dt_third, term.fuse(comb((1.0, k2), (-_one_third, k1)), dt, y0)
+    )
+    k4 = term.move(t1, dt_third, term.fuse(comb((1.0, k1), (-1.0, k2), (1.0, k3)), dt, y0))
+
+    # (fuse(k1) + 3 fuse(k2) + 3 fuse(k3) + fuse(k4)) / 8; since fuse is affine in
+    # dy this equals fuse((k1 + 3k2 + 3k3 + k4)/8, dt, y0) — one fuse, fewer ops.
+    dy = comb((0.125, k1), (0.375, k2), (0.375, k3), (0.125, k4))
+    return term.fuse(dy, dt, y0), k1
+
+
+FIXED_STEP_FNS = {
+    "euler": (euler_step, 1),
+    "midpoint": (midpoint_step, 2),
+    "rk4": (rk4_step, 4),
+}
+
+
+def _concrete_times(t, name):
+    try:
+        return np.asarray(t)
+    except Exception as exc:  # jax tracer
+        raise ValueError(
+            f"{name} requires concrete (non-traced) t_span endpoints to build a "
+            f"static time grid; pass t_span as a numpy/concrete array or use the "
+            f"default grid (grid == t_span)."
+        ) from exc
+
+
+def make_grid(t_span, step_size=None, grid_constructor: Optional[Callable] = None):
+    """Build the integration grid.
+
+    Default grid is ``t_span`` itself; ``step_size`` builds an arange grid with
+    the last node snapped to ``t_span[-1]`` (reference
+    ``base_fixed_solver.py:49-89``). The two options are mutually exclusive.
+    """
+    if step_size is not None and grid_constructor is not None:
+        raise ValueError("step_size and grid_constructor are mutually exclusive arguments.")
+    if grid_constructor is not None:
+        return jnp.asarray(grid_constructor(t_span))
+    if step_size is None:
+        return jnp.asarray(t_span)
+    ct = _concrete_times(t_span, "step_size")
+    start, end = float(ct[0]), float(ct[-1])
+    n = int(np.ceil(abs(end - start) / float(abs(step_size)) + 1.0))
+    sign = 1.0 if end >= start else -1.0
+    grid = np.arange(n, dtype=ct.dtype) * (sign * abs(step_size)) + start
+    grid[-1] = end
+    return jnp.asarray(grid)
+
+
+def solve_fixed(
+    term: XDETerm,
+    y0,
+    t_span,
+    *,
+    method: str = "euler",
+    interp: str = "linear",
+    step_size=None,
+    grid_constructor: Optional[Callable] = None,
+    time_dtype=None,
+):
+    """Integrate over a fixed grid; return ``[T, ...]`` time-first pytree.
+
+    ``interp``: "linear" | "cubic" | "" — how requested output times falling
+    strictly inside grid intervals are reconstructed (reference
+    ``base_fixed_solver.py:126-141``; "" snaps to the step endpoint).
+    """
+    step_fn, _order = FIXED_STEP_FNS[method] if isinstance(method, str) else (method, None)
+
+    t_span = jnp.asarray(t_span)
+    if time_dtype is not None:
+        t_span = t_span.astype(time_dtype)
+    grid_is_tspan = step_size is None and grid_constructor is None
+    grid = make_grid(t_span, step_size=step_size, grid_constructor=grid_constructor).astype(
+        t_span.dtype
+    )
+
+    t_pairs = jnp.stack([grid[:-1], grid[1:]], axis=-1)
+
+    def body(y, t_pair):
+        t0, t1 = t_pair[0], t_pair[1]
+        y1, dy0 = step_fn(term, t0, t1, y)
+        return y1, (y1, dy0)
+
+    y_last, (ys, dys) = jax.lax.scan(body, y0, t_pairs)
+
+    if grid_is_tspan and interp in ("linear", "cubic", "", None):
+        # Output times coincide with grid nodes: every interpolation mode
+        # degenerates to the step endpoint (linear/Hermite at t == t1 is y1).
+        return jax.tree.map(
+            lambda y0l, ysl: jnp.concatenate([y0l[None], ysl], axis=0), y0, ys
+        )
+
+    # General dense-output path: locate each requested time in the grid and
+    # interpolate. All-gather formulation — no loop.
+    ys_all = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], axis=0), y0, ys)
+    idx = jnp.clip(jnp.searchsorted(grid, t_span, side="right") - 1, 0, grid.shape[0] - 2)
+    t0g, t1g = grid[idx], grid[idx + 1]
+
+    def gather(tree, i):
+        return jax.tree.map(lambda a: a[i], tree)
+
+    y0g, y1g = gather(ys_all, idx), gather(ys_all, idx + 1)
+
+    if interp == "cubic":
+        # dy at node i is the step's derivative at its left endpoint; the final
+        # node needs one extra zero-width move (reference's step(t1, t1, y1)
+        # trick, base_fixed_solver.py:133-136).
+        dy_last = term.move(grid[-1], jnp.zeros((), grid.dtype), y_last)
+        dys_all = jax.tree.map(
+            lambda d, dl: jnp.concatenate([d, dl[None]], axis=0), dys, dy_last
+        )
+        dy0g, dy1g = gather(dys_all, idx), gather(dys_all, idx + 1)
+        return _cubic_hermite(t0g, y0g, dy0g, t1g, y1g, dy1g, t_span)
+    # linear (and "": reference returns raw y1 — equivalent to right-endpoint
+    # snap; we use linear for "" too when off-grid times are requested, as the
+    # raw-y1 behavior is only meaningful on-grid).
+    return _linear(t0g, y0g, t1g, y1g, t_span)
+
+
+def _expand(tvec, leaf):
+    """Broadcast per-output-time scalars [T] against a time-first leaf [T, ...]."""
+    return tvec.reshape(tvec.shape + (1,) * (leaf.ndim - 1)).astype(leaf.dtype)
+
+
+def _linear(t0, y0, t1, y1, t):
+    """Vectorized 2-point linear interpolation (reference ``interp_fn.py:4-11``)."""
+    denom = jnp.where(t1 == t0, jnp.ones_like(t0), t1 - t0)
+    w = jnp.where(t1 == t0, jnp.zeros_like(t0), (t - t0) / denom)
+    return jax.tree.map(lambda a, b: a + _expand(w, a) * (b - a), y0, y1)
+
+
+def _cubic_hermite(t0, y0, dy0, t1, y1, dy1, t):
+    """Vectorized 2-point Hermite interpolation (reference ``interp_fn.py:14-20``)."""
+    denom = jnp.where(t1 == t0, jnp.ones_like(t0), t1 - t0)
+    h = jnp.where(t1 == t0, jnp.zeros_like(t0), (t - t0) / denom)
+    h00 = (1 + 2 * h) * (1 - h) ** 2
+    h10 = h * (1 - h) ** 2
+    h01 = h**2 * (3 - 2 * h)
+    h11 = h**2 * (h - 1)
+
+    def leaf(a, da, b, db):
+        return (
+            _expand(h00, a) * a
+            + _expand(h10 * denom, a) * da
+            + _expand(h01, a) * b
+            + _expand(h11 * denom, a) * db
+        )
+
+    return jax.tree.map(leaf, y0, dy0, y1, dy1)

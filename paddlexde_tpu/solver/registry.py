@@ -1,0 +1,82 @@
+"""Solver registry: string names and importable solver markers.
+
+The reference exposes solver *classes* that users pass into the functional API
+(``odeint(..., solver=RK4)``; ``paddlexde/solver/__init__.py:1-6``). Here a
+solver is a frozen :class:`SolverSpec` — the functional layer dispatches on its
+``kind`` to the scan/while_loop engines. Both the reference's class-symbol style
+(``solver=RK4``) and torchdiffeq-style strings (``solver="dopri5"``) work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+__all__ = [
+    "SolverSpec",
+    "resolve_solver",
+    "Euler",
+    "Midpoint",
+    "RK4",
+    "AdamsBashforthMoulton",
+    "AdaptiveHeun",
+    "Fehlberg2",
+    "Bosh3",
+    "Dopri5",
+    "Dopri8",
+    "ScipyWrapperODESolver",
+    "SOLVERS",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverSpec:
+    name: str
+    kind: str  # "fixed" | "adaptive" | "adams" | "scipy"
+    order: int
+
+    def __call__(self, *args, **kwargs):  # pragma: no cover
+        raise TypeError(
+            f"SolverSpec '{self.name}' is a marker passed to odeint/sdeint/ddeint, "
+            f"not a constructor; use odeint(func, y0, t_span, solver={self.name!r})."
+        )
+
+
+Euler = SolverSpec("euler", "fixed", 1)
+Midpoint = SolverSpec("midpoint", "fixed", 2)
+RK4 = SolverSpec("rk4", "fixed", 4)
+AdamsBashforthMoulton = SolverSpec("adams", "adams", 4)
+AdaptiveHeun = SolverSpec("adaptive_heun", "adaptive", 2)
+Fehlberg2 = SolverSpec("fehlberg2", "adaptive", 2)
+Bosh3 = SolverSpec("bosh3", "adaptive", 3)
+Dopri5 = SolverSpec("dopri5", "adaptive", 5)
+Dopri8 = SolverSpec("dopri8", "adaptive", 8)
+ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
+
+SOLVERS = {
+    "euler": Euler,
+    "midpoint": Midpoint,
+    "rk4": RK4,
+    "adams": AdamsBashforthMoulton,
+    "explicit_adams": AdamsBashforthMoulton,
+    "implicit_adams": dataclasses.replace(AdamsBashforthMoulton, name="implicit_adams"),
+    "adams_bashforth_moulton": AdamsBashforthMoulton,
+    "adaptive_heun": AdaptiveHeun,
+    "fehlberg2": Fehlberg2,
+    "bosh3": Bosh3,
+    "dopri5": Dopri5,
+    "dopri8": Dopri8,
+    "scipy_solver": ScipyWrapperODESolver,
+}
+
+
+def resolve_solver(solver) -> SolverSpec:
+    if isinstance(solver, SolverSpec):
+        return solver
+    if isinstance(solver, str):
+        key = solver.lower()
+        if key in SOLVERS:
+            return SOLVERS[key]
+        raise ValueError(f"unknown solver {solver!r}; available: {sorted(SOLVERS)}")
+    raise TypeError(
+        f"solver must be a SolverSpec or string, got {type(solver).__name__}"
+    )

@@ -1,0 +1,1 @@
+from .term import XDETerm, cde_term, dde_term, ode_term, sde_term  # noqa: F401
