@@ -1,0 +1,144 @@
+"""North-star benchmark: dopri5 steps/sec on the spiral Neural-ODE.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The reference (DrownFish19/PaddleXDE) publishes no speed numbers
+(BASELINE.md), so the baseline here is an architectural stand-in measured on
+the same hardware: the SAME dopri5 math executed the way the reference
+executes it — an eager Python while-loop dispatching one kernel per op per
+stage (its hot loop, ``solver/base_adaptive_solver_rk.py:119-181``). The
+framework's value is the ratio: whole-solve ``lax.while_loop``/``lax.scan``
+compilation vs per-op dispatch. Also reported: adjoint bwd/fwd wall-clock
+ratio (the second driver metric in BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _median_time(fn, reps=5):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from paddlexde_tpu import odeint, odeint_adjoint
+    from paddlexde_tpu.solver.tableaus import DOPRI5
+
+    rng = np.random.RandomState(0)
+    params = {
+        "w1": jnp.asarray(rng.randn(2, 50).astype(np.float32) * 0.1),
+        "b1": jnp.zeros(50, jnp.float32),
+        "w2": jnp.asarray(rng.randn(50, 2).astype(np.float32) * 0.1),
+        "b2": jnp.zeros(2, jnp.float32),
+    }
+
+    def vf(p, t, y):
+        return jnp.tanh((y**3) @ p["w1"] + p["b1"]) @ p["w2"] + p["b2"]
+
+    y0 = jnp.asarray([[2.0, 0.0]], jnp.float32)
+    t_span = jnp.linspace(0.0, 25.0, 1000, dtype=jnp.float32)
+
+    # --- jit whole-solve path (this framework) ---
+    @jax.jit
+    def solve(p, y0):
+        return odeint(
+            lambda t, y: vf(p, t, y),
+            y0,
+            t_span,
+            "dopri5",
+            rtol=1e-6,
+            atol=1e-8,
+            time_axis=0,
+            options={"return_stats": True},
+        )
+
+    sol, stats = jax.block_until_ready(solve(params, y0))  # compile + warm
+    n_steps = int(stats.n_accept) + int(stats.n_reject)
+    t_solve = _median_time(lambda: jax.block_until_ready(solve(params, y0)))
+    steps_per_sec = n_steps / t_solve
+
+    # --- eager per-op-dispatch baseline (reference architecture stand-in) ---
+    tab = DOPRI5
+    beta = [jnp.asarray(tab.beta[i], jnp.float32) for i in range(6)]
+    c_err = jnp.asarray(tab.c_error, jnp.float32)
+    alpha = tab.alpha
+
+    def eager_steps(n):
+        y, t, dt = y0, 0.0, 0.01
+        for _ in range(n):
+            k = [vf(params, t, y)]
+            for i in range(6):
+                yi = y + dt * sum(float(beta[i][j]) * k[j] for j in range(i + 1))
+                k.append(vf(params, t + float(alpha[i]) * dt, yi))
+            y1 = yi
+            err = dt * sum(float(c_err[j]) * k[j] for j in range(7))
+            ratio = float(jnp.sqrt(jnp.mean((err / (1e-8 + 1e-6 * jnp.abs(y1))) ** 2)))
+            if ratio <= 1.0:
+                y, t = y1, t + dt
+            dt = float(np.clip(dt * (0.9 / max(ratio, 1e-10)) ** 0.2, dt * 0.2, dt * 10))
+        jax.block_until_ready(y)
+
+    eager_steps(3)  # warm caches
+    n_eager = 50
+    t_eager = _median_time(lambda: eager_steps(n_eager), reps=3)
+    eager_steps_per_sec = n_eager / t_eager
+
+    # --- adjoint bwd/fwd wall-clock ratio (secondary driver metric) ---
+    t_short = t_span[:100]
+
+    @jax.jit
+    def fwd_only(p, y0):
+        return odeint(
+            lambda t, y: vf(p, t, y), y0, t_short, "dopri5", rtol=1e-6, atol=1e-8,
+            time_axis=0,
+        )
+
+    @jax.jit
+    def fwd_bwd(p, y0):
+        def loss(p_):
+            out = odeint_adjoint(
+                lambda t, y: vf(p_, t, y), y0, t_short, "dopri5", rtol=1e-6,
+                atol=1e-8, time_axis=0,
+            )
+            return jnp.sum(jnp.abs(out))
+
+        return jax.grad(loss)(p)
+
+    jax.block_until_ready(fwd_only(params, y0))
+    jax.block_until_ready(fwd_bwd(params, y0))
+    t_fwd = _median_time(lambda: jax.block_until_ready(fwd_only(params, y0)))
+    t_fb = _median_time(lambda: jax.block_until_ready(fwd_bwd(params, y0)))
+    bwd_fwd_ratio = max(t_fb - t_fwd, 1e-9) / t_fwd
+
+    print(
+        json.dumps(
+            {
+                "metric": "dopri5_steps_per_sec_spiral_node",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/sec",
+                "vs_baseline": round(steps_per_sec / eager_steps_per_sec, 2),
+                "baseline_def": "same dopri5 math, eager per-op dispatch (reference hot-loop architecture) on same hardware",
+                "eager_steps_per_sec": round(eager_steps_per_sec, 2),
+                "adjoint_bwd_fwd_ratio": round(bwd_fwd_ratio, 2),
+                "nfe": int(stats.nfe),
+                "solver_steps": n_steps,
+                "backend": jax.default_backend(),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,23 @@ forecasting workload sharded over TPU meshes.
 
 from .version import __version__  # noqa: F401
 
-from .functional import odeint  # noqa: F401
+from .brownian import (  # noqa: F401
+    BaseBrownian,
+    BrownianInterval,
+    BrownianPath,
+    BrownianTree,
+    ReverseBrownian,
+    brownian_interval_like,
+)
+from .functional import (  # noqa: F401
+    cdeint,
+    ddeint,
+    ddeint_adjoint,
+    odeint,
+    odeint_adjoint,
+    sdeint,
+    sdeint_adjoint,
+)
 from .solver import (  # noqa: F401
     AdamsBashforthMoulton,
     AdaptiveHeun,
@@ -24,4 +40,17 @@ from .solver import (  # noqa: F401
     RK4,
     ScipyWrapperODESolver,
 )
-from .xde import XDETerm, cde_term, dde_term, ode_term, sde_term  # noqa: F401
+from .interpolation import (  # noqa: F401
+    BezierSpline,
+    CubicHermiteSpline,
+    LinearInterpolation,
+)
+from .xde import (  # noqa: F401
+    HistoryIndex,
+    XDETerm,
+    cde_term,
+    dde_term,
+    history_index,
+    ode_term,
+    sde_term,
+)

@@ -1,0 +1,204 @@
+"""Brownian-motion API: reference-shaped classes over the virtual tree.
+
+Parity with ``paddlexde/utils/brownian/`` (DrownFish19/PaddleXDE):
+``BaseBrownian`` / ``BrownianInterval`` / ``BrownianPath`` / ``BrownianTree`` /
+``ReverseBrownian`` / ``brownian_interval_like`` with the reference call
+convention ``bm(ta, tb, return_U=..., return_A=...)``
+(``brownian_base.py:18-50``, ``derived.py``). The stateful knobs of the
+reference (``pool_size``, ``cache_size``, ``halfway_tree``) are accepted and
+ignored — the stateless tree has no pools or caches to tune.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .virtual_tree import brownian_pair, tol_to_depth
+
+__all__ = [
+    "BaseBrownian",
+    "BrownianInterval",
+    "BrownianPath",
+    "BrownianTree",
+    "ReverseBrownian",
+    "brownian_interval_like",
+    "LEVY_AREA_APPROXIMATIONS",
+]
+
+
+class LEVY_AREA_APPROXIMATIONS:
+    """Container parity with ``utils/sde_settings.py:4-10``."""
+
+    none = "none"
+    space_time = "space-time"
+    davie = "davie"
+    foster = "foster"
+
+
+def _as_key(entropy_or_key):
+    if entropy_or_key is None:
+        return jax.random.key(0)
+    if isinstance(entropy_or_key, int):
+        return jax.random.key(entropy_or_key)
+    return entropy_or_key  # already a PRNG key
+
+
+class BaseBrownian:
+    def __call__(self, ta, tb=None, return_U=False, return_A=False):
+        raise NotImplementedError
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def levy_area_approximation(self):
+        return self._levy
+
+
+class BrownianInterval(BaseBrownian):
+    """W over [t0, t1] with optional space-time/full Lévy areas.
+
+    Signature parity with the reference ctor (``brownian_interval.py:361+``);
+    ``entropy`` may also be a JAX PRNG key (``key=`` alias).
+    """
+
+    def __init__(
+        self,
+        t0: float,
+        t1: float,
+        size: Tuple[int, ...] = (),
+        dtype=jnp.float32,
+        entropy: Optional[Union[int, jax.Array]] = None,
+        *,
+        key=None,
+        dt=None,
+        tol: Optional[float] = None,
+        pool_size: int = 8,
+        cache_size: int = 45,
+        halfway_tree: bool = False,
+        levy_area_approximation: str = LEVY_AREA_APPROXIMATIONS.none,
+        W=None,
+        H=None,
+    ):
+        del dt, pool_size, cache_size, halfway_tree, H  # stateless: no-ops
+        # t0/t1 may be traced values (bm built inside jit): keep them as-is;
+        # only the tol->depth conversion needs concrete floats, and it falls
+        # back to the default depth for traced bounds.
+        self._t0 = t0
+        self._t1 = t1
+        self._shape = tuple(size)
+        self._dtype = dtype
+        self._key = _as_key(key if key is not None else entropy)
+        try:
+            self._depth = tol_to_depth(float(t0), float(t1), tol)
+        except TypeError:
+            self._depth = tol_to_depth(0.0, 1.0, tol)
+        self._levy = levy_area_approximation
+        self._w_total = None if W is None else jnp.asarray(W, dtype)
+
+    @property
+    def interval(self):
+        return (self._t0, self._t1)
+
+    def __call__(self, ta, tb=None, return_U=False, return_A=False):
+        if tb is None:
+            ta, tb = self._t0, ta  # reference: single arg means W(t0, ta)
+        levy = self._levy if (return_U or return_A) else "none"
+        if return_A and levy in ("none", "space-time"):
+            raise ValueError(
+                f"Lévy area requested but levy_area_approximation={self._levy!r}; "
+                f"construct with 'davie' or 'foster'."
+            )
+        if return_U and levy == "none":
+            raise ValueError(
+                "space-time Lévy area requested but levy_area_approximation='none'"
+            )
+        w, u, a = brownian_pair(
+            self._key,
+            self._t0,
+            self._t1,
+            ta,
+            tb,
+            self._shape,
+            self._dtype,
+            self._depth,
+            self._w_total,
+            levy="davie" if (return_A and levy == "davie") else ("foster" if (return_A and levy == "foster") else ("space-time" if return_U else "none")),
+        )
+        if return_U and return_A:
+            return w, u, a
+        if return_U:
+            return w, u
+        if return_A:
+            return w, a
+        return w
+
+
+class BrownianPath(BrownianInterval):
+    """Reference ``derived.py:51-105``: an interval with unbounded cache —
+    here identical to BrownianInterval (the stateless tree has no cache)."""
+
+    def __init__(self, t0, w0=None, t1=None, size=None, **kwargs):
+        if size is None and w0 is not None:
+            size = jnp.asarray(w0).shape
+        super().__init__(t0, t1 if t1 is not None else t0 + 1.0, size or (), **kwargs)
+        self._w0 = None if w0 is None else jnp.asarray(w0)
+
+    def __call__(self, ta, tb=None, return_U=False, return_A=False):
+        out = super().__call__(ta, tb, return_U, return_A)
+        if self._w0 is not None and tb is None and not (return_U or return_A):
+            return out + self._w0
+        return out
+
+
+class BrownianTree(BrownianInterval):
+    """Reference ``derived.py:108-197``: tol-controlled, query-order-
+    independent sample paths — properties the stateless tree has natively."""
+
+    def __init__(self, t0, w0=None, t1=None, entropy=None, tol=2**-12, **kwargs):
+        size = kwargs.pop("size", None)
+        if size is None and w0 is not None:
+            size = jnp.asarray(w0).shape
+        super().__init__(
+            t0,
+            t1 if t1 is not None else t0 + 1.0,
+            size or (),
+            entropy=entropy,
+            tol=tol,
+            **kwargs,
+        )
+        self._w0 = None if w0 is None else jnp.asarray(w0)
+
+
+class ReverseBrownian(BaseBrownian):
+    """Negate query times for backward SDE solves (``derived.py:21-48``)."""
+
+    def __init__(self, base_brownian: BaseBrownian):
+        self.base_brownian = base_brownian
+        self._shape = base_brownian.shape
+        self._dtype = base_brownian.dtype
+        self._levy = base_brownian.levy_area_approximation
+
+    def __call__(self, ta, tb=None, return_U=False, return_A=False):
+        if tb is None:
+            raise ValueError("ReverseBrownian requires both ta and tb")
+        out = self.base_brownian(-tb, -ta, return_U=return_U, return_A=return_A)
+        if return_U or return_A:
+            return tuple(jax.tree.map(jnp.negative, o) if i == 0 else o for i, o in enumerate(out))
+        return -out
+
+
+def brownian_interval_like(y, t0=0.0, t1=1.0, **kwargs):
+    """A BrownianInterval matching ``y``'s shape/dtype (``derived.py:200-213``)."""
+    y = jnp.asarray(y)
+    kwargs.setdefault("size", y.shape)
+    kwargs.setdefault("dtype", y.dtype)
+    return BrownianInterval(t0, t1, **kwargs)

@@ -1,0 +1,163 @@
+"""Stateless virtual Brownian tree: counter-based, jit-safe, bit-reproducible.
+
+TPU-native replacement for the reference's ``BrownianInterval``
+(``paddlexde/utils/brownian/brownian_interval.py`` in DrownFish19/PaddleXDE) —
+a CPU-side object graph of lazily split intervals with an LRU cache,
+trampolined recursion, and (defectively, SURVEY §2.11-9) *unseeded* sampling.
+Here the same Brownian-bridge mathematics runs as a fixed-depth bisection
+entirely inside ``jit``:
+
+- ``W(s)`` descends a dyadic binary tree over ``[t0, t1]``; the midpoint value
+  of each interval is drawn from the exact bridge conditional
+  ``W_m | W_a, W_b ~ N((W_a+W_b)/2, (b-a)/4)`` with noise keyed by
+  ``jax.random.fold_in(key, node_id)`` — same node, same noise, forever: the
+  reproducibility-by-entropy that the reference intends but silently breaks
+  (its ``_Interval._randn`` ignores its seed, ``brownian_interval.py:246-251``).
+- Increments are differences of absolute values, so queries are additive and
+  consistent across overlapping intervals by construction — no cache, no
+  dependency-tree tuning (``:582-668``), O(depth) per query, vectorized over
+  the state shape.
+- Space-time Lévy area ``H`` and full Lévy area ``A`` are sampled per query
+  from their exact conditionals (H | W ~ N(0, h/12); Davie / Foster
+  approximations ported from ``brownian_interval.py:81-107``), keyed by the
+  query interval's bit pattern — reproducible per (ta, tb). Deviation from the
+  reference: H is consistent per-query, not under interval composition (the
+  reference's composition algebra sat on top of broken RNG anyway).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "brownian_value",
+    "brownian_increment",
+    "space_time_levy_area",
+    "davie_foster_area",
+    "h_to_u",
+]
+
+_DEFAULT_DEPTH = 24
+
+
+def tol_to_depth(t0: float, t1: float, tol: Optional[float]) -> int:
+    if tol is None or tol <= 0:
+        return _DEFAULT_DEPTH
+    span = abs(float(t1) - float(t0))
+    if span == 0:
+        return 1
+    return max(1, min(40, int(math.ceil(math.log2(span / tol)))))
+
+
+def brownian_value(key, t0, t1, s, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH, w_total=None):
+    """Absolute W(s) with W(t0) = 0, via fixed-depth bridge bisection.
+
+    ``w_total`` optionally pins W(t1) (the reference's ``W=`` ctor argument).
+    """
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    s = jnp.clip(jnp.asarray(s, dtype), t0, t1)
+
+    span = t1 - t0
+    if w_total is None:
+        w_total = (
+            jax.random.normal(jax.random.fold_in(key, 1), shape, dtype)
+            * jnp.sqrt(jnp.maximum(span, 0.0))
+        )
+    else:
+        w_total = jnp.asarray(w_total, dtype)
+
+    def body(_, carry):
+        a, b, wa, wb, node = carry
+        m = 0.5 * (a + b)
+        # exact bridge conditional at the midpoint
+        x = jax.random.normal(jax.random.fold_in(key, node), shape, dtype)
+        wm = 0.5 * (wa + wb) + 0.5 * jnp.sqrt(jnp.maximum(b - a, 0.0)) * x
+        go_left = s < m
+        a2 = jnp.where(go_left, a, m)
+        b2 = jnp.where(go_left, m, b)
+        wa2 = jnp.where(go_left, wa, wm)
+        wb2 = jnp.where(go_left, wm, wb)
+        node2 = jnp.where(go_left, 2 * node, 2 * node + 1)
+        return (a2, b2, wa2, wb2, node2)
+
+    init = (t0, t1, jnp.zeros(shape, dtype), w_total, jnp.asarray(2, jnp.uint32))
+    a, b, wa, wb, _ = jax.lax.fori_loop(0, depth, body, init)
+    frac = jnp.where(b == a, jnp.zeros_like(a), (s - a) / (b - a))
+    return wa + frac * (wb - wa)
+
+
+def brownian_increment(key, t0, t1, ta, tb, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH, w_total=None):
+    """W(tb) - W(ta); consistent and additive across queries."""
+    w_b = brownian_value(key, t0, t1, tb, shape, dtype, depth, w_total)
+    w_a = brownian_value(key, t0, t1, ta, shape, dtype, depth, w_total)
+    return w_b - w_a
+
+
+def _query_key(key, ta, tb):
+    """Reproducible per-(ta, tb) key from the interval's float bit pattern."""
+    bits_a = jax.lax.bitcast_convert_type(jnp.asarray(ta, jnp.float32), jnp.int32)
+    bits_b = jax.lax.bitcast_convert_type(jnp.asarray(tb, jnp.float32), jnp.int32)
+    return jax.random.fold_in(jax.random.fold_in(key, bits_a), bits_b)
+
+
+def space_time_levy_area(key, ta, tb, w, shape=(), dtype=jnp.float32):
+    """H over [ta, tb] sampled from the exact conditional H | W ~ N(0, h/12)."""
+    del w  # H is independent of W in the space-time decomposition
+    h = jnp.asarray(tb, dtype) - jnp.asarray(ta, dtype)
+    x = jax.random.normal(_query_key(key, ta, tb), shape, dtype)
+    return jnp.sqrt(jnp.maximum(h / 12.0, 0.0)) * x
+
+
+def h_to_u(w, h_levy, h):
+    """U = h * (W/2 + H) (reference ``_H_to_U``, ``brownian_interval.py:110-111``)."""
+    return h * (0.5 * w + h_levy)
+
+
+def davie_foster_area(key, ta, tb, w, h_levy, *, foster: bool = False):
+    """Full Lévy area approximation A from (W, H).
+
+    Port of ``_davie_foster_approximation`` (``brownian_interval.py:81-107``):
+    Davie's approximation ``A_ij = H_i W_j - W_i H_j + noise`` with
+    skew-symmetric noise of std sqrt(h^2/12), or Foster's variance correction
+    ``std = sqrt(h/10 * (h/10 + H_i^2 + H_j^2))``. Scalar/1-D states have zero
+    area (treated as batch of 1-D Brownian motions, as the reference does).
+    """
+    if w.ndim in (0, 1):
+        return jnp.zeros_like(w)
+    h = jnp.asarray(tb, w.dtype) - jnp.asarray(ta, w.dtype)
+    a_mat = h_levy[..., :, None] * w[..., None, :] - w[..., :, None] * h_levy[..., None, :]
+    noise = jax.random.normal(
+        jax.random.fold_in(_query_key(key, ta, tb), 2),
+        w.shape + (w.shape[-1],),
+        w.dtype,
+    )
+    noise = noise - jnp.swapaxes(noise, -1, -2)  # skew-symmetric, variance 2
+    if foster:
+        tenth_h = 0.1 * h
+        h_sq = h_levy**2
+        std = jnp.sqrt(tenth_h * (tenth_h + h_sq[..., :, None] + h_sq[..., None, :]))
+    else:
+        std = jnp.sqrt(h * h / 12.0)
+    return a_mat + std * noise
+
+
+def brownian_pair(
+    key, t0, t1, ta, tb, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH,
+    w_total=None, levy: str = "none", foster: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    """(W, U, A) over [ta, tb] — the full query the BrownianInterval API needs."""
+    w = brownian_increment(key, t0, t1, ta, tb, shape, dtype, depth, w_total)
+    if levy == "none":
+        return w, None, None
+    h_levy = space_time_levy_area(key, ta, tb, w, shape, dtype)
+    h = jnp.asarray(tb, dtype) - jnp.asarray(ta, dtype)
+    u = h_to_u(w, h_levy, h)
+    if levy == "space-time":
+        return w, u, None
+    a = davie_foster_area(key, ta, tb, w, h_levy, foster=(levy == "foster" or foster))
+    return w, u, a

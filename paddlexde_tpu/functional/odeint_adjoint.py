@@ -1,0 +1,214 @@
+"""O(1)-memory adjoint gradients for odeint via ``jax.custom_vjp``.
+
+TPU-native rebuild of the reference's ``OdeintAdjointMethod`` PyLayer
+(``paddlexde/functional/odeint_adjoint.py:11-167`` in DrownFish19/PaddleXDE),
+which re-integrates the augmented ODE backward per saved output interval. The
+JAX formulation is structurally simpler and strictly more capable:
+
+- parameters are discovered by ``jax.closure_convert`` — whatever arrays the
+  user's ``func`` closes over become explicit differentiable residuals, which
+  subsumes the reference's ``find_parameters`` + DataParallel special-casing
+  (``odeint_adjoint.py:260-277``) and its manual ``adjoint_params`` plumbing;
+- the augmented state ``(adj_t, y, adj_y, adj_params)`` is a pytree carry — no
+  flatten/unflatten (``flat_to_shape``) layer;
+- each backward interval re-enters the SAME scan/while solver engines, and the
+  per-interval re-injection of forward states + incoming cotangents
+  (``odeint_adjoint.py:134-159``) is one ``lax.scan`` over reversed intervals;
+- the cotangent of ``t_span`` is produced exactly as the reference's
+  ``t_requires_grad`` path (``:130-141``): ``dL/dt_i = <grad_y_i, f(t_i, y_i)>``
+  per output, with the integrated ``adj_t`` landing on ``t_0``.
+
+Adjoint norm options mirror ``handle_adjoint_norm_`` (``:280-327``): the default
+norm on the augmented state is the mixed (max-of-member-RMS) norm; pass
+``adjoint_options={"norm": "seminorm"}`` to exclude parameter cotangents from
+step-size control, or a callable for a custom norm.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.norms import rms_norm, zero_norm
+from ..xde.term import XDETerm, ode_term
+from .solve import _is_decreasing, format_solution, integrate_term
+
+__all__ = ["odeint_adjoint"]
+
+
+def _tree_dot(a, b):
+    """<a, b> summed over all leaves."""
+    leaves = jax.tree.leaves(jax.tree.map(lambda x, y: jnp.sum(x * y), a, b))
+    return sum(leaves) if leaves else jnp.zeros(())
+
+
+def _make_adjoint_norm(adjoint_norm_opt, y_def, params_def):
+    """Build the norm over the (adj_t, y, adj_y, adj_params) augmented pytree."""
+    if callable(adjoint_norm_opt):
+        return adjoint_norm_opt
+
+    include_params = adjoint_norm_opt != "seminorm"
+
+    def norm(aug):
+        adj_t, y, adj_y, adj_p = aug
+        members = [jnp.abs(adj_t), rms_norm(y), rms_norm(adj_y)]
+        if include_params:
+            members.extend(rms_norm(leaf) for leaf in jax.tree.leaves(adj_p))
+        else:
+            zero_norm(adj_p)
+        return jnp.max(jnp.stack([jnp.asarray(m) for m in members]))
+
+    del y_def, params_def
+    return norm
+
+
+def odeint_adjoint(
+    func,
+    y0,
+    t_span,
+    solver="dopri5",
+    *,
+    rtol=1e-7,
+    atol=1e-9,
+    options: Optional[dict] = None,
+    adjoint_solver=None,
+    adjoint_rtol=None,
+    adjoint_atol=None,
+    adjoint_options: Optional[dict] = None,
+    adjoint_params=None,
+    time_axis: int = -2,
+):
+    """Like :func:`odeint`, but gradients flow through the augmented backward
+    ODE in O(1) memory instead of through the forward scan.
+
+    ``adjoint_params`` is accepted for reference-signature parity
+    (``odeint_adjoint.py:170-257``) but unnecessary: closure-converted arrays
+    are differentiated automatically.
+
+    Forward-value parity: the primal output is numerically identical to
+    ``odeint`` with the same solver/options.
+    """
+    del adjoint_params  # JAX discovers parameters via closure_convert
+    adjoint_solver = adjoint_solver if adjoint_solver is not None else solver
+    adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
+    adjoint_atol = atol if adjoint_atol is None else adjoint_atol
+    adjoint_options = dict(adjoint_options or {})
+    adjoint_norm_opt = adjoint_options.pop("norm", "mixed")
+
+    t_span = jnp.asarray(t_span)
+    y0 = jax.tree.map(jnp.asarray, y0)
+    reverse_span = _is_decreasing(t_span)
+
+    converted, consts = jax.closure_convert(
+        lambda t, y: func(t, y), t_span[0], y0
+    )
+    consts = tuple(consts)
+
+    @jax.custom_vjp
+    def _solve(y0_, ts_, consts_):
+        term = ode_term(lambda t, y: converted(t, y, *consts_))
+        return integrate_term(
+            term, y0_, ts_, solver, rtol=rtol, atol=atol, options=options, time_axis=0
+        )
+
+    def _fwd(y0_, ts_, consts_):
+        sol = _solve(y0_, ts_, consts_)
+        return sol, (sol, ts_, consts_)
+
+    def _bwd(res, grad_sol):
+        sol, ts_, consts_ = res
+        n_out = ts_.shape[0]
+
+        def f_eval(t, y, consts__):
+            return converted(t, y, *consts__)
+
+        adjoint_norm = _make_adjoint_norm(adjoint_norm_opt, y0, consts_)
+
+        def aug_dynamics(t, aug):
+            """(adj_t', y', adj_y', adj_p') — reference ``augmented_dynamics``
+            (``odeint_adjoint.py:89-124``), via one jax.vjp."""
+            _, y, adj_y, _ = aug
+            fval, vjp_fn = jax.vjp(f_eval, t, y, consts_)
+            neg_adj = jax.tree.map(jnp.negative, adj_y)
+            vjp_t, vjp_y, vjp_p = vjp_fn(neg_adj)
+            return (vjp_t, fval, vjp_y, vjp_p)
+
+        aug_term = ode_term(aug_dynamics)
+        # integrate each [t_i -> t_{i-1}] interval; for an increasing user span
+        # that is backward in time, realized as forward integration of the
+        # negated field over s = -t (exact for additive terms).
+        if not reverse_span:
+            def interval_term():
+                def move(s, ds, aug):
+                    return jax.tree.map(
+                        jnp.negative, aug_term.move(-s, -ds, aug)
+                    )
+                return XDETerm(move=move, fuse=aug_term.fuse, additive=True, kind="ode")
+            span_sign = -1.0
+        else:
+            def interval_term():
+                return aug_term
+            span_sign = 1.0
+        bwd_term = interval_term()
+
+        adj_opts = dict(adjoint_options)
+        adj_opts["norm"] = adjoint_norm
+
+        zeros_p = jax.tree.map(jnp.zeros_like, consts_)
+        grad_y_all = grad_sol  # time-first [T, ...]
+
+        def take(tree, i):
+            return jax.tree.map(lambda a: a[i], tree)
+
+        # carry: (adj_t, adj_y, adj_p); per-step inputs: indices i = T-1 .. 1
+        def scan_body(carry, i):
+            adj_t, adj_y, adj_p = carry
+            t_i = ts_[i]
+            t_im1 = ts_[i - 1]
+            y_i = take(sol, i)
+            g_i = take(grad_y_all, i)
+
+            adj_y = jax.tree.map(jnp.add, adj_y, g_i)
+            f_i = f_eval(t_i, y_i, consts_)
+            dLd_t_i = _tree_dot(g_i, f_i)
+            adj_t = adj_t - dLd_t_i
+
+            aug0 = (adj_t, y_i, adj_y, adj_p)
+            s_span = span_sign * jnp.stack([t_i, t_im1])
+            aug_sol = integrate_term(
+                bwd_term,
+                aug0,
+                s_span,
+                adjoint_solver,
+                rtol=adjoint_rtol,
+                atol=adjoint_atol,
+                options=adj_opts,
+                time_axis=0,
+            )
+            adj_t, _, adj_y, adj_p = take(aug_sol, 1)
+            return (adj_t, adj_y, adj_p), dLd_t_i
+
+        # adj_y starts at zero; the first scan step adds grad_y[T-1].
+        init = (jnp.zeros((), ts_.dtype), jax.tree.map(jnp.zeros_like, y0), zeros_p)
+        idxs = jnp.arange(n_out - 1, 0, -1)
+        (adj_t, adj_y, adj_p), dLd_ts = jax.lax.scan(scan_body, init, idxs)
+
+        # final incoming cotangent at t_0
+        adj_y = jax.tree.map(jnp.add, adj_y, take(grad_y_all, 0))
+
+        # t_span cotangent: dLd_ts holds dL/dt_i for i = T-1..1; t_0 gets adj_t
+        grad_ts = jnp.zeros_like(ts_)
+        grad_ts = grad_ts.at[jnp.arange(n_out - 1, 0, -1)].set(
+            dLd_ts.astype(ts_.dtype)
+        )
+        grad_ts = grad_ts.at[0].set(adj_t.astype(ts_.dtype))
+
+        return (adj_y, grad_ts, adj_p)
+
+    _solve.defvjp(_fwd, _bwd)
+
+    solution = _solve(y0, t_span, consts)
+    return format_solution(solution, time_axis)

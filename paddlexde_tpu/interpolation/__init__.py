@@ -1,0 +1,7 @@
+from .functional import cubic_hermite_interp, linear_interp  # noqa: F401
+from .interpolate import (  # noqa: F401
+    BezierSpline,
+    CubicHermiteSpline,
+    InterpolationBase,
+    LinearInterpolation,
+)

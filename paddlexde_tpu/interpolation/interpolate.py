@@ -1,0 +1,207 @@
+"""Differentiable spline interpolation over sampled series.
+
+TPU-native rebuild of ``paddlexde/interpolation/`` (DrownFish19/PaddleXDE):
+``LinearInterpolation`` / ``CubicHermiteSpline`` / ``BezierSpline`` over a
+series ``[..., T, D]`` with knots ``t [T]``, exposing ``evaluate(t)`` and
+``derivative(t)``.
+
+Design differences from the reference (all deliberate):
+
+- The reference materializes per-family control-point tensors (shifted, scale-
+  pre-divided copies of the series) at construction and evaluates via sparse
+  basis matrices ``ts @ H @ ps`` (``interpolate_base.py:49-114``). Here
+  evaluation is one vectorized gather (``searchsorted`` + ``take``) feeding a
+  fused closed-form polynomial — no O(T·M) duplicated storage and a single
+  XLA-fusable expression per query batch. A Pallas kernel fuses the
+  gather+Horner path for large histories (``paddlexde_tpu.ops``).
+- The reference's scale normalization is only correct on uniform grids (it
+  divides ``p_{i+1}`` by the *previous* interval's width,
+  ``interpolate.py:42-66``); we use the mathematically standard forms, which
+  coincide with the reference on the uniform grids its tests use.
+- ``BezierSpline`` keeps the reference's (unusual but well-defined) smoothing
+  scheme: segment ``i`` evaluates the cubic Bézier with control points
+  ``p_i..p_{i+3}`` (last-clamped) at local time normalized by the 3-knot span
+  (``interpolate.py:241-273``) — an approximating, not interpolating, spline;
+  its accuracy bar in the reference tests is 5e-2 accordingly.
+- Hermite derivative estimates are the reference's forward differences with the
+  last slope replicated (``interpolate.py:160-182``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "InterpolationBase",
+    "LinearInterpolation",
+    "CubicHermiteSpline",
+    "BezierSpline",
+]
+
+
+class InterpolationBase:
+    """Shared machinery: knot bookkeeping + vectorized segment lookup."""
+
+    def __init__(self, series, t=None):
+        series = jnp.asarray(series)
+        if t is None:
+            t = jnp.arange(series.shape[-2], dtype=series.dtype)
+        t = jnp.asarray(t, series.dtype)
+        if t.shape[0] != series.shape[-2]:
+            raise ValueError(
+                f"knots t [{t.shape[0]}] must match series time axis "
+                f"[{series.shape[-2]}]"
+            )
+        self._series = series
+        self._t = t
+
+    @property
+    def grid_points(self):
+        return self._t
+
+    @property
+    def interval(self):
+        return jnp.stack([self._t[0], self._t[-1]])
+
+    def _locate(self, t_eval):
+        """segment index + local offset for each query time (clamped)."""
+        t_eval = jnp.asarray(t_eval, self._t.dtype)
+        scalar = t_eval.ndim == 0
+        t_eval = jnp.atleast_1d(t_eval)
+        max_idx = self._series.shape[-2] - 2
+        idx = jnp.clip(
+            jnp.searchsorted(self._t, t_eval, side="right") - 1, 0, max_idx
+        )
+        return idx, t_eval, scalar
+
+    def _gather(self, offset, idx):
+        """series[..., idx + offset, :] with index clamping (last repeated)."""
+        i = jnp.clip(idx + offset, 0, self._series.shape[-2] - 1)
+        return jnp.take(self._series, i, axis=-2)
+
+    def evaluate(self, t):
+        idx, t_eval, scalar = self._locate(t)
+        out = self._evaluate(idx, t_eval)
+        return jax.tree.map(lambda o: o[..., 0, :], out) if scalar else out
+
+    def derivative(self, t):
+        idx, t_eval, scalar = self._locate(t)
+        out = self._derivative(idx, t_eval)
+        return jax.tree.map(lambda o: o[..., 0, :], out) if scalar else out
+
+
+def _exp(v, ref):
+    """Broadcast a per-query vector [K] against [..., K, D] leaves."""
+    return v[..., :, None].astype(ref.dtype)
+
+
+class LinearInterpolation(InterpolationBase):
+    """Piecewise-linear; reference ``interpolate.py:6-98``."""
+
+    def _coeffs(self, idx, t_eval):
+        t0 = self._t[idx]
+        t1 = self._t[jnp.clip(idx + 1, 0, self._t.shape[0] - 1)]
+        h = jnp.where(t1 == t0, jnp.ones_like(t0), t1 - t0)
+        x = (t_eval - t0) / h
+        p0 = self._gather(0, idx)
+        p1 = self._gather(1, idx)
+        return p0, p1, x, h
+
+    def _evaluate(self, idx, t_eval):
+        p0, p1, x, _ = self._coeffs(idx, t_eval)
+        return p0 + _exp(x, p0) * (p1 - p0)
+
+    def _derivative(self, idx, t_eval):
+        p0, p1, _, h = self._coeffs(idx, t_eval)
+        return (p1 - p0) / _exp(h, p0)
+
+
+class CubicHermiteSpline(InterpolationBase):
+    """Cubic Hermite with forward-difference slopes; reference
+    ``interpolate.py:101-204``."""
+
+    def __init__(self, series, t=None):
+        super().__init__(series, t)
+        # slopes m_i = (p_{i+1} - p_i)/(t_{i+1} - t_i), last replicated
+        dt = self._t[1:] - self._t[:-1]
+        dp = self._series[..., 1:, :] - self._series[..., :-1, :]
+        m = dp / dt[:, None]
+        self._m = jnp.concatenate([m, m[..., -1:, :]], axis=-2)
+
+    def _coeffs(self, idx, t_eval):
+        t0 = self._t[idx]
+        t1 = self._t[jnp.clip(idx + 1, 0, self._t.shape[0] - 1)]
+        h = jnp.where(t1 == t0, jnp.ones_like(t0), t1 - t0)
+        x = (t_eval - t0) / h
+        p0, p1 = self._gather(0, idx), self._gather(1, idx)
+        i1 = jnp.clip(idx + 1, 0, self._m.shape[-2] - 1)
+        m0 = jnp.take(self._m, idx, axis=-2)
+        m1 = jnp.take(self._m, i1, axis=-2)
+        return p0, p1, m0, m1, x, h
+
+    def _evaluate(self, idx, t_eval):
+        p0, p1, m0, m1, x, h = self._coeffs(idx, t_eval)
+        x2 = x * x
+        x3 = x2 * x
+        h00 = 2 * x3 - 3 * x2 + 1
+        h10 = x3 - 2 * x2 + x
+        h01 = -2 * x3 + 3 * x2
+        h11 = x3 - x2
+        return (
+            _exp(h00, p0) * p0
+            + _exp(h10 * h, p0) * m0
+            + _exp(h01, p0) * p1
+            + _exp(h11 * h, p0) * m1
+        )
+
+    def _derivative(self, idx, t_eval):
+        p0, p1, m0, m1, x, h = self._coeffs(idx, t_eval)
+        x2 = x * x
+        d00 = (6 * x2 - 6 * x) / h
+        d10 = 3 * x2 - 4 * x + 1
+        d01 = (-6 * x2 + 6 * x) / h
+        d11 = 3 * x2 - 2 * x
+        return (
+            _exp(d00, p0) * p0
+            + _exp(d10, p0) * m0
+            + _exp(d01, p0) * p1
+            + _exp(d11, p0) * m1
+        )
+
+
+class BezierSpline(InterpolationBase):
+    """Cubic-Bézier smoothing over sliding 4-point windows; reference
+    ``interpolate.py:207-298`` (control points ``p_i..p_{i+3}``, local time
+    normalized by the 3-knot span — approximating, C0 at knots only)."""
+
+    def _coeffs(self, idx, t_eval):
+        t0 = self._t[idx]
+        t3 = self._t[jnp.clip(idx + 3, 0, self._t.shape[0] - 1)]
+        h = jnp.where(t3 == t0, jnp.ones_like(t0), t3 - t0)
+        x = (t_eval - t0) / h
+        ps = [self._gather(k, idx) for k in range(4)]
+        return ps, x, h
+
+    def _evaluate(self, idx, t_eval):
+        (p0, p1, p2, p3), x, _ = self._coeffs(idx, t_eval)
+        u = 1 - x
+        b0 = u * u * u
+        b1 = 3 * u * u * x
+        b2 = 3 * u * x * x
+        b3 = x * x * x
+        return (
+            _exp(b0, p0) * p0 + _exp(b1, p0) * p1 + _exp(b2, p0) * p2 + _exp(b3, p0) * p3
+        )
+
+    def _derivative(self, idx, t_eval):
+        (p0, p1, p2, p3), x, h = self._coeffs(idx, t_eval)
+        u = 1 - x
+        d0 = 3 * u * u / h
+        d1 = 3 * u * x / h
+        d2 = 3 * x * x / h
+        return (
+            _exp(d0, p0) * (p1 - p0)
+            + _exp(2 * d1, p0) * (p2 - p1)
+            + _exp(d2, p0) * (p3 - p2)
+        )

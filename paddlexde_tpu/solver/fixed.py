@@ -107,15 +107,19 @@ def _concrete_times(t, name):
         ) from exc
 
 
-def make_grid(t_span, step_size=None, grid_constructor: Optional[Callable] = None):
+def make_grid(t_span, step_size=None, grid_constructor: Optional[Callable] = None, grid=None):
     """Build the integration grid.
 
     Default grid is ``t_span`` itself; ``step_size`` builds an arange grid with
     the last node snapped to ``t_span[-1]`` (reference
-    ``base_fixed_solver.py:49-89``). The two options are mutually exclusive.
+    ``base_fixed_solver.py:49-89``); ``grid`` supplies the grid explicitly
+    (use this under jit, where ``step_size`` cannot see concrete endpoints).
+    The options are mutually exclusive.
     """
-    if step_size is not None and grid_constructor is not None:
-        raise ValueError("step_size and grid_constructor are mutually exclusive arguments.")
+    if sum(x is not None for x in (step_size, grid_constructor, grid)) > 1:
+        raise ValueError("step_size, grid_constructor and grid are mutually exclusive arguments.")
+    if grid is not None:
+        return jnp.asarray(grid)
     if grid_constructor is not None:
         return jnp.asarray(grid_constructor(t_span))
     if step_size is None:
@@ -138,6 +142,7 @@ def solve_fixed(
     interp: str = "linear",
     step_size=None,
     grid_constructor: Optional[Callable] = None,
+    grid=None,
     time_dtype=None,
 ):
     """Integrate over a fixed grid; return ``[T, ...]`` time-first pytree.
@@ -151,10 +156,10 @@ def solve_fixed(
     t_span = jnp.asarray(t_span)
     if time_dtype is not None:
         t_span = t_span.astype(time_dtype)
-    grid_is_tspan = step_size is None and grid_constructor is None
-    grid = make_grid(t_span, step_size=step_size, grid_constructor=grid_constructor).astype(
-        t_span.dtype
-    )
+    grid_is_tspan = step_size is None and grid_constructor is None and grid is None
+    grid = make_grid(
+        t_span, step_size=step_size, grid_constructor=grid_constructor, grid=grid
+    ).astype(t_span.dtype)
 
     t_pairs = jnp.stack([grid[:-1], grid[1:]], axis=-1)
 

@@ -47,21 +47,27 @@ def interp_fit(y0, y1, y_mid, f0, f1, dt):
     Each coefficient is a pytree matching the state structure.
     """
 
-    def per_leaf(y0, y1, y_mid, f0, f1):
-        _dt = jnp.asarray(dt, dtype=y0.dtype)
-        a = 2 * _dt * (f1 - f0) - 8 * (y1 + y0) + 16 * y_mid
-        b = _dt * (5 * f0 - 3 * f1) + 18 * y0 + 14 * y1 - 32 * y_mid
-        c = _dt * (f1 - 4 * f0) - 11 * y0 - 5 * y1 + 16 * y_mid
-        d = _dt * f0
-        e = y0
-        return (e, d, c, b, a)
+    # One tree.map per coefficient: the state pytree may itself contain tuples
+    # (e.g. the adjoint's augmented state), so a tuple-transpose trick would
+    # misidentify leaves.
+    def _d(x):
+        return jnp.asarray(dt, dtype=x.dtype)
 
-    fitted = jax.tree.map(per_leaf, y0, y1, y_mid, f0, f1)
-    # transpose: pytree-of-5-tuples -> 5-tuple-of-pytrees
-    return [
-        jax.tree.map(lambda t: t[i], fitted, is_leaf=lambda t: isinstance(t, tuple))
-        for i in range(5)
-    ]
+    e = y0
+    d = jax.tree.map(lambda f0: _d(f0) * f0, f0)
+    c = jax.tree.map(
+        lambda y0, y1, ym, f0, f1: _d(y0) * (f1 - 4 * f0) - 11 * y0 - 5 * y1 + 16 * ym,
+        y0, y1, y_mid, f0, f1,
+    )
+    b = jax.tree.map(
+        lambda y0, y1, ym, f0, f1: _d(y0) * (5 * f0 - 3 * f1) + 18 * y0 + 14 * y1 - 32 * ym,
+        y0, y1, y_mid, f0, f1,
+    )
+    a = jax.tree.map(
+        lambda y0, y1, ym, f0, f1: 2 * _d(y0) * (f1 - f0) - 8 * (y1 + y0) + 16 * ym,
+        y0, y1, y_mid, f0, f1,
+    )
+    return [e, d, c, b, a]
 
 
 def interp_evaluate(coefficients, t0, t1, t):

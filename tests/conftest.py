@@ -1,18 +1,20 @@
-"""Test configuration: force an 8-device virtual CPU mesh BEFORE jax imports.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 This is how multi-chip sharding is tested without a pod (SURVEY §4, rebuild test
 plan): XLA splits the host CPU into 8 logical devices; `shard_map`/`pjit` tests
 then exercise real collectives over a `Mesh` with no TPU hardware.
+
+NOTE: this environment's sitecustomize imports jax and registers the axon TPU
+plugin before conftest runs, so env-var overrides are too late — use
+jax.config.update, which works any time before first backend use.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
 
-import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Numeric-accuracy tests run in float64 (the reference keeps timelike values in
 # float64 too); dedicated fp32 smoke tests override locally.

@@ -1,0 +1,161 @@
+"""DDE path tests — coverage the reference lacked entirely (SURVEY §4).
+
+Covers: the (solution, y_lags) return contract, all three func signatures
+(SURVEY §2.11-5), lag gradients through the spline, the damped-Euler fuse
+semantics, and the working ddeint_adjoint (a stub in the reference).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paddlexde_tpu import Euler, ddeint, ddeint_adjoint
+
+B, T, D, L = 2, 64, 3, 4
+
+
+def _setup(seed=0):
+    rng = np.random.RandomState(seed)
+    his = jnp.asarray(rng.randn(B, T, D))
+    his_span = jnp.arange(T, dtype=jnp.float64)
+    lags = jnp.asarray([3.2, 10.7, 25.0, 40.9])
+    y0 = jnp.asarray(rng.randn(B, 1, D))
+    t_span = jnp.arange(2, dtype=jnp.float64)
+    return his, his_span, lags, y0, t_span
+
+
+def test_seq2seq_contract_and_return_tuple():
+    """D3STN-style: func(y_lags, y), t_span=[0,1], one Euler step."""
+    his, his_span, lags, y0, t_span = _setup()
+    w = jnp.eye(D) * 0.1
+
+    def func(y_lags, y):
+        assert y_lags.shape == (B, L, D)
+        return jnp.mean(y_lags, axis=1, keepdims=True) @ w + y
+
+    sol, y_lags = ddeint(func, y0, t_span, lags, his, his_span, Euler,
+                         fixed_solver_interp="")
+    assert y_lags.shape == (B, L, D)
+    # y0 is [B, 1, D] => solution gets time on axis -2: [B, 1, 2, D]
+    assert sol.shape == (B, 1, 2, D)
+    # damped Euler fuse: y1 = y0 + (dy - 1e-3*y0)*dt, dt=1
+    dy = np.mean(np.asarray(y_lags), axis=1, keepdims=True) @ np.asarray(w) + np.asarray(y0)
+    expect = np.asarray(y0) + (dy - 1e-3 * np.asarray(y0))
+    np.testing.assert_allclose(sol[:, :, 1], expect, rtol=1e-10)
+
+
+def test_four_arg_contract():
+    his, his_span, lags, y0, t_span = _setup()
+
+    def func(t, y, lags_, y_lags):
+        return -y + 0.0 * jnp.sum(y_lags)
+
+    sol, _ = ddeint(func, y0, t_span, lags, his, his_span, Euler)
+    assert sol.shape == (B, 1, 2, D)
+
+
+def test_keyword_contract():
+    his, his_span, lags, y0, t_span = _setup()
+
+    def func(t, y, *, lags, y_lags):
+        return -y + 0.0 * jnp.sum(y_lags)
+
+    sol, _ = ddeint(func, y0, t_span, lags, his, his_span, Euler)
+    assert sol.shape == (B, 1, 2, D)
+
+
+def test_his_processed_skips_lookup():
+    his, his_span, _, y0, t_span = _setup()
+    y_lags_pre = jnp.ones((B, L, D))
+    sol, y_lags = ddeint(
+        lambda y_lags, y: y, y0, t_span, y_lags_pre, his, his_span, Euler,
+        his_processed=True,
+    )
+    np.testing.assert_allclose(y_lags, y_lags_pre)
+
+
+def test_lag_gradients_flow():
+    his, his_span, lags, y0, t_span = _setup()
+    w = jnp.asarray(np.random.RandomState(1).randn(D, D) * 0.1)
+
+    def loss(lags_):
+        sol, y_lags = ddeint(
+            lambda y_lags, y: jnp.mean(y_lags, axis=1, keepdims=True) @ w,
+            y0, t_span, lags_, his, his_span, Euler,
+        )
+        return jnp.sum(sol**2) + jnp.sum(y_lags**2)
+
+    g = jax.grad(loss)(lags)
+    assert g.shape == lags.shape
+    assert float(jnp.sum(jnp.abs(g))) > 0
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ddeint_adjoint_matches_direct():
+    """Adjoint DDE gradients vs direct backprop.
+
+    The continuous adjoint re-integrates backward with the forward solver, so
+    its gradient error is O(dt^order) — measured: euler 0.23 -> 0.035 at 8x
+    smaller dt (order 1), rk4 2.3e-4 -> 6e-5 (order ~4). Tested with rk4.
+    """
+    his, his_span, lags, y0, t_span = _setup()
+    t_span = jnp.linspace(0.0, 1.0, 9)
+    w0 = jnp.asarray(np.random.RandomState(2).randn(D, D) * 0.3)
+
+    def make_loss(fn):
+        def loss(w):
+            out = fn(
+                lambda y_lags, y: jnp.tanh(jnp.mean(y_lags, axis=1, keepdims=True) @ w + y),
+                y0, t_span, lags, his, his_span, "rk4",
+            )
+            sol, y_lags = out
+            return jnp.sum(sol**2)
+
+        return loss
+
+    g_direct = jax.grad(make_loss(ddeint))(w0)
+    g_adj = jax.grad(make_loss(ddeint_adjoint))(w0)
+    np.testing.assert_allclose(g_adj, g_direct, rtol=1e-3, atol=1e-6)
+
+
+def test_cdeint_linear_control():
+    """CDE with identity field and linear control reproduces the control path."""
+    from paddlexde_tpu import cdeint
+
+    ts = jnp.linspace(0.0, 1.0, 33)
+    # control X(t) = [t, 2t]; f(t,y) = I  => y(t) = y0 + (X(t) - X(0))
+    series = jnp.stack([ts, 2 * ts], axis=-1)  # [T, 2]
+    y0 = jnp.asarray([0.5, -1.0])
+
+    def f(t, y):
+        return jnp.eye(2)
+
+    sol = cdeint(f, y0, ts, (series, ts), "rk4", time_axis=0)
+    expect = y0[None] + series - series[0]
+    np.testing.assert_allclose(sol, expect, rtol=1e-6, atol=1e-8)
+
+
+def test_cdeint_adjoint_grads():
+    from paddlexde_tpu import cdeint
+
+    # smooth control path: the continuous adjoint differentiates dX/dt of the
+    # spline inside the backward vjp, so rough (random-walk) controls degrade
+    # its gradients to O(dt) — measured 0.56 -> 0.12 at 4x dt; smooth controls
+    # converge at solver order (5e-4 -> 8e-6).
+    ts = jnp.linspace(0.0, 1.0, 17)
+    rng = np.random.RandomState(0)
+    series = jnp.stack([jnp.sin(2 * ts), jnp.cos(3 * ts)], axis=-1)
+    y0 = jnp.asarray([0.3, 0.7])
+
+    def make_loss(adjoint):
+        def loss(w):
+            f = lambda t, y: jnp.tanh(jnp.outer(y, y) @ w)
+            sol = cdeint(f, y0, ts, (series, ts), "rk4", adjoint=adjoint, time_axis=0)
+            return jnp.sum(sol[-1] ** 2)
+
+        return loss
+
+    w0 = jnp.asarray(rng.randn(2, 2) * 0.5)
+    g_direct = jax.grad(make_loss(False))(w0)
+    g_adj = jax.grad(make_loss(True))(w0)
+    np.testing.assert_allclose(g_adj, g_direct, rtol=5e-3, atol=1e-7)
