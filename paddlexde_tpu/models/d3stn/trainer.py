@@ -1,0 +1,380 @@
+"""D3STN Trainer: two-phase delay-DE training, data-parallel over a TPU mesh.
+
+Rebuild of ``example/D3STN/train_dde.py`` (DrownFish19/PaddleXDE). The whole
+train step — decoder-lag spline lookup, encoder-lag HistoryIndex, ddeint's
+one-Euler-step residual update, losses, grads, Adam — is ONE jitted function;
+under a multi-device mesh the batch is sharded over the ``data`` axis and XLA
+inserts the gradient all-reduces, which subsumes the reference's
+``DataParallel`` wrapper + manual ``fused_allreduce_gradients`` for the lag
+tensors (``train_dde.py:201-202, 455-456``): lags are ordinary pytree leaves.
+
+Two-phase schedule parity (``train_dde.py:226-304``): main phase trains the
+net at ``learning_rate`` with lags at 0.1x; the finetune phase reloads the
+best checkpoint, freezes the net (lr 0) and trains the lags at full rate.
+Cosine-annealing-with-warmup is stepped per EPOCH. The KL alignment weight
+switches on at epoch == warmup_step (``train_dde.py:363-364``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from time import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...functional.ddeint import ddeint
+from ...xde.history import history_index
+from .config import D3STNConfig
+from .dataset import TrafficFlowDataset
+from .graph import get_adjacency_matrix_2direction, norm_adj_matrix
+from .metrics import MAE, MAPE, RMSE, smis
+from .model import D3STN
+from .train_utils import EarlyStopping, Logger, cosine_annealing_with_warmup, kl_div
+
+__all__ = ["Trainer", "init_lag_anchors"]
+
+
+def init_lag_anchors(cfg: D3STNConfig):
+    """Initial encoder/decoder lag positions (reference ``train_dde.py:126-175``):
+    week / day / hour anchors depending on history length; decoder lags pinned
+    to the last history point."""
+    if cfg.his_len >= 2016:
+        enc = np.arange(cfg.his_len - 2016, cfg.his_len - 2016 + 12)
+    elif cfg.his_len >= 288:
+        enc = np.arange(cfg.his_len - 288, cfg.his_len - 288 + 12)
+    else:
+        enc = np.arange(cfg.his_len - 12, cfg.his_len)
+    dec = np.ones(cfg.tgt_len) * (cfg.his_len - 1)
+    return enc.astype(np.float32), dec.astype(np.float32)
+
+
+def _criterion(name: str):
+    if name == "mae":
+        return lambda pred, tgt: jnp.mean(jnp.abs(pred - tgt))
+    if name == "mse":
+        return lambda pred, tgt: jnp.mean((pred - tgt) ** 2)
+    if name == "huber":
+        return lambda pred, tgt: jnp.mean(optax.huber_loss(pred, tgt, delta=2.0))
+    raise NotImplementedError(f"loss {name} is not supported.")
+
+
+class Trainer:
+    """Orchestrates data, model, optimizer, two-phase schedule, eval/test."""
+
+    def __init__(self, cfg: D3STNConfig, data: Optional[np.ndarray] = None,
+                 adj_matrix: Optional[np.ndarray] = None,
+                 sc_matrix: Optional[np.ndarray] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.is_main = jax.process_index() == 0
+
+        self.save_path = os.path.join(
+            cfg.save_dir, cfg.dataset_name,
+            f"{cfg.loss}_{cfg.model_name}_elayer{cfg.encoder_num_layers}_"
+            f"dlayer{cfg.decoder_num_layers}_head{cfg.head}_dm{cfg.d_model}_"
+            f"lr{cfg.learning_rate}_bs{cfg.batch_size}_topk{cfg.top_k}_"
+            f"att{cfg.attention}_dde",
+        )
+        if self.is_main:
+            os.makedirs(self.save_path, exist_ok=True)
+        self.logger = Logger(
+            "D3STN", os.path.join(self.save_path, "log.txt"), is_main=self.is_main
+        )
+        self.early_stopping = EarlyStopping(patience=cfg.patience, delta=0.0)
+        self.kl_loss_weight_init = cfg.kl_loss_weight
+        self.kl_loss_weight = 0.0
+        self.finetune = False
+        self.metrics_history = []
+
+        self._build_data(data)
+        self._build_model(adj_matrix, sc_matrix)
+        self._build_optim(finetune=False)
+        self._compile_steps()
+
+    # ------------------------------------------------------------------ data
+    def _build_data(self, data):
+        cfg = self.cfg
+        self.train_dataset = TrafficFlowDataset(cfg, "train", data=data)
+        self.val_dataset = TrafficFlowDataset(cfg, "val", data=data)
+        self.test_dataset = TrafficFlowDataset(cfg, "test", data=data)
+        enc, dec = init_lag_anchors(cfg)
+        self.encoder_idx = jnp.asarray(enc)
+        self.decoder_idx = jnp.asarray(dec)
+        self.his_span = jnp.arange(cfg.his_len, dtype=jnp.float32)
+        self.logger.info(f"encoder_idx: {enc}")
+        self.logger.info(f"decoder_idx: {dec}")
+
+    # ----------------------------------------------------------------- model
+    def _build_model(self, adj_matrix, sc_matrix):
+        cfg = self.cfg
+        if adj_matrix is None:
+            adj_matrix, _ = get_adjacency_matrix_2direction(cfg.adj_path, cfg.num_nodes)
+        if sc_matrix is None:
+            sc = np.load(cfg.sc_path)
+            sc_matrix = sc[0] if sc.ndim == 3 else sc
+        # cast AFTER normalization: np.identity inside norm_adj_matrix promotes
+        # to float64, which would silently upcast the whole model under x64
+        self.adj_matrix = jnp.asarray(
+            norm_adj_matrix(np.asarray(adj_matrix)).astype(np.float32)
+        )
+        self.sc_matrix = jnp.asarray(
+            norm_adj_matrix(np.asarray(sc_matrix)).astype(np.float32)
+        )
+
+        self.model = D3STN(cfg, self.adj_matrix, self.sc_matrix)
+        rng = jax.random.key(cfg.seed)
+        dummy_src = jnp.zeros((1, cfg.num_nodes, 12, 3), jnp.float32)
+        dummy_tgt = jnp.zeros((1, cfg.num_nodes, cfg.tgt_len, 3), jnp.float32)
+        self.params = self.model.init(rng, dummy_src, dummy_tgt)["params"]
+        n_params = sum(p.size for p in jax.tree.leaves(self.params))
+        self.logger.info(f"Net's total params: {n_params}.")
+        self.criterion = _criterion(self.cfg.loss)
+
+    # ------------------------------------------------------------- optimizer
+    def _build_optim(self, finetune: bool):
+        cfg = self.cfg
+        self.lr_schedule = cosine_annealing_with_warmup(
+            max_lr=1.0, min_lr=0.1, warmup_step=cfg.warmup_step, decay_step=cfg.decay_step
+        )
+        if finetune:
+            self.base_lr = {"net": 0.0, "lags": cfg.learning_rate}
+        else:
+            self.base_lr = {"net": cfg.learning_rate, "lags": cfg.learning_rate * 0.1}
+        self.tx = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
+            optax.scale_by_adam(),
+        )
+        state = {"net": self.params, "enc_idx": self.encoder_idx, "dec_idx": self.decoder_idx}
+        self.opt_state = self.tx.init(state)
+        self.finetune = finetune
+
+    # ---------------------------------------------------------------- steps
+    def _forward(self, net_params, enc_idx, dec_idx, src):
+        """The delay-DE forward: reference ``train_one_step`` §3.4 call stack."""
+        y0 = history_index(dec_idx, src, self.his_span, interpolation="cubic")
+        func = lambda y_lags, y: self.model.apply(
+            {"params": net_params}, y_lags, y, deterministic=True
+        )
+        sol, delay = ddeint(
+            func,
+            y0,
+            jnp.arange(2.0, dtype=jnp.float32),
+            enc_idx,
+            src,
+            self.his_span,
+            self.cfg.solver,
+            fixed_solver_interp="",
+            time_axis=0,
+        )
+        preds = sol[1][..., :1]  # y after the single residual step, [B,N,T,1]
+        return preds, delay
+
+    def _loss_fn(self, state, src, tgt, kl_weight):
+        preds, delay = self._forward(
+            state["net"], state["enc_idx"], state["dec_idx"], src
+        )
+        tgt_v = tgt[..., :1]
+        loss = self.criterion(preds, tgt_v)
+        tgt_softmax = jax.nn.softmax(tgt_v, axis=-2)
+        align = kl_div(jax.nn.log_softmax(delay[..., :1], axis=-2), tgt_softmax)
+        align = align + kl_div(jax.nn.log_softmax(preds, axis=-2), tgt_softmax)
+        return loss + kl_weight * align, (loss, align)
+
+    def _compile_steps(self):
+        tx = self.tx
+
+        @jax.jit
+        def train_step(state, opt_state, src, tgt, kl_weight, lr_net, lr_lags):
+            (total, (loss, align)), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(state, src, tgt, kl_weight)
+            updates, opt_state = tx.update(grads, opt_state, state)
+            scaled = {
+                "net": jax.tree.map(lambda u: -lr_net * u, updates["net"]),
+                "enc_idx": -lr_lags * updates["enc_idx"],
+                "dec_idx": -lr_lags * updates["dec_idx"],
+            }
+            state = jax.tree.map(jnp.add, state, scaled)
+            return state, opt_state, loss, align
+
+        @jax.jit
+        def eval_step(state, src, tgt):
+            preds, _ = self._forward(
+                state["net"], state["enc_idx"], state["dec_idx"], src
+            )
+            return self.criterion(preds, tgt[..., :1])
+
+        @jax.jit
+        def pred_step(state, src):
+            preds, _ = self._forward(
+                state["net"], state["enc_idx"], state["dec_idx"], src
+            )
+            return preds
+
+        self._train_step = train_step
+        self._eval_step = eval_step
+        self._pred_step = pred_step
+
+    def _device_put(self, arr):
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
+        return jnp.asarray(arr)
+
+    @property
+    def state(self):
+        return {"net": self.params, "enc_idx": self.encoder_idx, "dec_idx": self.decoder_idx}
+
+    def _set_state(self, state):
+        self.params = state["net"]
+        self.encoder_idx = state["enc_idx"]
+        self.decoder_idx = state["dec_idx"]
+
+    # ------------------------------------------------------------ train loop
+    def train(self):
+        cfg = self.cfg
+        self.logger.info("start train...")
+        best_eval_loss, best_epoch = np.inf, 0
+        epoch = cfg.start_epoch
+        s_time = time()
+
+        while epoch < cfg.train_epochs + cfg.finetune_epochs:
+            if epoch == cfg.train_epochs:
+                self._init_finetune()
+            if epoch == cfg.warmup_step:
+                self.kl_loss_weight = self.kl_loss_weight_init
+
+            lr_factor = self.lr_schedule(epoch + 1)
+            lr_net = self.base_lr["net"] * lr_factor
+            lr_lags = self.base_lr["lags"] * lr_factor
+
+            state, opt_state = self.state, self.opt_state
+            tr_s = time()
+            n_batches = 0
+            epoch_loss = 0.0
+            for src, tgt in self.train_dataset.batches(
+                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_last=True
+            ):
+                src = self._device_put(src)
+                tgt = self._device_put(tgt)
+                state, opt_state, loss, align = self._train_step(
+                    state, opt_state, src, tgt,
+                    jnp.asarray(self.kl_loss_weight, jnp.float32),
+                    jnp.asarray(lr_net, jnp.float32),
+                    jnp.asarray(lr_lags, jnp.float32),
+                )
+                epoch_loss += float(loss)
+                n_batches += 1
+            self._set_state(state)
+            self.opt_state = opt_state
+            self.logger.info(
+                f"epoch: {epoch}, lr {lr_net:.2e}/{lr_lags:.2e}, train loss "
+                f"{epoch_loss / max(n_batches, 1):.6f}, time {time() - tr_s:.1f}s "
+                f"(total {time() - s_time:.1f}s)"
+            )
+
+            eval_loss = self.compute_eval_loss(epoch)
+            if eval_loss < best_eval_loss:
+                best_eval_loss, best_epoch = eval_loss, epoch
+                self.logger.info(f"best_epoch: {best_epoch}, eval_loss: {eval_loss}")
+                self.save(epoch=epoch)
+                self.save()
+
+            self.early_stopping(eval_loss)
+            if self.early_stopping.early_stop:
+                self.logger.info("Early stopping")
+                if epoch < cfg.train_epochs:
+                    epoch = cfg.train_epochs
+                    continue
+                break
+            epoch += 1
+
+        self.logger.info(f"best epoch: {best_epoch}")
+        self.load()
+        return self.compute_test_loss()
+
+    def _init_finetune(self):
+        self.logger.info("Start FineTune Training")
+        try:
+            self.load()
+        except FileNotFoundError:
+            pass
+        self.early_stopping.reset()
+        self._build_optim(finetune=True)
+
+    # ------------------------------------------------------------ eval/test
+    def compute_eval_loss(self, epoch=-1) -> float:
+        losses = [
+            float(self._eval_step(self.state, self._device_put(src), self._device_put(tgt)))
+            for src, tgt in self.val_dataset.batches(self.cfg.batch_size)
+        ]
+        eval_loss = float(np.mean(losses)) if losses else np.inf
+        self.logger.info(f"epoch {epoch} eval_loss: {eval_loss:.6f}")
+        return eval_loss
+
+    def compute_test_loss(self, epoch=-1) -> dict:
+        preds, trues = [], []
+        for src, tgt in self.test_dataset.batches(self.cfg.batch_size):
+            p = self._pred_step(self.state, self._device_put(src))
+            preds.append(np.asarray(p))
+            trues.append(np.asarray(tgt[..., :1]))
+        preds = self.test_dataset.inverse_transform(np.concatenate(preds, 0))
+        trues = self.test_dataset.inverse_transform(np.concatenate(trues, 0))
+
+        results = {"per_horizon": []}
+        for i in range(trues.shape[2]):
+            mae = MAE(trues[:, :, i, 0], preds[:, :, i, 0])
+            rmse = RMSE(trues[:, :, i, 0], preds[:, :, i, 0])
+            mape = MAPE(trues[:, :, i, 0], preds[:, :, i, 0], 0.9)
+            results["per_horizon"].append({"mae": mae, "rmse": rmse, "mape": mape})
+            self.logger.info(f"{i} MAE: {mae:.4f} RMSE: {rmse:.4f} MAPE: {mape:.4f}")
+        results["mae"] = MAE(trues.reshape(-1, 1), preds.reshape(-1, 1))
+        results["rmse"] = RMSE(trues.reshape(-1, 1), preds.reshape(-1, 1))
+        results["mape"] = MAPE(trues.reshape(-1, 1), preds.reshape(-1, 1), 0.9)
+        results["smis"] = smis(
+            trues.reshape(trues.shape[0], -1), preds.reshape(preds.shape[0], -1),
+            m=288, level=0.95,
+        )
+        self.logger.info(
+            f"all MAE: {results['mae']:.4f} RMSE: {results['rmse']:.4f} "
+            f"MAPE: {results['mape']:.4f} sMIS: {results['smis']:.4f}"
+        )
+        self.metrics_history.append(results)
+        return results
+
+    # ----------------------------------------------------------- checkpoints
+    def _ckpt_files(self, epoch=None):
+        tag = f"epoch_{epoch}" if epoch is not None else "epoch_best"
+        return (
+            os.path.join(self.save_path, f"{tag}.params"),
+            os.path.join(self.save_path, f"{tag}.enidx"),
+            os.path.join(self.save_path, f"{tag}.deidx"),
+        )
+
+    def save(self, epoch=None):
+        if not self.is_main:
+            return
+        pf, ef, df = self._ckpt_files(epoch)
+        with open(pf, "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, self.params), f)
+        np.save(ef + ".npy", np.asarray(self.encoder_idx))
+        np.save(df + ".npy", np.asarray(self.decoder_idx))
+        self.logger.info(f"save parameters to file: {pf}")
+
+    def load(self, epoch=None):
+        pf, ef, df = self._ckpt_files(epoch)
+        if not os.path.exists(pf):
+            raise FileNotFoundError(pf)
+        with open(pf, "rb") as f:
+            self.params = jax.tree.map(jnp.asarray, pickle.load(f))
+        self.encoder_idx = jnp.asarray(np.load(ef + ".npy"))
+        self.decoder_idx = jnp.asarray(np.load(df + ".npy"))
+        self.logger.info(f"load weight from: {pf}")

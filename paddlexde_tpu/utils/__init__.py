@@ -8,3 +8,4 @@ from .ode_utils import (  # noqa: F401
     select_initial_step,
     sort_tvals,
 )
+from .misc import flat_to_shape  # noqa: F401

@@ -46,16 +46,42 @@ def history_index(
     *,
     interpolation: Union[str, type] = "cubic",
     stop_his_gradient: bool = True,
+    use_pallas: Union[bool, None] = None,
 ):
     """Evaluate the history ``his [..., T, D]`` at fractional ``lags [L]``.
 
     Returns ``y_lags [..., L, D]``. Gradients flow to ``lags`` (and to ``his``
     too when ``stop_his_gradient=False`` — an extension over the reference,
     whose backward hard-codes no-grad-to-his).
+
+    ``use_pallas``: route the cubic path through the fused gather+Horner
+    Pallas kernel (``paddlexde_tpu.ops.spline_pallas``). Default (None):
+    automatically on TPU for long histories when gradients-to-his are off.
     """
-    cls = _INTERPS[interpolation] if isinstance(interpolation, str) else interpolation
     if stop_his_gradient:
         his = jax.lax.stop_gradient(his)
+
+    if interpolation in ("cubic", "cubic_hermite"):
+        his_arr = jnp.asarray(his)
+        if use_pallas is None:
+            from ..ops.spline_pallas import pallas_available
+
+            use_pallas = (
+                stop_his_gradient
+                and pallas_available()
+                and his_arr.shape[-2] >= 256
+            )
+        if use_pallas:
+            from ..ops.spline_pallas import hermite_gather_eval
+
+            span = (
+                jnp.arange(his_arr.shape[-2], dtype=his_arr.dtype)
+                if his_span is None
+                else his_span
+            )
+            return hermite_gather_eval(his_arr, span, jnp.asarray(lags), True)
+
+    cls = _INTERPS[interpolation] if isinstance(interpolation, str) else interpolation
     interp = cls(his, his_span)
     return interp.evaluate(jnp.asarray(lags))
 
