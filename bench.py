@@ -50,7 +50,8 @@ def main():
     y0 = jnp.asarray([[2.0, 0.0]], jnp.float32)
     t_span = jnp.linspace(0.0, 25.0, 1000, dtype=jnp.float32)
 
-    # --- jit whole-solve path (this framework) ---
+    # --- jit whole-solve path (this framework; buffered-dense engine:
+    # one integration pass, vectorized dense output over the 1000 points) ---
     @jax.jit
     def solve(p, y0):
         return odeint(
@@ -61,7 +62,7 @@ def main():
             rtol=1e-6,
             atol=1e-8,
             time_axis=0,
-            options={"return_stats": True},
+            options={"return_stats": True, "max_steps": 512},
         )
 
     sol, stats = jax.block_until_ready(solve(params, y0))  # compile + warm

@@ -156,6 +156,9 @@ def odeint_adjoint(
 
         adj_opts = dict(adjoint_options)
         adj_opts["norm"] = adjoint_norm
+        from ..solver.registry import resolve_solver as _rs
+
+        resolve_adaptive = _rs(adjoint_solver).kind == "adaptive"
 
         zeros_p = jax.tree.map(jnp.zeros_like, consts_)
         grad_y_all = grad_sol  # time-first [T, ...]
@@ -178,6 +181,12 @@ def odeint_adjoint(
 
             aug0 = (adj_t, y_i, adj_y, adj_p)
             s_span = span_sign * jnp.stack([t_i, t_im1])
+            opts_i = dict(adj_opts)
+            if resolve_adaptive and "first_step" not in opts_i:
+                # warm-start each backward interval at half its width instead
+                # of re-running the Hairer heuristic (2 NFE + a conservative
+                # tiny dt) 1x per saved output — big win on dense output grids
+                opts_i["first_step"] = 0.5 * jnp.abs(t_i - t_im1)
             aug_sol = integrate_term(
                 bwd_term,
                 aug0,
@@ -185,7 +194,7 @@ def odeint_adjoint(
                 adjoint_solver,
                 rtol=adjoint_rtol,
                 atol=adjoint_atol,
-                options=adj_opts,
+                options=opts_i,
                 time_axis=0,
             )
             adj_t, _, adj_y, adj_p = take(aug_sol, 1)

@@ -33,6 +33,7 @@ __all__ = ["integrate_term", "format_solution"]
 
 _FIXED_KEYS = {"interp", "step_size", "grid_constructor", "grid", "time_dtype"}
 _ADAPTIVE_KEYS = {
+    "max_steps",
     "norm",
     "first_step",
     "safety",
@@ -123,6 +124,22 @@ def integrate_term(
         sol = solve_fixed(term, y0, t_span, method=spec.name, **kw)
         return format_solution(sol, time_axis)
     if spec.kind == "adaptive":
+        if "max_steps" in options:
+            # buffered-dense engine: one integration pass + vectorized output
+            from ..solver.adaptive_dense import solve_adaptive_dense
+
+            kw = {
+                k: v for k, v in options.items()
+                if k in _ADAPTIVE_KEYS - {"step_t", "jump_t", "max_num_steps"}
+                or k == "max_steps"
+            }
+            out = solve_adaptive_dense(
+                term, y0, t_span, method=spec.name, rtol=rtol, atol=atol, **kw
+            )
+            if options.get("return_stats"):
+                sol, stats = out
+                return format_solution(sol, time_axis), stats
+            return format_solution(out, time_axis)
         kw = {k: v for k, v in options.items() if k in _ADAPTIVE_KEYS}
         out = solve_adaptive(
             term, y0, t_span, method=spec.name, rtol=rtol, atol=atol, **kw

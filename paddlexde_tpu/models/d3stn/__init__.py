@@ -16,3 +16,4 @@ from .train_utils import (  # noqa: F401
     kl_div,
     linear_annealing_with_warmup,
 )
+from .convert import convert_reference_state_dict  # noqa: F401

@@ -95,6 +95,11 @@ class Trainer:
 
         self._build_data(data)
         self._build_model(adj_matrix, sc_matrix)
+        if cfg.continue_training:
+            try:
+                self.load()
+            except FileNotFoundError:
+                self.logger.warning("continue_training set but no checkpoint found")
         self._build_optim(finetune=False)
         self._compile_steps()
 
@@ -280,8 +285,15 @@ class Trainer:
                 f"{epoch_loss / max(n_batches, 1):.6f}, time {time() - tr_s:.1f}s "
                 f"(total {time() - s_time:.1f}s)"
             )
+            self._write_scalars(
+                epoch,
+                {"train/loss": epoch_loss / max(n_batches, 1),
+                 "train/lr_net": lr_net, "train/lr_lags": lr_lags,
+                 "train/kl_weight": self.kl_loss_weight},
+            )
 
             eval_loss = self.compute_eval_loss(epoch)
+            self._write_scalars(epoch, {"eval/loss": eval_loss})
             if eval_loss < best_eval_loss:
                 best_eval_loss, best_epoch = eval_loss, epoch
                 self.logger.info(f"best_epoch: {best_epoch}, eval_loss: {eval_loss}")
@@ -349,6 +361,16 @@ class Trainer:
         )
         self.metrics_history.append(results)
         return results
+
+    def _write_scalars(self, step, scalars: dict):
+        """Append scalars to metrics.jsonl (the VisualDL add_scalar stream of
+        the reference, ``train_dde.py:369-371``, as plain JSON lines)."""
+        if not self.is_main:
+            return
+        import json
+
+        with open(os.path.join(self.save_path, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({"step": step, **{k: float(v) for k, v in scalars.items()}}) + "\n")
 
     # ----------------------------------------------------------- checkpoints
     def _ckpt_files(self, epoch=None):

@@ -16,3 +16,4 @@ from .registry import (  # noqa: F401
     resolve_solver,
 )
 from .tableaus import TABLEAUS, ButcherTableau  # noqa: F401
+from .adaptive_dense import solve_adaptive_dense  # noqa: F401

@@ -89,6 +89,127 @@ def _combine(k, coeffs, dt, y0=None):
     return jax.tree.map(lambda kl, yl: leaf(kl, yl), k, y0)
 
 
+def make_adaptive_step(
+    term, tableau, rtol, atol, norm, safety_a, ifactor_a, dfactor_a,
+    min_step_a, max_step_a, step_t_a, jump_t_a, time_dtype,
+):
+    """Build the branchless ``RKState -> RKState`` step (reference
+    ``_adaptive_step``, ``base_adaptive_solver_rk.py:183-284``). Shared by the
+    per-output-time engine below and the buffered-dense engine
+    (``adaptive_dense.py``)."""
+    n_stages = tableau.n_stages
+    order = tableau.order
+    has_step_t = step_t_a is not None
+    has_jump_t = jump_t_a is not None
+
+    def runge_kutta_step(y0_, f0_, t0_, dt_, t1_):
+        k = jax.tree.map(
+            lambda f: jnp.zeros((n_stages,) + f.shape, f.dtype).at[0].set(f), f0_
+        )
+        yi = y0_
+        for i in range(n_stages - 1):
+            alpha_i = float(tableau.alpha[i])
+            ti = t1_ if alpha_i == 1.0 else t0_ + alpha_i * dt_
+            yi = _combine(k, tableau.beta[i], dt_, y0_)
+            f = term.move(ti, dt_, yi)
+            k = jax.tree.map(lambda kl, fl, i=i: kl.at[i + 1].set(fl), k, f)
+
+        if tableau.fsal:
+            y1_ = yi  # Dormand-Prince: last stage input is the solution
+        else:
+            y1_ = _combine(k, tableau.c_sol, dt_, y0_)
+        f1_ = jax.tree.map(lambda kl: kl[-1], k)
+        y1_error = _combine(k, tableau.c_error, dt_)
+        return y1_, f1_, y1_error, k
+
+    def interp_fit_step(y0_, y1_, k, dt_):
+        y_mid = _combine(k, tableau.c_mid, dt_, y0_)
+        f0_ = jax.tree.map(lambda kl: kl[0], k)
+        f1_ = jax.tree.map(lambda kl: kl[-1], k)
+        return interp_fit(y0_, y1_, y_mid, f0_, f1_, dt_)
+
+    def adaptive_step(s: RKState) -> RKState:
+        y0_, f0_, t0_, dt_ = s.y1, s.f1, s.t1, s.dt
+        t1_ = t0_ + dt_
+
+        underflow = t1_ <= t0_
+        finite = jnp.all(
+            jnp.stack([jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(y0_)])
+        )
+        status = s.status | jnp.where(underflow, DT_UNDERFLOW, 0) | jnp.where(
+            finite, 0, NON_FINITE
+        )
+
+        on_step_t = jnp.zeros((), bool)
+        on_jump_t = jnp.zeros((), bool)
+        if has_step_t:
+            nst = step_t_a[s.next_step_index]
+            on_step_t = (t0_ < nst) & (nst < t1_)
+            t1_ = jnp.where(on_step_t, nst, t1_)
+            dt_ = t1_ - t0_
+        if has_jump_t:
+            njt = jump_t_a[s.next_jump_index]
+            on_jump_t = (t0_ < njt) & (njt < t1_)
+            on_step_t = on_step_t & ~on_jump_t
+            t1_ = jnp.where(on_jump_t, njt, t1_)
+            dt_ = t1_ - t0_
+
+        y1_, f1_, y1_error, k = runge_kutta_step(y0_, f0_, t0_, dt_, t1_)
+
+        error_ratio = compute_error_ratio(y1_error, rtol, atol, y0_, y1_, norm)
+        accept = error_ratio <= 1.0
+        accept = jnp.where(dt_ > max_step_a, False, accept)
+        accept = jnp.where(dt_ <= min_step_a, True, accept)
+
+        coeff_new = interp_fit_step(y0_, y1_, k, dt_)
+
+        sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(accept, x, y), a, b)
+        y_next = sel(y1_, y0_)
+        t_next = jnp.where(accept, t1_, t0_)
+        coeff = sel(coeff_new, s.interp_coeff)
+
+        nfe_extra = jnp.zeros((), jnp.int32)
+        if has_jump_t:
+            do_refresh = accept & on_jump_t
+            f_refreshed = term.move(t_next, jnp.zeros((), time_dtype), y_next)
+            f1_ = jax.tree.map(
+                lambda fr, f: jnp.where(do_refresh, fr, f), f_refreshed, f1_
+            )
+            nfe_extra = jnp.where(do_refresh, 1, 0).astype(jnp.int32)
+        f_next = sel(f1_, f0_)
+
+        next_step_index = s.next_step_index
+        next_jump_index = s.next_jump_index
+        if has_step_t:
+            bump = accept & on_step_t & (s.next_step_index < step_t_a.shape[0] - 1)
+            next_step_index = next_step_index + bump.astype(jnp.int32)
+        if has_jump_t:
+            bump = accept & on_jump_t & (s.next_jump_index < jump_t_a.shape[0] - 1)
+            next_jump_index = next_jump_index + bump.astype(jnp.int32)
+
+        dt_next = optimal_step_size(
+            dt_, error_ratio, safety_a, ifactor_a, dfactor_a, order
+        )
+        dt_next = jnp.clip(dt_next, min_step_a, max_step_a)
+
+        return RKState(
+            y1=y_next,
+            f1=f_next,
+            t0=t0_,
+            t1=t_next,
+            dt=dt_next,
+            interp_coeff=coeff,
+            next_step_index=next_step_index,
+            next_jump_index=next_jump_index,
+            nfe=s.nfe + (n_stages - 1) + nfe_extra,
+            n_accept=s.n_accept + accept.astype(jnp.int32),
+            n_reject=s.n_reject + (~accept).astype(jnp.int32),
+            status=status,
+        )
+
+    return adaptive_step
+
+
 def solve_adaptive(
     term: XDETerm,
     y0,
@@ -172,118 +293,11 @@ def solve_adaptive(
         status=jnp.zeros((), jnp.int32),
     )
 
-    def runge_kutta_step(y0_, f0_, t0_, dt_, t1_):
-        """One embedded RK step. Reference ``_runge_kutta_step`` (:129-181`),
-        stages on the leading axis, FSAL shortcut resolved statically."""
-        k = jax.tree.map(
-            lambda f: jnp.zeros((n_stages,) + f.shape, f.dtype).at[0].set(f), f0_
-        )
-        yi = y0_
-        for i in range(n_stages - 1):
-            alpha_i = float(tableau.alpha[i])
-            ti = t1_ if alpha_i == 1.0 else t0_ + alpha_i * dt_
-            yi = _combine(k, tableau.beta[i], dt_, y0_)
-            f = term.move(ti, dt_, yi)
-            k = jax.tree.map(lambda kl, fl, i=i: kl.at[i + 1].set(fl), k, f)
-
-        if tableau.fsal:
-            y1_ = yi  # Dormand–Prince: last stage input is the solution
-        else:
-            y1_ = _combine(k, tableau.c_sol, dt_, y0_)
-        f1_ = jax.tree.map(lambda kl: kl[-1], k)
-        y1_error = _combine(k, tableau.c_error, dt_)
-        return y1_, f1_, y1_error, k
-
-    def interp_fit_step(y0_, y1_, k, dt_):
-        y_mid = _combine(k, tableau.c_mid, dt_, y0_)
-        f0_ = jax.tree.map(lambda kl: kl[0], k)
-        f1_ = jax.tree.map(lambda kl: kl[-1], k)
-        return interp_fit(y0_, y1_, y_mid, f0_, f1_, dt_)
-
-    def adaptive_step(s: RKState) -> RKState:
-        """Reference ``_adaptive_step`` (:183-284), branchless."""
-        y0_, f0_, t0_, dt_ = s.y1, s.f1, s.t1, s.dt
-        t1_ = t0_ + dt_
-
-        # hard-failure flags instead of Python asserts (:200-203)
-        underflow = t1_ <= t0_
-        finite = jnp.all(
-            jnp.stack([jnp.all(jnp.isfinite(l)) for l in jax.tree.leaves(y0_)])
-        )
-        status = s.status | jnp.where(underflow, DT_UNDERFLOW, 0) | jnp.where(
-            finite, 0, NON_FINITE
-        )
-
-        # clip the step to prescribed step_t / jump_t grid points (:209-227)
-        on_step_t = jnp.zeros((), bool)
-        on_jump_t = jnp.zeros((), bool)
-        if has_step_t:
-            nst = step_t_a[s.next_step_index]
-            on_step_t = (t0_ < nst) & (nst < t1_)
-            t1_ = jnp.where(on_step_t, nst, t1_)
-            dt_ = t1_ - t0_
-        if has_jump_t:
-            njt = jump_t_a[s.next_jump_index]
-            on_jump_t = (t0_ < njt) & (njt < t1_)
-            on_step_t = on_step_t & ~on_jump_t
-            t1_ = jnp.where(on_jump_t, njt, t1_)
-            dt_ = t1_ - t0_
-
-        y1_, f1_, y1_error, k = runge_kutta_step(y0_, f0_, t0_, dt_, t1_)
-
-        error_ratio = compute_error_ratio(y1_error, rtol, atol, y0_, y1_, norm)
-        accept = error_ratio <= 1.0
-        accept = jnp.where(dt_ > max_step_a, False, accept)
-        accept = jnp.where(dt_ <= min_step_a, True, accept)
-
-        coeff_new = interp_fit_step(y0_, y1_, k, dt_)
-
-        sel = lambda a, b: jax.tree.map(
-            lambda x, y: jnp.where(accept, x, y), a, b
-        )
-        y_next = sel(y1_, y0_)
-        t_next = jnp.where(accept, t1_, t0_)
-        coeff = sel(coeff_new, s.interp_coeff)
-
-        nfe_extra = jnp.zeros((), jnp.int32)
-        if has_jump_t:
-            # crossing a jump: refresh f on the far side of the discontinuity
-            do_refresh = accept & on_jump_t
-            f_refreshed = term.move(t_next, jnp.zeros((), time_dtype), y_next)
-            f1_ = jax.tree.map(
-                lambda fr, f: jnp.where(do_refresh, fr, f), f_refreshed, f1_
-            )
-            nfe_extra = jnp.where(do_refresh, 1, 0).astype(jnp.int32)
-        f_next = sel(f1_, f0_)
-
-        next_step_index = s.next_step_index
-        next_jump_index = s.next_jump_index
-        if has_step_t:
-            bump = accept & on_step_t & (s.next_step_index < step_t_a.shape[0] - 1)
-            next_step_index = next_step_index + bump.astype(jnp.int32)
-        if has_jump_t:
-            bump = accept & on_jump_t & (s.next_jump_index < jump_t_a.shape[0] - 1)
-            next_jump_index = next_jump_index + bump.astype(jnp.int32)
-
-        dt_next = optimal_step_size(
-            dt_, error_ratio, safety_a, ifactor_a, dfactor_a, order
-        )
-        dt_next = jnp.clip(dt_next, min_step_a, max_step_a)
-
-        return RKState(
-            y1=y_next,
-            f1=f_next,
-            t0=t0_,
-            t1=t_next,
-            dt=dt_next,
-            interp_coeff=coeff,
-            next_step_index=next_step_index,
-            next_jump_index=next_jump_index,
-            nfe=s.nfe + (n_stages - 1) + nfe_extra,
-            n_accept=s.n_accept + accept.astype(jnp.int32),
-            n_reject=s.n_reject + (~accept).astype(jnp.int32),
-            status=status,
-        )
+    adaptive_step = make_adaptive_step(
+        term, tableau, rtol, atol, norm, safety_a, ifactor_a, dfactor_a,
+        min_step_a, max_step_a, step_t_a if has_step_t else None,
+        jump_t_a if has_jump_t else None, time_dtype,
+    )
 
     max_steps_arr = jnp.asarray(max_num_steps, jnp.int32)
 

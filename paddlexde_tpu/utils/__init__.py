@@ -9,3 +9,4 @@ from .ode_utils import (  # noqa: F401
     sort_tvals,
 )
 from .misc import flat_to_shape  # noqa: F401
+from .profiling import RunningAverageMeter, Timer, trace  # noqa: F401

@@ -100,3 +100,26 @@ def test_fp32_adaptive_smoke():
         f, y0, t_points, sol = construct_problem(npts=10, ode="sine", dtype=jnp.float32)
         y = odeint(f, y0, t_points, "dopri5", rtol=1e-4, atol=1e-6)
         np.testing.assert_allclose(y, sol, rtol=1e-2, atol=1e-2)
+
+
+def test_buffered_dense_engine_matches_standard():
+    """options={'max_steps': N}: same trajectory via the buffered-dense
+    engine (one integration pass + vectorized dense output)."""
+    f, y0, t_points, sol = construct_problem(npts=50, ode="sine")
+    y_std = odeint(f, y0, t_points, "dopri5", rtol=1e-7, atol=1e-9)
+    y_dense, stats = odeint(
+        f, y0, t_points, "dopri5", rtol=1e-7, atol=1e-9,
+        options={"max_steps": 256, "return_stats": True},
+    )
+    assert int(stats.status) == 0
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_std), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(sol), rtol=4e-3, atol=1e-5)
+
+
+def test_buffered_dense_cap_flag():
+    f, y0, t_points, _ = construct_problem(ode="sine")
+    _, stats = odeint(
+        f, y0, t_points, "dopri5", rtol=1e-10, atol=1e-12,
+        options={"max_steps": 4, "return_stats": True},
+    )
+    assert int(stats.status) != 0

@@ -165,3 +165,32 @@ def test_lag_anchor_initialization():
     cfg = tiny_cfg(his_len=2016)
     enc, _ = init_lag_anchors(cfg)
     np.testing.assert_allclose(enc, np.arange(0, 12))  # week anchor
+
+
+def test_reference_checkpoint_converter():
+    """Key mapping covers the core layers and lands values at the right flax
+    paths (conv kernels transposed to [kh, kw, in, out])."""
+    from paddlexde_tpu.models.d3stn import convert_reference_state_dict
+
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(0)
+    k = cfg.kernel_size
+    d = cfg.d_model
+    ref_state = {
+        "encoder_dense.weight": rng.randn(1, cfg.d_proj).astype(np.float32),
+        "encoder_dense.bias": np.zeros(cfg.d_proj, np.float32),
+        "temporal_section_week.embedding.weight": rng.randn(7, cfg.d_sect).astype(np.float32),
+        "encoder.layers.0.self_attn.query_conv.weight": rng.randn(d, d, 1, k).astype(np.float32),
+        "encoder.layers.0.feed_forward_gcn.linear.weight": rng.randn(d, d).astype(np.float32),
+        "encoder.layers.0.feed_forward_gcn.alpha": np.asarray([0.7], np.float32),
+        "encoder.norm.weight": np.ones(d, np.float32),
+        "generator.weight": rng.randn(d, 1).astype(np.float32),
+        "generator.bias": np.zeros(1, np.float32),
+        "some.unknown.key": np.zeros(3, np.float32),
+    }
+    params, unmatched = convert_reference_state_dict(ref_state, cfg)
+    assert unmatched == ["some.unknown.key"]
+    assert params["encoder_dense"]["kernel"].shape == (1, cfg.d_proj)
+    # conv kernel transposed to flax layout [1, k, in, out]
+    assert params["enc_0"]["self_attn"]["query_conv"]["Conv_0"]["kernel"].shape == (1, k, d, d)
+    np.testing.assert_allclose(params["enc_0"]["gcn"]["alpha"], [0.7])
