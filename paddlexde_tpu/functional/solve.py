@@ -31,7 +31,7 @@ from ..xde.term import XDETerm
 
 __all__ = ["integrate_term", "format_solution"]
 
-_FIXED_KEYS = {"interp", "step_size", "grid_constructor", "grid", "time_dtype"}
+_FIXED_KEYS = {"interp", "step_size", "grid_constructor", "grid", "time_dtype", "checkpoint"}
 _ADAPTIVE_KEYS = {
     "max_steps",
     "norm",

@@ -144,14 +144,26 @@ def solve_fixed(
     grid_constructor: Optional[Callable] = None,
     grid=None,
     time_dtype=None,
+    checkpoint: bool = False,
 ):
     """Integrate over a fixed grid; return ``[T, ...]`` time-first pytree.
 
     ``interp``: "linear" | "cubic" | "" — how requested output times falling
     strictly inside grid intervals are reconstructed (reference
     ``base_fixed_solver.py:126-141``; "" snaps to the step endpoint).
+
+    ``checkpoint``: wrap each step in ``jax.checkpoint`` — direct backprop
+    then rematerializes stage activations instead of storing them, trading
+    ~one extra forward pass for O(T)·stages less HBM (the TPU-native answer
+    to long-horizon training without the adjoint's accuracy trade-off).
     """
     step_fn, _order = FIXED_STEP_FNS[method] if isinstance(method, str) else (method, None)
+    if checkpoint:
+        inner_step = step_fn
+        step_fn = jax.checkpoint(
+            lambda term_, t0, t1, y: inner_step(term_, t0, t1, y),
+            static_argnums=(0,),
+        )
 
     t_span = jnp.asarray(t_span)
     if time_dtype is not None:
