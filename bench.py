@@ -96,6 +96,21 @@ def main():
     t_eager = _median_time(lambda: eager_steps(n_eager), reps=3)
     eager_steps_per_sec = n_eager / t_eager
 
+    # --- batched throughput: 4096 trajectories in ONE solve (shared step
+    # control) — the regime TPUs are built for; reported as NFE-samples/sec ---
+    y0_big = jnp.asarray(rng.randn(4096, 2).astype(np.float32) * 0.5)
+
+    @jax.jit
+    def solve_big(p, y0):
+        return odeint(
+            lambda t, y: vf(p, t, y), y0, t_span, "dopri5", rtol=1e-6, atol=1e-8,
+            time_axis=0, options={"return_stats": True, "max_steps": 512},
+        )
+
+    _, stats_big = jax.block_until_ready(solve_big(params, y0_big))
+    t_big = _median_time(lambda: jax.block_until_ready(solve_big(params, y0_big)))
+    nfe_samples_per_sec = int(stats_big.nfe) * 4096 / t_big
+
     # --- adjoint bwd/fwd wall-clock ratio (secondary driver metric) ---
     t_short = t_span[:100]
 
@@ -132,6 +147,7 @@ def main():
                 "vs_baseline": round(steps_per_sec / eager_steps_per_sec, 2),
                 "baseline_def": "same dopri5 math, eager per-op dispatch (reference hot-loop architecture) on same hardware",
                 "eager_steps_per_sec": round(eager_steps_per_sec, 2),
+                "batched4096_nfe_samples_per_sec": round(nfe_samples_per_sec, 0),
                 "adjoint_bwd_fwd_ratio": round(bwd_fwd_ratio, 2),
                 "nfe": int(stats.nfe),
                 "solver_steps": n_steps,

@@ -65,6 +65,138 @@ def _make_adjoint_norm(adjoint_norm_opt, y_def, params_def):
     return norm
 
 
+def _single_pass_backward(
+    bwd_term, f_eval, sol, ts_, grad_y_all, consts_, zeros_p, span_sign,
+    adj_spec, adjoint_rtol, adjoint_atol, adjoint_norm, adj_opts, take,
+):
+    """One adaptive solve for the whole augmented backward pass.
+
+    The reference (and our fallback) re-enters the solver once per saved output
+    interval (``odeint_adjoint.py:134-159`` upstream), paying per-interval
+    setup (initial f eval, dt re-guess, dense-output plumbing) T-1 times. Here
+    the augmented system integrates over the full reversed span in a single
+    ``lax.while_loop``: ``step_t`` pins steps to land exactly on every output
+    boundary, and at each landing the incoming cotangent is injected, the
+    saved forward state re-injected (drift control, exactly as the reference's
+    per-interval re-injection), and f refreshed. dt carries across boundaries.
+    """
+    from ..solver.adaptive import TABLEAUS, RKState, make_adaptive_step
+    from ..utils.ode_utils import select_initial_step
+
+    n_out = ts_.shape[0]
+    time_dtype = ts_.dtype
+    tableau = TABLEAUS[adj_spec.name]
+
+    # s-coordinates: strictly increasing traversal of the reversed span
+    s_grid = (span_sign * ts_)[::-1]
+    s_end = s_grid[-1]
+    sol_rev = jax.tree.map(lambda a: a[::-1], sol)
+    grad_rev = jax.tree.map(lambda a: a[::-1], grad_y_all)
+
+    # dL/dt_i = <grad_i, f(t_i, y_i)> for every output, one batched eval
+    f_all = jax.vmap(lambda t, y: f_eval(t, y, consts_))(ts_, sol)
+    dLd_ts = sum(
+        jnp.sum(
+            (g * f).reshape(n_out, -1), axis=1
+        )
+        for g, f in zip(jax.tree.leaves(grad_y_all), jax.tree.leaves(f_all))
+    )
+
+    dLd_rev = dLd_ts[::-1]  # index j corresponds to original i = n_out-1-j
+
+    aug0 = (
+        (-dLd_rev[0]).astype(time_dtype),
+        take(sol_rev, 0),
+        take(grad_rev, 0),
+        zeros_p,
+    )
+    s0 = s_grid[0]
+    f0 = bwd_term.move(s0, jnp.zeros((), time_dtype), aug0)
+    first_step = adj_opts.get("first_step")
+    if first_step is None:
+        dt0 = select_initial_step(
+            bwd_term.move, s0, aug0, tableau.order - 1, adjoint_rtol,
+            adjoint_atol, norm=adjoint_norm, f0=f0,
+        )
+    else:
+        dt0 = jnp.asarray(first_step, time_dtype)
+
+    step = make_adaptive_step(
+        bwd_term, tableau, adjoint_rtol, adjoint_atol, adjoint_norm,
+        jnp.asarray(adj_opts.get("safety", 0.9), time_dtype),
+        jnp.asarray(adj_opts.get("ifactor", 10.0), time_dtype),
+        jnp.asarray(adj_opts.get("dfactor", 0.2), time_dtype),
+        jnp.asarray(adj_opts.get("min_step", 0.0), time_dtype),
+        jnp.asarray(adj_opts.get("max_step", float("inf")), time_dtype),
+        s_grid[1:],  # step_t: land exactly on every output boundary
+        None,
+        time_dtype,
+    )
+
+    zero_coeff = [aug0] + [jax.tree.map(jnp.zeros_like, aug0)] * 4
+    state0 = RKState(
+        y1=aug0, f1=f0, t0=s0, t1=s0, dt=dt0.astype(time_dtype),
+        interp_coeff=zero_coeff,
+        next_step_index=jnp.zeros((), jnp.int32),
+        next_jump_index=jnp.zeros((), jnp.int32),
+        nfe=jnp.ones((), jnp.int32),
+        n_accept=jnp.zeros((), jnp.int32),
+        n_reject=jnp.zeros((), jnp.int32),
+        status=jnp.zeros((), jnp.int32),
+    )
+
+    max_iters = int(adj_opts.get("max_num_steps", 2**31 - 1))
+    max_iters_arr = jnp.asarray(min(max_iters, 2**31 - 1), jnp.int32)
+
+    def cond(carry):
+        s, ptr, n_it = carry
+        return (s.t1 < s_end) & (n_it < max_iters_arr) & (s.status == 0)
+
+    def body(carry):
+        s, ptr, n_it = carry
+        s2 = step(s)
+        # landed exactly on the next output boundary? (step_t clipping makes
+        # the landing bitwise-exact; interior boundaries only — the final one
+        # terminates the loop)
+        boundary = s_grid[jnp.minimum(ptr, n_out - 1)]
+        landed = (s2.t1 >= boundary) & (ptr < n_out - 1)
+
+        j = jnp.minimum(ptr, n_out - 1)  # reversed index of this boundary
+        adj_t, y, adj_y, adj_p = s2.y1
+        adj_t_new = adj_t - dLd_rev[j].astype(adj_t.dtype)
+        y_new = take(sol_rev, j)
+        adj_y_new = jax.tree.map(jnp.add, adj_y, take(grad_rev, j))
+        sel = lambda a, b: jax.tree.map(
+            lambda x, z: jnp.where(landed, x, z), a, b
+        )
+        aug_new = (
+            jnp.where(landed, adj_t_new, adj_t),
+            sel(y_new, y),
+            sel(adj_y_new, adj_y),
+            adj_p,
+        )
+        f_new = jax.lax.cond(
+            landed,
+            lambda: bwd_term.move(s2.t1, jnp.zeros((), time_dtype), aug_new),
+            lambda: s2.f1,
+        )
+        s2 = s2._replace(
+            y1=aug_new,
+            f1=f_new,
+            nfe=s2.nfe + landed.astype(jnp.int32),
+        )
+        return (s2, ptr + landed.astype(jnp.int32), n_it + 1)
+
+    final, _, _ = jax.lax.while_loop(cond, body, (state0, jnp.ones((), jnp.int32), jnp.zeros((), jnp.int32)))
+
+    adj_t, _, adj_y, adj_p = final.y1
+    # final incoming cotangent at the last boundary (original t_0)
+    adj_y = jax.tree.map(jnp.add, adj_y, take(grad_rev, n_out - 1))
+
+    grad_ts = dLd_ts.astype(ts_.dtype).at[0].set(adj_t.astype(ts_.dtype))
+    return (adj_y, grad_ts, adj_p)
+
+
 def odeint_adjoint(
     func,
     y0,
@@ -158,13 +290,34 @@ def odeint_adjoint(
         adj_opts["norm"] = adjoint_norm
         from ..solver.registry import resolve_solver as _rs
 
-        resolve_adaptive = _rs(adjoint_solver).kind == "adaptive"
+        adj_spec = _rs(adjoint_solver)
+        resolve_adaptive = adj_spec.kind == "adaptive"
 
         zeros_p = jax.tree.map(jnp.zeros_like, consts_)
         grad_y_all = grad_sol  # time-first [T, ...]
 
         def take(tree, i):
             return jax.tree.map(lambda a: a[i], tree)
+
+        # Single-pass backward (beats the reference's per-interval structure):
+        # ONE adaptive solve over the whole reversed span with steps clipped to
+        # land exactly on output boundaries (step_t), injecting the incoming
+        # cotangents + saved forward states at each landing. Requires strictly
+        # monotone concrete t_span; otherwise falls back to per-interval.
+        strictly_monotone = False
+        try:
+            ct = np.asarray(ts_)
+            diffs = np.diff(ct)
+            strictly_monotone = bool(np.all(diffs > 0) or np.all(diffs < 0))
+        except Exception:
+            pass
+
+        if resolve_adaptive and strictly_monotone and n_out > 2:
+            return _single_pass_backward(
+                bwd_term, f_eval, sol, ts_, grad_y_all, consts_, zeros_p,
+                span_sign, adj_spec, adjoint_rtol, adjoint_atol, adjoint_norm,
+                adj_opts, take,
+            )
 
         # carry: (adj_t, adj_y, adj_p); per-step inputs: indices i = T-1 .. 1
         def scan_body(carry, i):
