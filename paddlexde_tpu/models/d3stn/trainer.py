@@ -161,11 +161,14 @@ class Trainer:
         self.finetune = finetune
 
     # ---------------------------------------------------------------- steps
-    def _forward(self, net_params, enc_idx, dec_idx, src):
+    def _forward(self, net_params, enc_idx, dec_idx, src, rng=None):
         """The delay-DE forward: reference ``train_one_step`` §3.4 call stack."""
         y0 = history_index(dec_idx, src, self.his_span, interpolation="cubic")
+        deterministic = rng is None or self.cfg.dropout == 0
+        apply_kw = {} if deterministic else {"rngs": {"dropout": rng}}
         func = lambda y_lags, y: self.model.apply(
-            {"params": net_params}, y_lags, y, deterministic=True
+            {"params": net_params}, y_lags, y, deterministic=deterministic,
+            **apply_kw,
         )
         sol, delay = ddeint(
             func,
@@ -181,9 +184,9 @@ class Trainer:
         preds = sol[1][..., :1]  # y after the single residual step, [B,N,T,1]
         return preds, delay
 
-    def _loss_fn(self, state, src, tgt, kl_weight):
+    def _loss_fn(self, state, src, tgt, kl_weight, rng=None):
         preds, delay = self._forward(
-            state["net"], state["enc_idx"], state["dec_idx"], src
+            state["net"], state["enc_idx"], state["dec_idx"], src, rng=rng
         )
         tgt_v = tgt[..., :1]
         loss = self.criterion(preds, tgt_v)
@@ -196,10 +199,10 @@ class Trainer:
         tx = self.tx
 
         @jax.jit
-        def train_step(state, opt_state, src, tgt, kl_weight, lr_net, lr_lags):
+        def train_step(state, opt_state, src, tgt, kl_weight, lr_net, lr_lags, rng):
             (total, (loss, align)), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
-            )(state, src, tgt, kl_weight)
+            )(state, src, tgt, kl_weight, rng)
             updates, opt_state = tx.update(grads, opt_state, state)
             scaled = {
                 "net": jax.tree.map(lambda u: -lr_net * u, updates["net"]),
@@ -262,6 +265,7 @@ class Trainer:
             lr_lags = self.base_lr["lags"] * lr_factor
 
             state, opt_state = self.state, self.opt_state
+            epoch_key = jax.random.fold_in(jax.random.key(self.cfg.seed), epoch)
             tr_s = time()
             n_batches = 0
             epoch_loss = 0.0
@@ -275,6 +279,7 @@ class Trainer:
                     jnp.asarray(self.kl_loss_weight, jnp.float32),
                     jnp.asarray(lr_net, jnp.float32),
                     jnp.asarray(lr_lags, jnp.float32),
+                    jax.random.fold_in(epoch_key, n_batches),
                 )
                 epoch_loss += float(loss)
                 n_batches += 1

@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
     "shard_batch",
     "replicate",
@@ -70,3 +71,12 @@ def replicate(tree, mesh: Mesh):
     """Replicate every leaf across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def initialize_distributed(**kwargs):
+    """Multi-host entry: thin wrapper over jax.distributed.initialize()
+    (the TPU-native analogue of the reference's dist.init_parallel_env,
+    example/D3STN/train_dde.py:38). On TPU pods the coordinator/process
+    arguments are discovered from the environment automatically."""
+    jax.distributed.initialize(**kwargs)
+

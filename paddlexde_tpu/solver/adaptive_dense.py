@@ -112,12 +112,18 @@ def solve_adaptive_dense(
         s, bt0, bt1, bc, n = carry
         s2 = adaptive_step(s)
         accepted = s2.t1 > s.t1
+        # write the slot unconditionally with a per-slot select: one
+        # dynamic-update-slice per buffer, which XLA keeps in place inside the
+        # while body (a whole-buffer where() would copy all max_steps slots
+        # every iteration)
         slot = jnp.where(accepted, n, jnp.maximum(n - 1, 0))
-        bt0 = jnp.where(accepted, bt0.at[slot].set(s2.t0), bt0)
-        bt1 = jnp.where(accepted, bt1.at[slot].set(s2.t1), bt1)
+        bt0 = bt0.at[slot].set(jnp.where(accepted, s2.t0, bt0[slot]))
+        bt1 = bt1.at[slot].set(jnp.where(accepted, s2.t1, bt1[slot]))
         bc = [
             jax.tree.map(
-                lambda buf, c: jnp.where(accepted, buf.at[slot].set(c), buf),
+                lambda buf, c: buf.at[slot].set(
+                    jnp.where(accepted, c, buf[slot])
+                ),
                 bc[i],
                 s2.interp_coeff[i],
             )

@@ -194,3 +194,24 @@ def test_reference_checkpoint_converter():
     # conv kernel transposed to flax layout [1, k, in, out]
     assert params["enc_0"]["self_attn"]["query_conv"]["Conv_0"]["kernel"].shape == (1, k, d, d)
     np.testing.assert_allclose(params["enc_0"]["gcn"]["alpha"], [0.7])
+
+
+def test_dropout_active_in_training(tmp_path):
+    """With dropout > 0 the train step must be stochastic (different rngs ->
+    different losses) while eval stays deterministic."""
+    cfg = tiny_cfg(tmp_path, dropout=0.3, train_epochs=1, finetune_epochs=0)
+    data = synthetic_traffic_npz(num_nodes=N_NODES, seq_len=288 * 2)
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    trainer = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc)
+    src, tgt = next(trainer.train_dataset.batches(cfg.batch_size))
+    src, tgt = jnp.asarray(src), jnp.asarray(tgt)
+    args = (trainer.state, trainer.opt_state, src, tgt,
+            jnp.asarray(0.0), jnp.asarray(1e-3), jnp.asarray(1e-4))
+    _, _, l1, _ = trainer._train_step(*args, jax.random.key(1))
+    _, _, l2, _ = trainer._train_step(*args, jax.random.key(2))
+    assert float(l1) != float(l2)  # dropout noise
+    # eval is deterministic
+    e1 = trainer._eval_step(trainer.state, src, tgt)
+    e2 = trainer._eval_step(trainer.state, src, tgt)
+    assert float(e1) == float(e2)

@@ -102,3 +102,31 @@ def test_mesh_helpers():
     assert xs.sharding.spec == P("data")
     with pytest.raises(ValueError):
         make_mesh({"data": 5})
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+def test_2d_data_space_sharding():
+    """2D mesh (data x space): batch sharded over `data`, the sensor axis N
+    sharded over `space`. GSPMD inserts the all-gathers the spatial-attention
+    GCN needs; the loss must match the single-device value exactly."""
+    cfg, model, params = _setup_model()
+    from paddlexde_tpu.models.d3stn import init_lag_anchors
+
+    enc, dec = init_lag_anchors(cfg)
+    rng = np.random.RandomState(2)
+    src = rng.rand(8, 8, cfg.his_len, 3).astype(np.float32)
+    src[..., 1] = rng.randint(0, 7, src[..., 1].shape)
+    src[..., 2] = rng.randint(0, 288, src[..., 2].shape)
+    tgt = rng.rand(8, 8, cfg.tgt_len, 3).astype(np.float32)
+
+    def loss_fn(src, tgt):
+        return _loss_fn(model, cfg, params, jnp.asarray(enc), jnp.asarray(dec), src, tgt)
+
+    l_single = float(jax.jit(loss_fn)(jnp.asarray(src), jnp.asarray(tgt)))
+
+    mesh = make_mesh({"data": 4, "space": 2})
+    sh = NamedSharding(mesh, P("data", "space"))
+    src_s = jax.device_put(jnp.asarray(src), sh)
+    tgt_s = jax.device_put(jnp.asarray(tgt), sh)
+    l_2d = float(jax.jit(loss_fn)(src_s, tgt_s))
+    np.testing.assert_allclose(l_2d, l_single, rtol=1e-6)
