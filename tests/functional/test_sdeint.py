@@ -169,3 +169,27 @@ def test_sdeint_adjoint_y0_grad():
     g_direct = jax.grad(lambda y: loss(y, _sdeint))(y0)
     g_adj = jax.grad(lambda y: loss(y, sdeint_adjoint))(y0)
     np.testing.assert_allclose(g_adj, g_direct, rtol=1e-10)
+
+
+def test_milstein_strong_order_beats_em():
+    """Milstein strong error ~O(dt) vs EM's O(sqrt(dt)) on GBM, same paths."""
+    mu, sigma = 0.5, 0.5
+    y0 = jnp.ones((1024,))
+    key = jax.random.key(11)
+
+    def strong_err(method, n):
+        ts = jnp.linspace(0.0, 1.0, n)
+        bm = BrownianInterval(0.0, 1.0, size=(1024,), key=key, dtype=jnp.float64)
+        sol = sdeint(lambda t, y: mu * y, lambda t, y: sigma * y, y0, ts, method,
+                     bm=bm, time_axis=0)
+        exact = y0 * jnp.exp((mu - 0.5 * sigma**2) + sigma * bm(0.0, 1.0))
+        return float(jnp.mean(jnp.abs(sol[-1] - exact)))
+
+    em_c, em_f = strong_err("euler", 65), strong_err("euler", 257)
+    mi_c, mi_f = strong_err("milstein", 65), strong_err("milstein", 257)
+    # milstein beats EM at both resolutions
+    assert mi_c < em_c * 0.5 and mi_f < em_f * 0.5, (em_c, em_f, mi_c, mi_f)
+    # empirical orders: EM ~0.5, milstein ~1.0
+    order_em = np.log(em_c / em_f) / np.log(4.0)
+    order_mi = np.log(mi_c / mi_f) / np.log(4.0)
+    assert order_mi > 0.8, (order_em, order_mi)
