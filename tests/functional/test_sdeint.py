@@ -193,3 +193,17 @@ def test_milstein_strong_order_beats_em():
     order_em = np.log(em_c / em_f) / np.log(4.0)
     order_mi = np.log(mi_c / mi_f) / np.log(4.0)
     assert order_mi > 0.8, (order_em, order_mi)
+
+
+def test_sde_through_midpoint_and_rk4():
+    """Reference parity: the fixed zoo accepts SDE terms (move/fuse combos);
+    results stay finite and track the drift."""
+    y0 = jnp.ones((64,))
+    ts = jnp.linspace(0.0, 1.0, 129)
+    for method in ("midpoint", "rk4"):
+        sol = sdeint(lambda t, y: -y, lambda t, y: 0.05 * jnp.ones_like(y),
+                     y0, ts, method, key=3, time_axis=0)
+        assert bool(jnp.all(jnp.isfinite(sol)))
+        np.testing.assert_allclose(
+            float(jnp.mean(sol[-1])), np.exp(-1.0), atol=0.05
+        )
