@@ -46,6 +46,8 @@ class D3STNConfig:
     with_adj: bool = True
     with_sc: bool = True
     solver: str = "euler"
+    compute_dtype: str = "float32"  # "bfloat16" runs matmuls/convs on the MXU
+    # in bf16 (params stay float32; softmax/layernorm/losses stay float32)
 
     # train
     learning_rate: float = 1e-3

@@ -34,6 +34,10 @@ __all__ = ["D3STN", "decoder_index"]
 _xavier = nn.initializers.xavier_uniform()
 
 
+def _cdtype(cfg):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
 def _topk_mixer(matrix: jnp.ndarray, k: int):
     """(indices [N,K], softmax weights [N,K]) of each node's top-k scores."""
     vals, indx = jax.lax.top_k(matrix, k)
@@ -50,6 +54,7 @@ class TemporalConv(nn.Module):
     features: int
     kernel_size: int
     causal: bool = False
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -63,6 +68,7 @@ class TemporalConv(nn.Module):
             kernel_size=(1, self.kernel_size),
             padding=((0, 0), pad),
             kernel_init=_xavier,
+            dtype=self.dtype,
         )(x)
 
 
@@ -82,9 +88,10 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
         b, n, t_q, _ = query.shape
         t_k = key.shape[2]
 
-        q = TemporalConv(d_model, cfg.kernel_size, self.query_causal, name="query_conv")(query)
-        k = TemporalConv(d_model, cfg.kernel_size, self.key_causal, name="key_conv")(key)
-        v = TemporalConv(d_model, cfg.kernel_size, self.key_causal, name="value_conv")(value)
+        dt = _cdtype(cfg)
+        q = TemporalConv(d_model, cfg.kernel_size, self.query_causal, dt, name="query_conv")(query)
+        k = TemporalConv(d_model, cfg.kernel_size, self.key_causal, dt, name="key_conv")(key)
+        v = TemporalConv(d_model, cfg.kernel_size, self.key_causal, dt, name="value_conv")(value)
 
         if cfg.attention == "Corr":
             indx, weights = _topk_mixer(self.sc_matrix, cfg.top_k)
@@ -99,18 +106,22 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)  # [B,N,H,T,dh]
 
-        scores = jnp.einsum("bnhqd,bnhkd->bnhqk", q, k) / math.sqrt(head_dim)
+        # scores/softmax in f32 regardless of compute dtype (bf16 softmax
+        # loses too much resolution for attention weights)
+        scores = jnp.einsum(
+            "bnhqd,bnhkd->bnhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(head_dim)
         if is_mask:
             mask = jnp.triu(
                 jnp.full((t_q, t_q), jnp.finfo(scores.dtype).min), k=1
             )
             scores = scores + mask
-        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jax.nn.softmax(scores, axis=-1).astype(dt)
         if cfg.dropout > 0:
             attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
         x = jnp.einsum("bnhqk,bnhkd->bnhqd", attn, v)
         x = x.transpose(0, 1, 3, 2, 4).reshape(b, n, t_q, d_model)
-        return TemporalConv(d_model, cfg.kernel_size, False, name="out_conv")(x)
+        return TemporalConv(d_model, cfg.kernel_size, False, dt, name="out_conv")(x)
 
 
 class SpatialAttentionGCN(nn.Module):
@@ -126,8 +137,11 @@ class SpatialAttentionGCN(nn.Module):
     def __call__(self, x, deterministic=True):
         cfg = self.cfg
         b, n, t, d = x.shape
+        dt_c = _cdtype(cfg)
         xt = x.transpose(0, 2, 1, 3)  # [B, T, N, D]
-        score = jnp.einsum("btnd,btmd->btnm", xt, xt) / math.sqrt(d)
+        score = jnp.einsum(
+            "btnd,btmd->btnm", xt, xt, preferred_element_type=jnp.float32
+        ) / math.sqrt(d)
         score = jax.nn.softmax(score, axis=-1)
         if cfg.dropout > 0:
             score = nn.Dropout(cfg.dropout)(score, deterministic=deterministic)
@@ -145,8 +159,8 @@ class SpatialAttentionGCN(nn.Module):
         else:
             adj = alpha * (score * self.adj_matrix)
 
-        x_gcn = jnp.einsum("btnm,btmd->btnd", adj, xt)
-        out = nn.Dense(cfg.d_model, use_bias=False, kernel_init=_xavier)(x_gcn)
+        x_gcn = jnp.einsum("btnm,btmd->btnd", adj.astype(dt_c), xt.astype(dt_c))
+        out = nn.Dense(cfg.d_model, use_bias=False, kernel_init=_xavier, dtype=dt_c)(x_gcn)
         return jax.nn.silu(out).transpose(0, 2, 1, 3)  # [B, N, T, D]
 
 
@@ -318,8 +332,9 @@ class D3STN(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.encoder_dense = nn.Dense(cfg.d_proj, kernel_init=_xavier)
-        self.decoder_dense = nn.Dense(cfg.d_proj, kernel_init=_xavier)
+        cdt = _cdtype(cfg)
+        self.encoder_dense = nn.Dense(cfg.d_proj, kernel_init=_xavier, dtype=cdt)
+        self.decoder_dense = nn.Dense(cfg.d_proj, kernel_init=_xavier, dtype=cdt)
         self.temporal_section_week = TemporalSectionEmbedding(cfg, 7, axis=1)
         self.temporal_section_day = TemporalSectionEmbedding(cfg, 288, axis=2)
         if cfg.d_adaptive > 0:
@@ -337,7 +352,7 @@ class D3STN(nn.Module):
         ]
         self.encoder_norm = nn.LayerNorm()
         self.decoder_norm = nn.LayerNorm()
-        self.generator = nn.Dense(cfg.decoder_output_size, kernel_init=_xavier)
+        self.generator = nn.Dense(cfg.decoder_output_size, kernel_init=_xavier)  # f32 out
 
     def _embed(self, x, dense):
         parts = [dense(x[..., :1])]

@@ -215,3 +215,22 @@ def test_dropout_active_in_training(tmp_path):
     e1 = trainer._eval_step(trainer.state, src, tgt)
     e2 = trainer._eval_step(trainer.state, src, tgt)
     assert float(e1) == float(e2)
+
+
+def test_bfloat16_compute_dtype():
+    """bf16 compute: finite outputs close to the f32 model (same params)."""
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    src = jnp.asarray(rng.rand(2, N_NODES, 12, 3).astype(np.float32))
+
+    outs = {}
+    for cd in ("float32", "bfloat16"):
+        cfg = tiny_cfg(compute_dtype=cd)
+        model = D3STN(cfg, jnp.asarray(norm_adj_matrix(adj).astype(np.float32)),
+                      jnp.asarray(norm_adj_matrix(sc).astype(np.float32)))
+        params = model.init(jax.random.key(0), src, src)["params"]
+        outs[cd] = np.asarray(model.apply({"params": params}, src, src), np.float32)
+    assert np.all(np.isfinite(outs["bfloat16"]))
+    # bf16 has ~3 decimal digits; outputs should agree to ~1e-2 scale
+    denom = np.maximum(np.abs(outs["float32"]), 0.1)
+    assert np.max(np.abs(outs["bfloat16"] - outs["float32"]) / denom) < 0.1
