@@ -150,16 +150,21 @@ class SpatialAttentionGCN(nn.Module):
 
         alpha = self.param("alpha", nn.initializers.constant(0.5), (1,), jnp.float32)
         beta = self.param("beta", nn.initializers.constant(0.5), (1,), jnp.float32)
+        # the gates are STATIC [N, N] matrices, so the reference's
+        # alpha*(score (.) adj) + beta*(score (.) sc) (graphconv.py:108-119)
+        # folds to score (.) (alpha*adj + beta*sc): one [B,T,N,N] elementwise
+        # op instead of three — the score tensor is the HBM-traffic hot spot
         if cfg.with_adj and not cfg.with_sc:
-            adj = alpha * (score * self.adj_matrix)
+            gate = alpha * self.adj_matrix
         elif cfg.with_sc and not cfg.with_adj:
-            adj = beta * (score * self.sc_matrix)
+            gate = beta * self.sc_matrix
         elif cfg.with_adj and cfg.with_sc:
-            adj = alpha * (score * self.adj_matrix) + beta * (score * self.sc_matrix)
+            gate = alpha * self.adj_matrix + beta * self.sc_matrix
         else:
-            adj = alpha * (score * self.adj_matrix)
+            gate = alpha * self.adj_matrix
+        adj = score.astype(dt_c) * gate.astype(dt_c)
 
-        x_gcn = jnp.einsum("btnm,btmd->btnd", adj.astype(dt_c), xt.astype(dt_c))
+        x_gcn = jnp.einsum("btnm,btmd->btnd", adj, xt.astype(dt_c))
         out = nn.Dense(cfg.d_model, use_bias=False, kernel_init=_xavier, dtype=dt_c)(x_gcn)
         return jax.nn.silu(out).transpose(0, 2, 1, 3)  # [B, N, T, D]
 

@@ -132,18 +132,25 @@ def dde_term(func: Callable, lags, y_lags, damping: float = 1e-3) -> XDETerm:
     :func:`~paddlexde_tpu.xde.history.history_index` (the reference's
     ``HistoryIndex`` PyLayer, ``xde/base_dde.py:82-128``) before integration
     starts, exactly as ``BaseDDE.__init__`` does (``xde/base_dde.py:33-36``).
+
+    The damping is folded into the VECTOR FIELD (``f_eff = f - damping*y``)
+    rather than the fuse: identical to the reference under Euler (its only
+    exercised DDE solver), and — unlike the reference, whose adaptive engine
+    bypasses fuse and silently drops the damping — higher-order and adaptive
+    solvers here integrate the damped dynamics correctly.
     """
     call = _dde_call(func)
 
     def move(t, dt, y):
         del dt
-        return call(t, y, lags, y_lags)
+        dy = call(t, y, lags, y_lags)
+        if not damping:
+            return dy
+        return jax.tree.map(lambda d, yl: d - damping * yl, dy, y)
 
     def fuse(dy, dt, y):
         return jax.tree.map(
-            lambda yl, dyl: yl + jnp.asarray(dt, yl.dtype) * (dyl - damping * yl),
-            y,
-            dy,
+            lambda yl, dyl: yl + jnp.asarray(dt, yl.dtype) * dyl, y, dy
         )
 
     return XDETerm(move=move, fuse=fuse, additive=True, kind="dde")
