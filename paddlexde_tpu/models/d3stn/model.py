@@ -142,9 +142,14 @@ class SpatialAttentionGCN(nn.Module):
         cfg = self.cfg
         b, n, t, d = x.shape
         dt_c = _cdtype(cfg)
-        xt = x.transpose(0, 2, 1, 3)  # [B, T, N, D]
+        # all contractions run from the native [B, N, T, D] layout — the
+        # reference round-trips through [B, T, N, D] per call
+        # (graphconv.py:107, 125), which at batch scale is 2 full-activation
+        # transposes x 6 GCN calls x fwd+bwd of pure HBM traffic (the step is
+        # bandwidth-bound: XLA cost analysis shows ~1 TB accessed/step at
+        # bs 128); einsum folds the layout change into the dot_general
         score = jnp.einsum(
-            "btnd,btmd->btnm", xt, xt, preferred_element_type=jnp.float32
+            "bntd,bmtd->btnm", x, x, preferred_element_type=jnp.float32
         ) / math.sqrt(d)
         score = jax.nn.softmax(score, axis=-1)
         if cfg.dropout > 0:
@@ -168,9 +173,10 @@ class SpatialAttentionGCN(nn.Module):
             gate = alpha * self.adj_matrix
         adj = score.astype(dt_c) * gate.astype(dt_c)
 
-        x_gcn = jnp.einsum("btnm,btmd->btnd", adj, xt.astype(dt_c))
+        # [B,T,N,M] x [B,M,T,D] -> [B,N,T,D]: output directly in native layout
+        x_gcn = jnp.einsum("btnm,bmtd->bntd", adj, x.astype(dt_c))
         out = nn.Dense(cfg.d_model, use_bias=False, kernel_init=_xavier, dtype=dt_c)(x_gcn)
-        return jax.nn.silu(out).transpose(0, 2, 1, 3)  # [B, N, T, D]
+        return jax.nn.silu(out)  # [B, N, T, D]
 
 
 class GCN(nn.Module):

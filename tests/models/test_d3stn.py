@@ -236,3 +236,28 @@ def test_bfloat16_compute_dtype():
     denom = np.maximum(np.abs(outs["float32"]), 0.1)
     rel = np.abs(outs["bfloat16"] - outs["float32"]) / denom
     assert np.mean(rel) < 0.03 and np.max(rel) < 0.25, (rel.mean(), rel.max())
+
+
+def test_positional_embeddings():
+    """SpatialPositionalEmbedding (GCN-smoothed) and the sinusoidal
+    TemporalPositionalEmbedding table — present for inventory parity."""
+    from paddlexde_tpu.models.d3stn.model import (
+        SpatialPositionalEmbedding,
+        temporal_positional_encoding,
+    )
+
+    cfg = tiny_cfg()
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    adj_n = jnp.asarray(norm_adj_matrix(adj).astype(np.float32))
+    sc_n = jnp.asarray(norm_adj_matrix(sc).astype(np.float32))
+    mod = SpatialPositionalEmbedding(cfg, adj_n, sc_n)
+    x = jnp.zeros((2, N_NODES, 12, 3))
+    params = mod.init(jax.random.key(0), x)["params"]
+    emb = mod.apply({"params": params}, x)
+    assert emb.shape == (1, N_NODES, 1, cfg.d_proj)
+
+    pe = temporal_positional_encoding(64, 16)
+    assert pe.shape == (1, 1, 64, 16)
+    # sin/cos structure: position 0 rows are sin(0)=0 at even dims
+    np.testing.assert_allclose(pe[0, 0, 0, 0::2], 0.0, atol=1e-7)
