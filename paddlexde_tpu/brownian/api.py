@@ -111,16 +111,17 @@ class BrownianInterval(BaseBrownian):
     def __call__(self, ta, tb=None, return_U=False, return_A=False):
         if tb is None:
             ta, tb = self._t0, ta  # reference: single arg means W(t0, ta)
-        levy = self._levy if (return_U or return_A) else "none"
-        if return_A and levy in ("none", "space-time"):
+        if return_A and self._levy in ("none", "space-time"):
             raise ValueError(
                 f"Lévy area requested but levy_area_approximation={self._levy!r}; "
                 f"construct with 'davie' or 'foster'."
             )
-        if return_U and levy == "none":
+        if return_U and self._levy == "none":
             raise ValueError(
                 "space-time Lévy area requested but levy_area_approximation='none'"
             )
+        # NB: a Lévy-configured interval routes ALL queries (even plain-W ones)
+        # through the joint (W, U) descent so W is identical across query modes
         w, u, a = brownian_pair(
             self._key,
             self._t0,
@@ -131,7 +132,7 @@ class BrownianInterval(BaseBrownian):
             self._dtype,
             self._depth,
             self._w_total,
-            levy="davie" if (return_A and levy == "davie") else ("foster" if (return_A and levy == "foster") else ("space-time" if return_U else "none")),
+            levy=self._levy if not return_A else self._levy,
         )
         if return_U and return_A:
             return w, u, a

@@ -32,8 +32,10 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
+    "brownian_value_levy",
     "brownian_value",
     "brownian_increment",
     "space_time_levy_area",
@@ -98,6 +100,89 @@ def brownian_increment(key, t0, t1, ta, tb, shape=(), dtype=jnp.float32, depth: 
     return w_b - w_a
 
 
+def brownian_value_levy(
+    key, t0, t1, s, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH, w_total=None
+):
+    """(W(s), U(s)) with W(t0)=0, U(s)=∫_{t0}^{s} W du — joint bridge descent.
+
+    Carries each interval's local (w, h) pair down the dyadic tree using the
+    exact joint bridge split (the reference's ``_increment_and_space_time_levy_
+    area`` formulas, ``brownian_interval.py:199-236``, specialized to equal
+    halves), accumulating the ABSOLUTE (W, U) of the descended interval's left
+    edge. Because the returned quantities are absolute path functionals,
+    interval queries composed from them are consistent by construction:
+    ``U_{s,u} = U_{s,t} + U_{t,u} + (u-t)(W(t)-W(s))`` holds exactly — the
+    property the reference's cache algebra aims for (on top of broken RNG).
+    """
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    s = jnp.clip(jnp.asarray(s, dtype), t0, t1)
+    span = t1 - t0
+
+    if w_total is None:
+        w_total = (
+            jax.random.normal(jax.random.fold_in(key, 1), shape, dtype)
+            * jnp.sqrt(jnp.maximum(span, 0.0))
+        )
+    else:
+        w_total = jnp.asarray(w_total, dtype)
+    # root space-time Lévy area: H | W ~ N(0, span/12), independent of W
+    h_total = (
+        jax.random.normal(jax.random.fold_in(key, 3), shape, dtype)
+        * jnp.sqrt(jnp.maximum(span / 12.0, 0.0))
+    )
+
+    _rsqrt3 = float(1.0 / np.sqrt(3.0))  # python float: weak-typed, no f64 promotion
+
+    def body(_, carry):
+        a, b, w_abs, u_abs, w, h, node = carry
+        m = 0.5 * (a + b)
+        delta = b - a
+        half = 0.5 * delta
+
+        x1 = jax.random.normal(jax.random.fold_in(key, 2 * node), shape, dtype)
+        x2 = jax.random.normal(jax.random.fold_in(key, 2 * node + 1), shape, dtype)
+
+        # equal-halves specialization of the reference split (left_diff ==
+        # right_diff == delta/2): v = 0.5/sqrt(delta); coefficients follow
+        sqrt_delta = jnp.sqrt(jnp.maximum(delta, jnp.finfo(dtype).tiny))
+        v = 0.5 / sqrt_delta
+        a_coef = v * half * half / delta  # == v * delta / 4
+        c_coef = v * _rsqrt3
+        third = 2.0 * (a_coef * half + a_coef * half) / delta  # == v * delta ... x1 weight
+
+        w_left = 0.5 * w + 1.5 * h + third * x1
+        h_left = 0.25 * h - a_coef * x1 + c_coef * half * x2
+        w_right = w - w_left
+        h_right = 0.25 * h - a_coef * x1 - c_coef * half * x2
+
+        go_left = s < m
+        # absolute left-edge accumulators advance only when we descend right
+        u_left = half * (w_abs + 0.5 * w_left + h_left)
+        w_abs2 = jnp.where(go_left, w_abs, w_abs + w_left)
+        u_abs2 = jnp.where(go_left, u_abs, u_abs + u_left)
+
+        a2 = jnp.where(go_left, a, m)
+        b2 = jnp.where(go_left, m, b)
+        w2 = jnp.where(go_left, w_left, w_right)
+        h2 = jnp.where(go_left, h_left, h_right)
+        node2 = jnp.where(go_left, 2 * node, 2 * node + 1)
+        return (a2, b2, w_abs2, u_abs2, w2, h2, node2)
+
+    init = (
+        t0, t1,
+        jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+        w_total, h_total,
+        jnp.asarray(2, jnp.uint32),
+    )
+    a, b, w_abs, u_abs, w, h, _ = jax.lax.fori_loop(0, depth, body, init)
+    frac = jnp.where(b == a, jnp.zeros_like(a), (s - a) / (b - a))
+    w_s = w_abs + frac * w
+    # within-leaf: treat W as linear => ∫_a^s (W_u - W_a) du ≈ (s-a) * frac*w/2
+    u_s = u_abs + (s - a) * (w_abs + 0.5 * frac * w)
+    return w_s, u_s
+
+
 def _query_key(key, ta, tb):
     """Reproducible per-(ta, tb) key from the interval's float bit pattern."""
     bits_a = jax.lax.bitcast_convert_type(jnp.asarray(ta, jnp.float32), jnp.int32)
@@ -150,14 +235,23 @@ def brownian_pair(
     key, t0, t1, ta, tb, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH,
     w_total=None, levy: str = "none", foster: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
-    """(W, U, A) over [ta, tb] — the full query the BrownianInterval API needs."""
-    w = brownian_increment(key, t0, t1, ta, tb, shape, dtype, depth, w_total)
+    """(W, U, A) over [ta, tb] — the full query the BrownianInterval API needs.
+
+    With a Lévy mode, (W, U) come from the joint (W, ∫W) tree descent, so both
+    are CONSISTENT under interval composition (the per-query-keyed
+    :func:`space_time_levy_area` remains available as the cheap approximation).
+    """
     if levy == "none":
+        w = brownian_increment(key, t0, t1, ta, tb, shape, dtype, depth, w_total)
         return w, None, None
-    h_levy = space_time_levy_area(key, ta, tb, w, shape, dtype)
-    h = jnp.asarray(tb, dtype) - jnp.asarray(ta, dtype)
-    u = h_to_u(w, h_levy, h)
+    w_b, u_b = brownian_value_levy(key, t0, t1, tb, shape, dtype, depth, w_total)
+    w_a, u_a = brownian_value_levy(key, t0, t1, ta, shape, dtype, depth, w_total)
+    delta = jnp.asarray(tb, dtype) - jnp.asarray(ta, dtype)
+    w = w_b - w_a
+    u = u_b - u_a - w_a * delta  # ∫_ta^tb (W_s - W_ta) ds
     if levy == "space-time":
         return w, u, None
+    safe = jnp.where(delta == 0, jnp.ones_like(delta), delta)
+    h_levy = jnp.where(delta == 0, jnp.zeros_like(u), u / safe - 0.5 * w)
     a = davie_foster_area(key, ta, tb, w, h_levy, foster=(levy == "foster" or foster))
     return w, u, a

@@ -135,3 +135,35 @@ def test_derived_classes_and_like():
     y = jnp.ones((5, 2))
     bm = brownian_interval_like(y, 0.0, 2.0, entropy=1)
     assert bm(0.5, 1.5).shape == (5, 2)
+
+
+def test_levy_tree_consistency():
+    """Tree-carried (W, U): the composition identity
+    U_{s,u} = U_{s,t} + U_{t,u} + (u-t)(W(t)-W(s)) holds EXACTLY — the
+    property the reference's cache algebra aimed for (SURVEY §2.5)."""
+    bm = BrownianInterval(0.0, 2.0, size=(16,), entropy=8, dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    s, t, u = 0.3, 0.9, 1.7
+    w_su, u_su = bm(s, u, return_U=True)
+    w_st, u_st = bm(s, t, return_U=True)
+    w_tu, u_tu = bm(t, u, return_U=True)
+    np.testing.assert_allclose(w_su, w_st + w_tu, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(u_su), np.asarray(u_st + u_tu + (u - t) * w_st), rtol=1e-9
+    )
+
+
+def test_levy_tree_statistics():
+    """H = U/h - W/2 over an interval: Var(H) = h/12, independent of W."""
+    n = 8192
+    bm = BrownianInterval(0.0, 1.0, size=(n,), entropy=13,
+                          levy_area_approximation="space-time")
+    w, u = bm(0.2, 0.8, return_U=True)
+    h = 0.6
+    h_levy = np.asarray(u) / h - 0.5 * np.asarray(w)
+    np.testing.assert_allclose(h_levy.var(), h / 12.0, rtol=0.15)
+    corr = np.corrcoef(h_levy, np.asarray(w))[0, 1]
+    assert abs(corr) < 0.06, corr
+    # U itself: Var(U) = h^2 Var(W)/4 + h^3/12 (W and H independent)
+    expect_u_var = h**2 * h / 4 + h**3 / 12
+    np.testing.assert_allclose(np.asarray(u).var(), expect_u_var, rtol=0.15)
