@@ -29,7 +29,7 @@ from ..brownian.api import BrownianInterval, ReverseBrownian
 from ..xde.term import XDETerm
 from .solve import _is_decreasing, format_solution, integrate_term
 
-__all__ = ["sdeint", "make_sde_term", "make_milstein_term"]
+__all__ = ["sdeint", "make_sde_term", "make_milstein_term", "make_sra1_term"]
 
 
 def make_milstein_term(drift, diffusion, bm) -> XDETerm:
@@ -60,6 +60,50 @@ def make_milstein_term(drift, diffusion, bm) -> XDETerm:
         f_val, g_dw = dy
         return jax.tree.map(
             lambda yl, fl, gl: yl + jnp.asarray(dt, yl.dtype) * fl + gl, y, f_val, g_dw
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_sra1_term(drift, diffusion, bm) -> XDETerm:
+    """SRA1 (Rössler 2010) for ADDITIVE noise — strong order 1.5.
+
+    Requires the diffusion to be state-independent (``g(t)``; any y-dependence
+    is evaluated at the step's left state and NOT corrected — the additive-
+    noise contract). Uses both the increment W and the time integral
+    ``I10 = ∫ (W_s - W_t0) ds`` from the virtual tree's joint (W, ∫W) descent:
+
+        H2   = y + 3/4 h f(t0, y) + 3/2 (I10/h) g(t0)
+        y1   = y + h (f(t0,y)/3 + 2 f(t0+3/4h, H2)/3)
+                 + g(t0) (W - I10/h) + g(t1) (I10/h)
+
+    For constant g the noise term reduces to g·W (consistency). Strong order
+    is pinned by test against a fine-grid reference on the same path.
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u = bm(t, t1, return_U=True)
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(dt), dt)
+        i10_h = jax.tree.map(lambda ul: ul / safe_dt, u)
+        k1 = drift(t, y)
+        g0 = diffusion(t, y)
+        h2_in = jax.tree.map(
+            lambda yl, k, g, i: yl + 0.75 * jnp.asarray(dt, yl.dtype) * k + 1.5 * i * g,
+            y, k1, g0, i10_h,
+        )
+        k2 = drift(t + 0.75 * dt, h2_in)
+        g1 = diffusion(t1, y)
+        noise = jax.tree.map(
+            lambda g0l, g1l, wl, il: g0l * (wl - il) + g1l * il, g0, g1, w, i10_h
+        )
+        f_comb = jax.tree.map(lambda a, b: a / 3.0 + 2.0 * b / 3.0, k1, k2)
+        return (f_comb, noise)
+
+    def fuse(dy, dt, y):
+        f_val, noise = dy
+        return jax.tree.map(
+            lambda yl, fl, nl: yl + jnp.asarray(dt, yl.dtype) * fl + nl, y, f_val, noise
         )
 
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
@@ -141,11 +185,14 @@ def sdeint(
     y0 = jax.tree.map(jnp.asarray, y0)
 
     leaves = jax.tree.leaves(y0)
+    need_levy = isinstance(solver, str) and solver.lower() == "sra1"
     if bm is None:
         try:  # concrete spans give tol->depth a chance; traced spans are fine too
             t_lo, t_hi = float(jnp.min(t_span)), float(jnp.max(t_span))
         except TypeError:
             t_lo, t_hi = jnp.min(t_span), jnp.max(t_span)
+        if need_levy and levy_area_approximation == "none":
+            levy_area_approximation = "space-time"  # sra1 needs (W, I10)
         bm = BrownianInterval(
             t_lo,
             t_hi,
@@ -154,9 +201,16 @@ def sdeint(
             key=key,
             levy_area_approximation=levy_area_approximation,
         )
+    elif need_levy and getattr(bm, "levy_area_approximation", "none") == "none":
+        raise ValueError(
+            "sra1 needs the space-time integral: construct the Brownian motion "
+            "with levy_area_approximation='space-time'"
+        )
 
-    is_milstein = isinstance(solver, str) and solver.lower() == "milstein"
-    if not is_milstein:
+    solver_name = solver.lower() if isinstance(solver, str) else ""
+    is_milstein = solver_name == "milstein"
+    is_sra1 = solver_name == "sra1"
+    if not (is_milstein or is_sra1):
         from ..solver.registry import resolve_solver
 
         if resolve_solver(solver).kind != "fixed":
@@ -168,8 +222,8 @@ def sdeint(
 
     decreasing = reverse or _is_decreasing(t_span)
     if decreasing:
-        if is_milstein:
-            raise NotImplementedError("milstein reverse-time is not implemented; use euler")
+        if is_milstein or is_sra1:
+            raise NotImplementedError(f"{solver_name} reverse-time is not implemented; use euler")
         span = -t_span if _is_decreasing(t_span) else -t_span[::-1]
         term = make_sde_term(drift, diffusion, bm, reverse=True)
         sol = integrate_term(
@@ -182,8 +236,11 @@ def sdeint(
 
     if is_milstein:
         term = make_milstein_term(drift, diffusion, bm)
-        solver = "euler"  # the Milstein update lives in move/fuse; the driver
-        # is the plain one-eval-per-step fixed stepper
+        solver = "euler"  # the update lives in move/fuse; the driver is the
+        # plain one-eval-per-step fixed stepper
+    elif is_sra1:
+        term = make_sra1_term(drift, diffusion, bm)
+        solver = "euler"
     else:
         term = make_sde_term(drift, diffusion, bm)
     return integrate_term(

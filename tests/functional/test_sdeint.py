@@ -8,6 +8,7 @@ reverse-time retracing, and increment statistics through the solver.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from paddlexde_tpu import BrownianInterval, sdeint
 from paddlexde_tpu.brownian import brownian_value
@@ -207,3 +208,39 @@ def test_sde_through_midpoint_and_rk4():
         np.testing.assert_allclose(
             float(jnp.mean(sol[-1])), np.exp(-1.0), atol=0.05
         )
+
+
+def test_sra1_additive_strong_order():
+    """SRA1 (order 1.5, additive noise) vs EM (order 1.0) against a fine-grid
+    EM reference on the SAME Brownian path (OU process)."""
+    theta, sigma = 1.2, 0.7
+    y0 = jnp.ones((256,))
+    key = jax.random.key(21)
+    f = lambda t, y: -theta * y
+    g = lambda t, y: sigma * jnp.ones_like(y)
+
+    def solve(method, n, levy):
+        bm = BrownianInterval(0.0, 1.0, size=(256,), key=key, dtype=jnp.float64,
+                              levy_area_approximation=levy)
+        ts = jnp.linspace(0.0, 1.0, n)
+        return sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)[-1]
+
+    # reference: fine SRA1 on the SAME path (a fine EM reference would carry
+    # its own O(h) error floor ~5e-5, swamping the order estimate)
+    ref = solve("sra1", 8193, "space-time")
+
+    def err(method, n):
+        return float(jnp.mean(jnp.abs(solve(method, n, "space-time") - ref)))
+
+    em_c, em_f = err("euler", 33), err("euler", 129)
+    sr_c, sr_f = err("sra1", 33), err("sra1", 129)
+    assert sr_c < em_c * 0.3 and sr_f < em_f * 0.3, (em_c, em_f, sr_c, sr_f)
+    order_sr = np.log(sr_c / sr_f) / np.log(4.0)
+    assert order_sr > 1.2, (order_sr, sr_c, sr_f)
+
+
+def test_sra1_requires_levy_bm():
+    bm = BrownianInterval(0.0, 1.0, size=(4,), entropy=0)
+    with pytest.raises(ValueError):
+        sdeint(lambda t, y: -y, lambda t, y: jnp.ones_like(y), jnp.ones((4,)),
+               jnp.linspace(0.0, 1.0, 5), "sra1", bm=bm)
