@@ -29,7 +29,7 @@ from ..brownian.api import BrownianInterval, ReverseBrownian
 from ..xde.term import XDETerm
 from .solve import _is_decreasing, format_solution, integrate_term
 
-__all__ = ["sdeint", "make_sde_term", "make_milstein_term", "make_sra1_term"]
+__all__ = ["sdeint", "make_sde_term", "make_milstein_term", "make_sra1_term", "make_heun_stratonovich_term"]
 
 
 def make_milstein_term(drift, diffusion, bm) -> XDETerm:
@@ -104,6 +104,41 @@ def make_sra1_term(drift, diffusion, bm) -> XDETerm:
         f_val, noise = dy
         return jax.tree.map(
             lambda yl, fl, nl: yl + jnp.asarray(dt, yl.dtype) * fl + nl, y, f_val, noise
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_heun_stratonovich_term(drift, diffusion, bm) -> XDETerm:
+    """Stratonovich Heun: trapezoidal predictor-corrector in BOTH terms.
+
+        ỹ  = y + f(t0,y) h + g(t0,y) ΔW
+        y1 = y + h (f(t0,y)+f(t1,ỹ))/2 + ΔW (g(t0,y)+g(t1,ỹ))/2
+
+    Converges to the STRATONOVICH solution (strong order 0.5 general /
+    1.0 additive; for Itô semantics use euler/milstein/sra1). Pinned by test
+    against the closed-form Stratonovich GBM ``y0·exp(μt + σW)``.
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        d_w = bm(t, t1)
+        f0 = drift(t, y)
+        g0 = diffusion(t, y)
+        y_pred = jax.tree.map(
+            lambda yl, fl, gl: yl + jnp.asarray(dt, yl.dtype) * fl + gl * d_w,
+            y, f0, g0,
+        )
+        f1 = drift(t1, y_pred)
+        g1 = diffusion(t1, y_pred)
+        f_comb = jax.tree.map(lambda a, b: 0.5 * (a + b), f0, f1)
+        g_dw = jax.tree.map(lambda a, b: 0.5 * (a + b) * d_w, g0, g1)
+        return (f_comb, g_dw)
+
+    def fuse(dy, dt, y):
+        f_val, g_dw = dy
+        return jax.tree.map(
+            lambda yl, fl, gl: yl + jnp.asarray(dt, yl.dtype) * fl + gl, y, f_val, g_dw
         )
 
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
@@ -210,7 +245,8 @@ def sdeint(
     solver_name = solver.lower() if isinstance(solver, str) else ""
     is_milstein = solver_name == "milstein"
     is_sra1 = solver_name == "sra1"
-    if not (is_milstein or is_sra1):
+    is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
+    if not (is_milstein or is_sra1 or is_heun_strat):
         from ..solver.registry import resolve_solver
 
         if resolve_solver(solver).kind != "fixed":
@@ -222,7 +258,7 @@ def sdeint(
 
     decreasing = reverse or _is_decreasing(t_span)
     if decreasing:
-        if is_milstein or is_sra1:
+        if is_milstein or is_sra1 or is_heun_strat:
             raise NotImplementedError(f"{solver_name} reverse-time is not implemented; use euler")
         span = -t_span if _is_decreasing(t_span) else -t_span[::-1]
         term = make_sde_term(drift, diffusion, bm, reverse=True)
@@ -240,6 +276,9 @@ def sdeint(
         # plain one-eval-per-step fixed stepper
     elif is_sra1:
         term = make_sra1_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_heun_strat:
+        term = make_heun_stratonovich_term(drift, diffusion, bm)
         solver = "euler"
     else:
         term = make_sde_term(drift, diffusion, bm)

@@ -244,3 +244,21 @@ def test_sra1_requires_levy_bm():
     with pytest.raises(ValueError):
         sdeint(lambda t, y: -y, lambda t, y: jnp.ones_like(y), jnp.ones((4,)),
                jnp.linspace(0.0, 1.0, 5), "sra1", bm=bm)
+
+
+def test_heun_stratonovich_gbm():
+    """Heun converges to the STRATONOVICH GBM solution y0 exp(mu t + sigma W)
+    (no Ito -sigma^2/2 correction), on the same path."""
+    mu, sigma = 0.4, 0.5
+    y0 = jnp.ones((256,))
+    key = jax.random.key(17)
+    bm = BrownianInterval(0.0, 1.0, size=(256,), key=key, dtype=jnp.float64)
+    ts = jnp.linspace(0.0, 1.0, 801)
+    sol = sdeint(lambda t, y: mu * y, lambda t, y: sigma * y, y0, ts,
+                 "heun_stratonovich", bm=bm, time_axis=0)
+    strat_exact = y0 * jnp.exp(mu * 1.0 + sigma * bm(0.0, 1.0))
+    ito_exact = y0 * jnp.exp((mu - 0.5 * sigma**2) * 1.0 + sigma * bm(0.0, 1.0))
+    err_strat = float(jnp.mean(jnp.abs(sol[-1] - strat_exact)))
+    err_ito = float(jnp.mean(jnp.abs(sol[-1] - ito_exact)))
+    assert err_strat < 0.05, err_strat
+    assert err_strat < err_ito * 0.5  # clearly Stratonovich, not Ito
