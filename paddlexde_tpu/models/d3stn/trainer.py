@@ -386,7 +386,11 @@ class Trainer:
             os.path.join(self.save_path, f"{tag}.deidx"),
         )
 
-    def save(self, epoch=None):
+    def save(self, epoch=None, full_state: bool = False):
+        """Persist params + lag tensors (reference file-per-part layout,
+        ``train_dde.py:306-321``); ``full_state`` additionally saves the
+        optimizer state and epoch for exact resume (a capability the
+        reference lacks)."""
         if not self.is_main:
             return
         pf, ef, df = self._ckpt_files(epoch)
@@ -394,6 +398,16 @@ class Trainer:
             pickle.dump(jax.tree.map(np.asarray, self.params), f)
         np.save(ef + ".npy", np.asarray(self.encoder_idx))
         np.save(df + ".npy", np.asarray(self.decoder_idx))
+        if full_state:
+            with open(pf + ".opt", "wb") as f:
+                pickle.dump(
+                    {
+                        "opt_state": jax.tree.map(np.asarray, self.opt_state),
+                        "finetune": self.finetune,
+                        "kl_loss_weight": self.kl_loss_weight,
+                    },
+                    f,
+                )
         self.logger.info(f"save parameters to file: {pf}")
 
     def load(self, epoch=None):
@@ -404,4 +418,10 @@ class Trainer:
             self.params = jax.tree.map(jnp.asarray, pickle.load(f))
         self.encoder_idx = jnp.asarray(np.load(ef + ".npy"))
         self.decoder_idx = jnp.asarray(np.load(df + ".npy"))
+        if os.path.exists(pf + ".opt"):
+            with open(pf + ".opt", "rb") as f:
+                extra = pickle.load(f)
+            self.opt_state = jax.tree.map(jnp.asarray, extra["opt_state"])
+            self.finetune = extra["finetune"]
+            self.kl_loss_weight = extra["kl_loss_weight"]
         self.logger.info(f"load weight from: {pf}")

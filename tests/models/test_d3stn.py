@@ -261,3 +261,22 @@ def test_positional_embeddings():
     assert pe.shape == (1, 1, 64, 16)
     # sin/cos structure: position 0 rows are sin(0)=0 at even dims
     np.testing.assert_allclose(pe[0, 0, 0, 0::2], 0.0, atol=1e-7)
+
+
+def test_full_state_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_cfg(tmp_path, train_epochs=1, finetune_epochs=0)
+    data = synthetic_traffic_npz(num_nodes=N_NODES, seq_len=288 * 2)
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    tr = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc)
+    src, tgt = next(tr.train_dataset.batches(cfg.batch_size))
+    out = tr._train_step(tr.state, tr.opt_state, jnp.asarray(src), jnp.asarray(tgt),
+                         jnp.asarray(0.0), jnp.asarray(1e-3), jnp.asarray(1e-4),
+                         jax.random.key(0))
+    tr._set_state(out[0]); tr.opt_state = out[1]
+    tr.save(full_state=True)
+    opt_before = jax.tree.leaves(tr.opt_state)
+    tr.opt_state = jax.tree.map(jnp.zeros_like, tr.opt_state)
+    tr.load()
+    for a, b in zip(jax.tree.leaves(tr.opt_state), opt_before):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
