@@ -1,4 +1,4 @@
-from .functional import cubic_hermite_interp, linear_interp  # noqa: F401
+from .functional import cubic_hermite_interp, fill_forward, linear_interp  # noqa: F401
 from .interpolate import (  # noqa: F401
     BezierSpline,
     CubicHermiteSpline,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["linear_interp", "cubic_hermite_interp"]
+__all__ = ["linear_interp", "cubic_hermite_interp", "fill_forward"]
 
 
 def _scalar(t):
@@ -42,3 +42,33 @@ def cubic_hermite_interp(t0, y0, dy0, t1, y1, dy1, t):
         return c(h00) * a + c(h10 * h) * da + c(h01) * b + c(h11 * h) * db
 
     return jax.tree.map(leaf, y0, dy0, y1, dy1)
+
+
+def fill_forward(series, mask=None):
+    """Missing-data preprocessing for CDE control paths (torchcde-style).
+
+    Replaces NaN observations (or entries where ``mask`` is False) with the
+    last observed value along the time axis (axis -2); leading missing values
+    take the first observation. Append an observation-mask channel to let the
+    CDE see observation times:
+
+        filled = fill_forward(x)
+        control = jnp.concatenate([filled, (~jnp.isnan(x[..., :1])).astype(filled.dtype)], -1)
+    """
+    series = jnp.asarray(series)
+    observed = ~jnp.isnan(series) if mask is None else jnp.broadcast_to(mask, series.shape)
+    t_axis = series.ndim - 2
+
+    def scan_fn(carry, xo):
+        x, obs = xo
+        filled = jnp.where(obs, x, carry)
+        return filled, filled
+
+    x_t = jnp.moveaxis(series, t_axis, 0)
+    o_t = jnp.moveaxis(observed, t_axis, 0)
+    # backfill the leading gap with the first observation per channel
+    first_obs_idx = jnp.argmax(o_t, axis=0)
+    first_val = jnp.take_along_axis(x_t, first_obs_idx[None], axis=0)[0]
+    init = jnp.where(o_t[0], x_t[0], first_val)
+    _, filled = jax.lax.scan(scan_fn, init, (x_t, o_t))
+    return jnp.moveaxis(filled, 0, t_axis)

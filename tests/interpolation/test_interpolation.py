@@ -142,3 +142,19 @@ def test_stateless_two_point_forms():
     df = lambda t: 3 * t**2 - 2
     out = cubic_hermite_interp(0.0, f(0.0), df(0.0), 2.0, f(2.0), df(2.0), 1.3)
     np.testing.assert_allclose(out, f(1.3), rtol=1e-12)
+
+
+def test_fill_forward_missing_data():
+    from paddlexde_tpu.interpolation import fill_forward
+
+    x = jnp.asarray([
+        [np.nan, 1.0], [2.0, np.nan], [np.nan, np.nan], [4.0, 5.0],
+    ])  # [T=4, D=2]
+    filled = fill_forward(x)
+    np.testing.assert_allclose(
+        np.asarray(filled), [[2.0, 1.0], [2.0, 1.0], [2.0, 1.0], [4.0, 5.0]]
+    )
+    # batched
+    xb = jnp.stack([x, x + 10])
+    fb = fill_forward(xb)
+    assert fb.shape == xb.shape and not bool(jnp.any(jnp.isnan(fb)))
