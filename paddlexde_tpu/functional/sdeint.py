@@ -220,6 +220,12 @@ def sdeint(
     y0 = jax.tree.map(jnp.asarray, y0)
 
     leaves = jax.tree.leaves(y0)
+    if len(leaves) != 1:
+        raise ValueError(
+            "sdeint's diagonal-noise contract requires a single-array state "
+            f"(got a pytree with {len(leaves)} leaves); flatten the state or "
+            "drive each member with its own Brownian motion"
+        )
     need_levy = isinstance(solver, str) and solver.lower() == "sra1"
     if bm is None:
         try:  # concrete spans give tol->depth a chance; traced spans are fine too

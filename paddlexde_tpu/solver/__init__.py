@@ -9,6 +9,7 @@ from .registry import (  # noqa: F401
     Dopri8,
     Euler,
     Fehlberg2,
+    ImplicitEuler,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

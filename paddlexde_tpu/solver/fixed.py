@@ -89,10 +89,17 @@ def rk4_step(term: XDETerm, t0, t1, y0):
     return term.fuse(dy, dt, y0), k1
 
 
+def _implicit_euler_step(term, t0, t1, y0):
+    from .implicit import implicit_euler_step
+
+    return implicit_euler_step(term, t0, t1, y0)
+
+
 FIXED_STEP_FNS = {
     "euler": (euler_step, 1),
     "midpoint": (midpoint_step, 2),
     "rk4": (rk4_step, 4),
+    "implicit_euler": (_implicit_euler_step, 1),
 }
 
 

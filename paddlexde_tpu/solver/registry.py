@@ -23,6 +23,7 @@ __all__ = [
     "Bosh3",
     "Dopri5",
     "Dopri8",
+    "ImplicitEuler",
     "ScipyWrapperODESolver",
     "SOLVERS",
 ]
@@ -50,6 +51,7 @@ Fehlberg2 = SolverSpec("fehlberg2", "adaptive", 2)
 Bosh3 = SolverSpec("bosh3", "adaptive", 3)
 Dopri5 = SolverSpec("dopri5", "adaptive", 5)
 Dopri8 = SolverSpec("dopri8", "adaptive", 8)
+ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1)
 ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
 
 SOLVERS = {
@@ -65,6 +67,8 @@ SOLVERS = {
     "bosh3": Bosh3,
     "dopri5": Dopri5,
     "dopri8": Dopri8,
+    "implicit_euler": ImplicitEuler,
+    "backward_euler": ImplicitEuler,
     "scipy_solver": ScipyWrapperODESolver,
 }
 
