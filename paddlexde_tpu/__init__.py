@@ -44,6 +44,7 @@ from .interpolation import (  # noqa: F401
     BezierSpline,
     CubicHermiteSpline,
     LinearInterpolation,
+    NaturalCubicSpline,
 )
 from .xde import (  # noqa: F401
     HistoryIndex,

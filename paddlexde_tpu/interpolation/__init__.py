@@ -4,4 +4,5 @@ from .interpolate import (  # noqa: F401
     CubicHermiteSpline,
     InterpolationBase,
     LinearInterpolation,
+    NaturalCubicSpline,
 )

@@ -158,3 +158,60 @@ def test_fill_forward_missing_data():
     xb = jnp.stack([x, x + 10])
     fb = fill_forward(xb)
     assert fb.shape == xb.shape and not bool(jnp.any(jnp.isnan(fb)))
+
+
+class TestNaturalCubicSpline:
+    def test_sin_accuracy(self):
+        from paddlexde_tpu.interpolation import NaturalCubicSpline
+
+        t = jnp.arange(0, 20, 0.05, dtype=jnp.float64)
+        series = jnp.sin(t)[None, :, None]
+        sp = NaturalCubicSpline(series, t)
+        te = jnp.asarray([7.321])
+        np.testing.assert_allclose(sp.evaluate(te)[0, 0, 0], np.sin(7.321), rtol=1e-7)
+        np.testing.assert_allclose(sp.derivative(te)[0, 0, 0], np.cos(7.321), rtol=1e-5)
+
+    def test_exact_at_knots_and_batched(self):
+        from paddlexde_tpu.interpolation import NaturalCubicSpline
+
+        rng = np.random.RandomState(0)
+        series = jnp.asarray(rng.randn(3, 25, 4))
+        t = jnp.asarray(np.sort(rng.rand(25)) * 5)
+        sp = NaturalCubicSpline(series, t)
+        np.testing.assert_allclose(
+            np.asarray(sp.evaluate(t[:-1])), np.asarray(series[:, :-1]),
+            rtol=1e-8, atol=1e-9,
+        )
+        # batch correctness: each batch member must reproduce its OWN values
+        # (catches flattening-layout mistakes)
+        single = NaturalCubicSpline(series[1:2], t)
+        te = jnp.asarray([1.234, 3.21])
+        np.testing.assert_allclose(
+            np.asarray(sp.evaluate(te)[1]), np.asarray(single.evaluate(te)[0]),
+            rtol=1e-10,
+        )
+
+    def test_c2_continuity(self):
+        from paddlexde_tpu.interpolation import NaturalCubicSpline
+
+        rng = np.random.RandomState(2)
+        series = jnp.asarray(rng.randn(1, 12, 2))
+        t = jnp.arange(12.0)
+        sp = NaturalCubicSpline(series, t)
+        eps = 1e-6
+        for knot in (3.0, 7.0):
+            d_left = np.asarray(sp.derivative(jnp.asarray([knot - eps])))
+            d_right = np.asarray(sp.derivative(jnp.asarray([knot + eps])))
+            np.testing.assert_allclose(d_left, d_right, atol=1e-4)
+
+    def test_as_cde_control(self):
+        from paddlexde_tpu import cdeint
+        from paddlexde_tpu.interpolation import NaturalCubicSpline
+
+        ts = jnp.linspace(0.0, 1.0, 33)
+        series = jnp.stack([ts, 2 * ts], axis=-1)
+        control = NaturalCubicSpline(series, ts)
+        sol = cdeint(lambda t, y: jnp.eye(2), jnp.asarray([0.5, -1.0]), ts,
+                     control, "rk4", time_axis=0)
+        expect = jnp.asarray([0.5, -1.0])[None] + series - series[0]
+        np.testing.assert_allclose(np.asarray(sol), np.asarray(expect), rtol=1e-5, atol=1e-7)
