@@ -36,6 +36,7 @@ from .solver import (  # noqa: F401
     Dopri8,
     Euler,
     Fehlberg2,
+    ImplicitEuler,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

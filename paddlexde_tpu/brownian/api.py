@@ -120,8 +120,14 @@ class BrownianInterval(BaseBrownian):
             raise ValueError(
                 "space-time Lévy area requested but levy_area_approximation='none'"
             )
-        # NB: a Lévy-configured interval routes ALL queries (even plain-W ones)
-        # through the joint (W, U) descent so W is identical across query modes
+        # A Lévy-configured interval routes ALL queries (even plain-W ones)
+        # through the joint (W, U) descent so W is identical across query
+        # modes; the O(D^2) area matrix is only computed when requested (it is
+        # sampled from an independent per-query key, so skipping it cannot
+        # change W or U).
+        levy_mode = self._levy if return_A else (
+            "space-time" if self._levy != "none" else "none"
+        )
         w, u, a = brownian_pair(
             self._key,
             self._t0,
@@ -132,7 +138,7 @@ class BrownianInterval(BaseBrownian):
             self._dtype,
             self._depth,
             self._w_total,
-            levy=self._levy if not return_A else self._levy,
+            levy=levy_mode,
         )
         if return_U and return_A:
             return w, u, a

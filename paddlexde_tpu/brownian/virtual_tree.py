@@ -47,12 +47,15 @@ _DEFAULT_DEPTH = 24
 
 
 def tol_to_depth(t0: float, t1: float, tol: Optional[float]) -> int:
+    """depth cap 28: node ids grow as ~2^(depth+2) and the Lévy descent folds
+    2*node+1, which must stay below 2^31 to avoid uint32 wraparound colliding
+    with other nodes' (and the root samples') fold keys."""
     if tol is None or tol <= 0:
         return _DEFAULT_DEPTH
     span = abs(float(t1) - float(t0))
     if span == 0:
         return 1
-    return max(1, min(40, int(math.ceil(math.log2(span / tol)))))
+    return max(1, min(28, int(math.ceil(math.log2(span / tol)))))
 
 
 def brownian_value(key, t0, t1, s, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH, w_total=None):

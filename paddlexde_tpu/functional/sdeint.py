@@ -255,11 +255,13 @@ def sdeint(
     if not (is_milstein or is_sra1 or is_heun_strat):
         from ..solver.registry import resolve_solver
 
-        if resolve_solver(solver).kind != "fixed":
+        spec = resolve_solver(solver)
+        if spec.kind != "fixed" or spec.name == "implicit_euler":
             raise ValueError(
-                "sdeint requires a fixed-step solver (euler/midpoint/rk4/"
-                "milstein): adaptive embedded-RK error control is not defined "
-                "for the Ito increment pair this term produces"
+                "sdeint requires an explicit fixed-step solver (euler/midpoint/"
+                "rk4) or an SDE scheme (milstein/sra1/heun_stratonovich): "
+                "adaptive error control and implicit Newton steps are not "
+                "defined for the Ito increment pair this term produces"
             )
 
     decreasing = reverse or _is_decreasing(t_span)

@@ -95,12 +95,17 @@ class Trainer:
 
         self._build_data(data)
         self._build_model(adj_matrix, sc_matrix)
+        self._build_optim(finetune=False)
+        self.resume_epoch = None
         if cfg.continue_training:
             try:
+                # load AFTER optimizer init so a full-state sidecar's optimizer
+                # moments / phase flag survive; then re-derive the phase LRs
+                # without re-initializing the restored opt_state
                 self.load()
+                self._set_phase_lr(self.finetune)
             except FileNotFoundError:
                 self.logger.warning("continue_training set but no checkpoint found")
-        self._build_optim(finetune=False)
         self._compile_steps()
 
     # ------------------------------------------------------------------ data
@@ -148,10 +153,7 @@ class Trainer:
         self.lr_schedule = cosine_annealing_with_warmup(
             max_lr=1.0, min_lr=0.1, warmup_step=cfg.warmup_step, decay_step=cfg.decay_step
         )
-        if finetune:
-            self.base_lr = {"net": 0.0, "lags": cfg.learning_rate}
-        else:
-            self.base_lr = {"net": cfg.learning_rate, "lags": cfg.learning_rate * 0.1}
+        self._set_phase_lr(finetune)
         self.tx = optax.chain(
             optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
             optax.scale_by_adam(),
@@ -159,6 +161,13 @@ class Trainer:
         state = {"net": self.params, "enc_idx": self.encoder_idx, "dec_idx": self.decoder_idx}
         self.opt_state = self.tx.init(state)
         self.finetune = finetune
+
+    def _set_phase_lr(self, finetune: bool):
+        cfg = self.cfg
+        if finetune:
+            self.base_lr = {"net": 0.0, "lags": cfg.learning_rate}
+        else:
+            self.base_lr = {"net": cfg.learning_rate, "lags": cfg.learning_rate * 0.1}
 
     # ---------------------------------------------------------------- steps
     def _forward(self, net_params, enc_idx, dec_idx, src, rng=None):
@@ -252,6 +261,9 @@ class Trainer:
         self.logger.info("start train...")
         best_eval_loss, best_epoch = np.inf, 0
         epoch = cfg.start_epoch
+        if getattr(self, "resume_epoch", None):
+            epoch = self.resume_epoch
+            self.logger.info(f"resuming from epoch {epoch}")
         s_time = time()
 
         while epoch < cfg.train_epochs + cfg.finetune_epochs:
@@ -302,7 +314,7 @@ class Trainer:
             if eval_loss < best_eval_loss:
                 best_eval_loss, best_epoch = eval_loss, epoch
                 self.logger.info(f"best_epoch: {best_epoch}, eval_loss: {eval_loss}")
-                self.save(epoch=epoch)
+                self.save(epoch=epoch, full_state=True)
                 self.save()
 
             self.early_stopping(eval_loss)
@@ -405,6 +417,7 @@ class Trainer:
                         "opt_state": jax.tree.map(np.asarray, self.opt_state),
                         "finetune": self.finetune,
                         "kl_loss_weight": self.kl_loss_weight,
+                        "epoch": epoch,
                     },
                     f,
                 )
@@ -424,4 +437,6 @@ class Trainer:
             self.opt_state = jax.tree.map(jnp.asarray, extra["opt_state"])
             self.finetune = extra["finetune"]
             self.kl_loss_weight = extra["kl_loss_weight"]
+            if extra.get("epoch") is not None:
+                self.resume_epoch = extra["epoch"] + 1
         self.logger.info(f"load weight from: {pf}")

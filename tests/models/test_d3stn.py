@@ -280,3 +280,34 @@ def test_full_state_checkpoint_roundtrip(tmp_path):
     tr.load()
     for a, b in zip(jax.tree.leaves(tr.opt_state), opt_before):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_continue_training_resumes_full_state(tmp_path):
+    """cfg.continue_training=True restores optimizer moments, phase flag and
+    next epoch from a full-state checkpoint (the resume flow end-to-end)."""
+    cfg = tiny_cfg(tmp_path, train_epochs=1, finetune_epochs=0)
+    data = synthetic_traffic_npz(num_nodes=N_NODES, seq_len=288 * 2)
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    tr = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc)
+    src, tgt = next(tr.train_dataset.batches(cfg.batch_size))
+    out = tr._train_step(tr.state, tr.opt_state, jnp.asarray(src), jnp.asarray(tgt),
+                         jnp.asarray(0.0), jnp.asarray(1e-3), jnp.asarray(1e-4),
+                         jax.random.key(0))
+    tr._set_state(out[0]); tr.opt_state = out[1]
+    tr.finetune = True
+    tr.save(epoch=3, full_state=True)
+    tr.save()  # "best" alias the resume path loads
+    import shutil
+    best_pf = tr._ckpt_files(None)[0]
+    shutil.copy(tr._ckpt_files(3)[0] + ".opt", best_pf + ".opt")
+    opt_before = jax.tree.leaves(tr.opt_state)
+
+    cfg2 = tiny_cfg(tmp_path, train_epochs=1, finetune_epochs=0,
+                    continue_training=True)
+    tr2 = Trainer(cfg2, data=data, adj_matrix=adj, sc_matrix=sc)
+    assert tr2.finetune is True
+    assert tr2.base_lr["net"] == 0.0  # finetune-phase LRs re-derived
+    assert tr2.resume_epoch == 4
+    for a, b in zip(jax.tree.leaves(tr2.opt_state), opt_before):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
