@@ -281,11 +281,21 @@ class Trainer:
             tr_s = time()
             n_batches = 0
             epoch_loss = 0.0
-            for src, tgt in self.train_dataset.batches(
-                cfg.batch_size, shuffle=True, seed=cfg.seed + epoch, drop_last=True
-            ):
-                src = self._device_put(src)
-                tgt = self._device_put(tgt)
+            from ...utils.data import prefetch
+
+            batch_iter = prefetch(
+                self.train_dataset.batches(
+                    cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
+                    drop_last=True,
+                ),
+                depth=2,
+                # snapshot the reused host buffers before upload (device_put
+                # aliases zero-copy on CPU; async H2D on accelerators)
+                transfer=lambda b: jax.block_until_ready(
+                    (self._device_put(np.array(b[0])), self._device_put(np.array(b[1])))
+                ),
+            )
+            for src, tgt in batch_iter:
                 state, opt_state, loss, align = self._train_step(
                     state, opt_state, src, tgt,
                     jnp.asarray(self.kl_loss_weight, jnp.float32),

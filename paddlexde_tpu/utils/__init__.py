@@ -10,3 +10,4 @@ from .ode_utils import (  # noqa: F401
 )
 from .misc import flat_to_shape  # noqa: F401
 from .profiling import RunningAverageMeter, Timer, trace  # noqa: F401
+from .data import prefetch  # noqa: F401
