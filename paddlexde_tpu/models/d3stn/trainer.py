@@ -364,7 +364,10 @@ class Trainer:
         for src, tgt in self.test_dataset.batches(self.cfg.batch_size):
             p = self._pred_step(self.state, self._device_put(src))
             preds.append(np.asarray(p))
-            trues.append(np.asarray(tgt[..., :1]))
+            # np.array (copy!): tgt is a view of the dataset's REUSED batch
+            # buffer — an alias here would silently make every collected batch
+            # equal to the last one
+            trues.append(np.array(tgt[..., :1]))
         preds = self.test_dataset.inverse_transform(np.concatenate(preds, 0))
         trues = self.test_dataset.inverse_transform(np.concatenate(trues, 0))
 

@@ -311,3 +311,34 @@ def test_continue_training_resumes_full_state(tmp_path):
     assert tr2.resume_epoch == 4
     for a, b in zip(jax.tree.leaves(tr2.opt_state), opt_before):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_test_metrics_collect_distinct_batches(tmp_path):
+    """compute_test_loss must snapshot targets per batch: the dataset reuses
+    its batch buffers, so aliasing would collapse all collected batches into
+    the last one (regression: MAE jumped 14 -> 52 on TPU before the copy)."""
+    cfg = tiny_cfg(tmp_path, batch_size=2)
+    data = synthetic_traffic_npz(num_nodes=N_NODES, seq_len=288 * 3)
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    tr = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc)
+
+    # ground truth assembled per-item (no buffer reuse)
+    want = np.stack([tr.test_dataset[i][1][..., :1] for i in range(len(tr.test_dataset))])
+
+    collected = []
+    for src, tgt in tr.test_dataset.batches(cfg.batch_size):
+        collected.append(np.array(tgt[..., :1]))
+    got = np.concatenate(collected, 0)
+    np.testing.assert_array_equal(got, want)
+
+    res = tr.compute_test_loss()
+    # recompute the overall MAE independently from per-item data
+    preds = []
+    for src, tgt in tr.test_dataset.batches(cfg.batch_size):
+        preds.append(np.asarray(tr._pred_step(tr.state, jnp.asarray(src))))
+    preds = tr.test_dataset.inverse_transform(np.concatenate(preds, 0))
+    trues = tr.test_dataset.inverse_transform(want)
+    from paddlexde_tpu.models.d3stn import MAE
+
+    np.testing.assert_allclose(res["mae"], MAE(trues.reshape(-1, 1), preds.reshape(-1, 1)), rtol=1e-6)

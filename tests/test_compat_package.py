@@ -14,6 +14,24 @@ def test_reference_import_sites():
         LinearInterpolation,
     )
     from paddlexde.utils.brownian import BrownianInterval  # noqa: F401
+    from paddlexde.solver import RK4 as RK4_b  # noqa: F401
+    from paddlexde.solver.fixed_solver import (  # noqa: F401
+        AdamsBashforthMoulton,
+    )
+    from paddlexde.solver.adaptive_solver import (  # noqa: F401
+        AdaptiveHeun,
+        Bosh3,
+        Dopri5,
+        Dopri8,
+        Fehlberg2,
+    )
+    from paddlexde.functional import sdeint, sdeint_adjoint  # noqa: F401
+    from paddlexde.functional import ddeint_adjoint  # noqa: F401
+    from paddlexde.interpolation import (  # noqa: F401
+        BezierSpline,
+        CubicHermiteSpline,
+        LinearInterpolation,
+    )
     import paddlexde
 
     assert paddlexde.__version__
