@@ -51,24 +51,38 @@ def sdeint_adjoint(
 ):
     """Like :func:`sdeint` but with O(1)-memory, discrete-exact gradients.
 
-    Restrictions (asserted): fixed-step solver, grid == t_span (the default
-    and the reference's SDE semantics), forward time. ``adjoint_params`` is
-    accepted for signature parity and ignored (closure_convert discovers
-    parameters automatically).
+    Restrictions (asserted): explicit fixed-step solver or SDE scheme
+    (milstein/sra1/heun_stratonovich), grid == t_span (the default and the
+    reference's SDE semantics), forward time. ``adjoint_params`` is accepted
+    for signature parity and ignored (closure_convert discovers parameters
+    automatically).
     """
     del adjoint_params
-    spec = resolve_solver(solver)
-    if spec.kind != "fixed":
-        raise ValueError("sdeint_adjoint supports fixed-step solvers (euler/midpoint/rk4)")
+    solver_name = solver.lower() if isinstance(solver, str) else ""
+    scheme = solver_name if solver_name in (
+        "milstein", "sra1", "heun_stratonovich", "stratonovich_heun"
+    ) else None
+    if scheme is None:
+        spec = resolve_solver(solver)
+        if spec.kind != "fixed" or spec.name == "implicit_euler":
+            raise ValueError(
+                "sdeint_adjoint supports explicit fixed-step solvers "
+                "(euler/midpoint/rk4) and SDE schemes (milstein/sra1/"
+                "heun_stratonovich)"
+            )
+        step_fn, _ = FIXED_STEP_FNS[spec.name]
+    else:
+        step_fn, _ = FIXED_STEP_FNS["euler"]  # scheme lives in the term's move/fuse
     if reverse:
         raise NotImplementedError("sdeint_adjoint with reverse=True: solve forward and flip")
     if options and ("step_size" in options or "grid_constructor" in options):
         raise NotImplementedError("sdeint_adjoint requires grid == t_span")
-    step_fn, _ = FIXED_STEP_FNS[spec.name]
 
     t_span = jnp.asarray(t_span)
     y0 = jax.tree.map(jnp.asarray, y0)
     leaves = jax.tree.leaves(y0)
+    if scheme == "sra1" and levy_area_approximation == "none" and bm is None:
+        levy_area_approximation = "space-time"
     if bm is None:
         try:
             t_lo, t_hi = float(jnp.min(t_span)), float(jnp.max(t_span))
@@ -85,8 +99,19 @@ def sdeint_adjoint(
     diff_c, diff_consts = jax.closure_convert(lambda t, y: diffusion(t, y), t0, y0)
     drift_consts, diff_consts = tuple(drift_consts), tuple(diff_consts)
 
+    from .sdeint import make_heun_stratonovich_term, make_milstein_term, make_sra1_term
+
+    _TERM_BUILDERS = {
+        None: make_sde_term,
+        "milstein": make_milstein_term,
+        "sra1": make_sra1_term,
+        "heun_stratonovich": make_heun_stratonovich_term,
+        "stratonovich_heun": make_heun_stratonovich_term,
+    }
+    term_builder = _TERM_BUILDERS[scheme]
+
     def one_step(y, t_a, t_b, d_consts, g_consts):
-        term = make_sde_term(
+        term = term_builder(
             lambda t, y_: drift_c(t, y_, *d_consts),
             lambda t, y_: diff_c(t, y_, *g_consts),
             bm,

@@ -262,3 +262,29 @@ def test_heun_stratonovich_gbm():
     err_ito = float(jnp.mean(jnp.abs(sol[-1] - ito_exact)))
     assert err_strat < 0.05, err_strat
     assert err_strat < err_ito * 0.5  # clearly Stratonovich, not Ito
+
+
+@pytest.mark.parametrize("scheme", ["milstein", "heun_stratonovich", "sra1"])
+def test_sdeint_adjoint_schemes_exact(scheme):
+    """Discrete-exact adjoint for the extended SDE schemes too."""
+    from paddlexde_tpu import sdeint_adjoint
+
+    y0 = jnp.ones((16,))
+    ts = jnp.linspace(0.0, 0.5, 9)
+    if scheme == "sra1":
+        diff = lambda theta: (lambda t, y: theta["sig"] * jnp.ones_like(y))
+    else:
+        diff = lambda theta: (lambda t, y: theta["sig"] * y)
+    theta0 = {"mu": jnp.asarray(0.4), "sig": jnp.asarray(0.3)}
+
+    def make_loss(fn):
+        def loss(theta):
+            sol = fn(lambda t, y: theta["mu"] * y, diff(theta), y0, ts, scheme,
+                     key=5, time_axis=0)
+            return jnp.mean(sol[-1] ** 2)
+        return loss
+
+    g_direct = jax.grad(make_loss(sdeint))(theta0)
+    g_adj = jax.grad(make_loss(sdeint_adjoint))(theta0)
+    np.testing.assert_allclose(g_adj["mu"], g_direct["mu"], rtol=1e-9)
+    np.testing.assert_allclose(g_adj["sig"], g_direct["sig"], rtol=1e-9)
