@@ -159,3 +159,24 @@ def test_cdeint_adjoint_grads():
     g_direct = jax.grad(make_loss(False))(w0)
     g_adj = jax.grad(make_loss(True))(w0)
     np.testing.assert_allclose(g_adj, g_direct, rtol=5e-3, atol=1e-7)
+
+
+def test_lag_gradient_vs_finite_differences():
+    """The learnable-lag gradient (the delay-selection mechanism) against
+    central finite differences through the full ddeint pipeline."""
+    his, his_span, lags, y0, t_span = _setup(seed=3)
+    w = jnp.asarray(np.random.RandomState(4).randn(D, D) * 0.2)
+
+    def loss(lags_):
+        sol, y_lags = ddeint(
+            lambda y_lags, y: jnp.tanh(jnp.mean(y_lags, axis=1, keepdims=True) @ w + y),
+            y0, t_span, lags_, his, his_span, "euler",
+        )
+        return jnp.sum(sol**2) + 0.1 * jnp.sum(y_lags**2)
+
+    g = jax.grad(loss)(lags)
+    eps = 1e-5
+    for i in range(L):
+        e = jnp.zeros(L).at[i].set(eps)
+        fd = (loss(lags + e) - loss(lags - e)) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=5e-4, atol=1e-7)
