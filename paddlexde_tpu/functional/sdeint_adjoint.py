@@ -26,8 +26,21 @@ import jax.numpy as jnp
 from ..brownian.api import BrownianInterval
 from ..solver.fixed import FIXED_STEP_FNS
 from ..solver.registry import resolve_solver
-from .sdeint import make_sde_term
+from .sdeint import (
+    make_heun_stratonovich_term,
+    make_milstein_term,
+    make_sde_term,
+    make_sra1_term,
+)
 from .solve import format_solution
+
+_TERM_BUILDERS = {
+    None: make_sde_term,
+    "milstein": make_milstein_term,
+    "sra1": make_sra1_term,
+    "heun_stratonovich": make_heun_stratonovich_term,
+    "stratonovich_heun": make_heun_stratonovich_term,
+}
 
 __all__ = ["sdeint_adjoint"]
 
@@ -81,6 +94,11 @@ def sdeint_adjoint(
     t_span = jnp.asarray(t_span)
     y0 = jax.tree.map(jnp.asarray, y0)
     leaves = jax.tree.leaves(y0)
+    if len(leaves) != 1:
+        raise ValueError(
+            "sdeint_adjoint's diagonal-noise contract requires a single-array "
+            f"state (got a pytree with {len(leaves)} leaves)"
+        )
     if scheme == "sra1" and levy_area_approximation == "none" and bm is None:
         levy_area_approximation = "space-time"
     if bm is None:
@@ -99,15 +117,6 @@ def sdeint_adjoint(
     diff_c, diff_consts = jax.closure_convert(lambda t, y: diffusion(t, y), t0, y0)
     drift_consts, diff_consts = tuple(drift_consts), tuple(diff_consts)
 
-    from .sdeint import make_heun_stratonovich_term, make_milstein_term, make_sra1_term
-
-    _TERM_BUILDERS = {
-        None: make_sde_term,
-        "milstein": make_milstein_term,
-        "sra1": make_sra1_term,
-        "heun_stratonovich": make_heun_stratonovich_term,
-        "stratonovich_heun": make_heun_stratonovich_term,
-    }
     term_builder = _TERM_BUILDERS[scheme]
 
     def one_step(y, t_a, t_b, d_consts, g_consts):

@@ -129,12 +129,13 @@ class TrafficFlowDataset:
                 time_major=False):
         """Yield (his, tgt) numpy batches.
 
-        Default layout is the model's ``[B, N, T, 3]``. ``time_major=True``
-        yields ``[B, T, N, 3]`` views of REUSED preallocated buffers filled
-        with contiguous ``np.copyto`` memcpys — ~160x faster per batch than
-        stacking fresh arrays (fresh 30MB allocations page-fault; measured
-        3 ms vs 500 ms at PEMS08 scale). The consumer must upload/copy before
-        the next iteration (``jax.device_put`` does) and transpose on device.
+        Both layouts fill REUSED preallocated buffers with ``np.copyto``
+        (fresh per-batch allocations page-fault: measured 500 ms -> 112 ms per
+        PEMS08-scale batch). Default layout is the model's ``[B, N, T, 3]``;
+        ``time_major=True`` yields ``[B, T, N, 3]`` (contiguous source slices;
+        transpose on device if needed). The consumer MUST snapshot/upload each
+        batch before advancing the iterator (``utils.data.prefetch`` does;
+        plain ``np.asarray``/``jax.device_put`` alias and do not).
         """
         cfg = self.cfg
         starts = np.asarray([w[0] for w in self.windows])

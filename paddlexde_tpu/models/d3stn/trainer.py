@@ -29,6 +29,7 @@ import numpy as np
 import optax
 
 from ...functional.ddeint import ddeint
+from ...utils.data import prefetch
 from ...xde.history import history_index
 from .config import D3STNConfig
 from .dataset import TrafficFlowDataset
@@ -281,8 +282,6 @@ class Trainer:
             tr_s = time()
             n_batches = 0
             epoch_loss = 0.0
-            from ...utils.data import prefetch
-
             batch_iter = prefetch(
                 self.train_dataset.batches(
                     cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
