@@ -25,6 +25,7 @@ from .functional import (  # noqa: F401
     ddeint_adjoint,
     odeint,
     odeint_adjoint,
+    odeint_event,
     sdeint,
     sdeint_adjoint,
 )

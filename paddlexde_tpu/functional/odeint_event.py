@@ -1,0 +1,162 @@
+"""odeint_event: integrate until an event function crosses zero.
+
+A capability BEYOND the reference (torchdiffeq grew ``odeint_event``; the
+reference never did): integrate ``dy/dt = func(t, y)`` from ``t0`` until
+``event_fn(t, y)`` changes sign, and return the event time and state.
+
+TPU-native construction: the adaptive engine's ``lax.while_loop`` runs until
+the accepted step brackets a sign change (or ``t_max``/step budget), then the
+event time is located by bisection ON THE QUARTIC DENSE OUTPUT of the
+bracketing step — no extra vector-field evaluations for the root find, and the
+whole thing is one jittable/differentiable-via-implicit-fn program (event-time
+gradients are future work; values are jit/vmap-safe).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.adaptive import (
+    MAX_STEPS_EXCEEDED,
+    RKState,
+    TABLEAUS,
+    make_adaptive_step,
+)
+from ..solver.registry import resolve_solver
+from ..utils.norms import rms_norm
+from ..utils.ode_utils import interp_evaluate, select_initial_step
+from ..xde.term import ode_term
+
+__all__ = ["odeint_event", "EventResult"]
+
+
+class EventResult(NamedTuple):
+    t_event: jax.Array  # event time (== t_max when no event fired)
+    y_event: any  # state at the event
+    event_fired: jax.Array  # bool
+    status: jax.Array  # solver status flags
+
+
+def odeint_event(
+    func: Callable,
+    y0,
+    t0,
+    event_fn: Callable,
+    solver="dopri5",
+    *,
+    t_max=None,
+    rtol=1e-7,
+    atol=1e-9,
+    norm=rms_norm,
+    max_num_steps: int = 10_000,
+    bisect_iters: int = 50,
+    first_step=None,
+) -> EventResult:
+    """Integrate until ``event_fn(t, y)`` crosses zero.
+
+    Args:
+        func: vector field ``func(t, y)``.
+        y0: initial state (pytree).
+        t0: start time.
+        event_fn: scalar event function; the event fires at its first sign
+            change relative to ``event_fn(t0, y0)``.
+        solver: an ADAPTIVE solver (the quartic dense output does the root
+            bracketing); strings or markers.
+        t_max: integration horizon (default ``t0 + 1e10`` — effectively until
+            the event or the step budget).
+        bisect_iters: bisection steps on the dense output (50 ≈ machine eps).
+
+    Returns:
+        :class:`EventResult` — ``t_event``, ``y_event``, ``event_fired``,
+        ``status``.
+    """
+    spec = resolve_solver(solver)
+    if spec.kind != "adaptive":
+        raise ValueError("odeint_event requires an adaptive solver (e.g. 'dopri5')")
+    tableau = TABLEAUS[spec.name]
+
+    term = ode_term(func)
+    t0 = jnp.asarray(t0)
+    time_dtype = jnp.result_type(t0.dtype, jnp.float32)
+    t0 = t0.astype(time_dtype)
+    t_end = (
+        jnp.asarray(t_max, time_dtype)
+        if t_max is not None
+        else t0 + jnp.asarray(1e10, time_dtype)
+    )
+
+    y0 = jax.tree.map(jnp.asarray, y0)
+    f0 = term.move(t0, t_end - t0, y0)
+    if first_step is None:
+        dt0 = select_initial_step(
+            term.move, t0, y0, tableau.order - 1, rtol, atol, norm=norm, f0=f0
+        )
+    else:
+        dt0 = jnp.asarray(first_step, time_dtype)
+
+    step = make_adaptive_step(
+        term, tableau, rtol, atol, norm,
+        jnp.asarray(0.9, time_dtype), jnp.asarray(10.0, time_dtype),
+        jnp.asarray(0.2, time_dtype), jnp.asarray(0.0, time_dtype),
+        jnp.asarray(jnp.inf, time_dtype), None, None, time_dtype,
+    )
+
+    zero_coeff = [y0] + [jax.tree.map(jnp.zeros_like, y0)] * 4
+    state0 = RKState(
+        y1=y0, f1=f0, t0=t0, t1=t0, dt=dt0.astype(time_dtype),
+        interp_coeff=zero_coeff,
+        next_step_index=jnp.zeros((), jnp.int32),
+        next_jump_index=jnp.zeros((), jnp.int32),
+        nfe=jnp.ones((), jnp.int32),
+        n_accept=jnp.zeros((), jnp.int32),
+        n_reject=jnp.zeros((), jnp.int32),
+        status=jnp.zeros((), jnp.int32),
+    )
+
+    sign0 = jnp.sign(jnp.asarray(event_fn(t0, y0), time_dtype))
+
+    def crossed(s: RKState):
+        val = jnp.asarray(event_fn(s.t1, s.y1), time_dtype)
+        return (jnp.sign(val) != sign0) & (s.t1 > s.t0)
+
+    def cond(carry):
+        s, n = carry
+        return (
+            (~crossed(s))
+            & (s.t1 < t_end)
+            & (n < max_num_steps)
+            & (s.status == 0)
+        )
+
+    def body(carry):
+        s, n = carry
+        return step(s), n + 1
+
+    final, n_taken = jax.lax.while_loop(cond, body, (state0, jnp.zeros((), jnp.int32)))
+    fired = crossed(final)
+    status = final.status | jnp.where(
+        (~fired) & (final.t1 < t_end) & (n_taken >= max_num_steps),
+        MAX_STEPS_EXCEEDED,
+        0,
+    )
+
+    # bisection for the crossing time on the bracketing step's dense output
+    def eval_at(t):
+        return interp_evaluate(final.interp_coeff, final.t0, final.t1, t)
+
+    def bisect_body(_, bracket):
+        lo, hi = bracket
+        mid = 0.5 * (lo + hi)
+        val = jnp.asarray(event_fn(mid, eval_at(mid)), time_dtype)
+        same_side = jnp.sign(val) == sign0
+        return (jnp.where(same_side, mid, lo), jnp.where(same_side, hi, mid))
+
+    lo0 = final.t0
+    hi0 = final.t1
+    lo, hi = jax.lax.fori_loop(0, bisect_iters, bisect_body, (lo0, hi0))
+    t_event = jnp.where(fired, hi, jnp.minimum(final.t1, t_end))
+    y_event = eval_at(t_event)
+    return EventResult(t_event=t_event, y_event=y_event, event_fired=fired, status=status)
