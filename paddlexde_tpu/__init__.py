@@ -26,6 +26,7 @@ from .functional import (  # noqa: F401
     odeint,
     odeint_adjoint,
     odeint_event,
+    odeint_event_grad,
     sdeint,
     sdeint_adjoint,
 )

@@ -5,4 +5,4 @@ from .odeint import odeint  # noqa: F401
 from .odeint_adjoint import odeint_adjoint  # noqa: F401
 from .sdeint import sdeint  # noqa: F401
 from .sdeint_adjoint import sdeint_adjoint  # noqa: F401
-from .odeint_event import EventResult, odeint_event  # noqa: F401
+from .odeint_event import EventResult, odeint_event, odeint_event_grad  # noqa: F401
