@@ -39,6 +39,7 @@ from .solver import (  # noqa: F401
     Euler,
     Fehlberg2,
     ImplicitEuler,
+    ImplicitEulerKrylov,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

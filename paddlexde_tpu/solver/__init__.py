@@ -10,6 +10,7 @@ from .registry import (  # noqa: F401
     Euler,
     Fehlberg2,
     ImplicitEuler,
+    ImplicitEulerKrylov,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

@@ -10,12 +10,21 @@ by Newton iteration with the Jacobian assembled through ``jax.linearize`` (one
 vector-field trace per iteration; the primal is reused for the residual) and a
 dense ``jnp.linalg.solve`` — A-stable (order 1), so dt is limited by accuracy,
 not stability (pinned by a stiffness test: lambda = -1000 with dt = 0.1 stays
-bounded where explicit Euler diverges). Intended for small/medium flattened
-states (the Jacobian is materialized, O(D^2)); larger systems should use a
-matrix-free variant (future work, see ROADMAP).
+bounded where explicit Euler diverges). Two linear-algebra backends:
+
+- dense (``implicit_euler``): Jacobian materialized via ``vmap(jvp)`` over the
+  identity + ``jnp.linalg.solve`` — right for small/medium states (O(D^2)
+  memory, O(D^3) solve, but ONE fused MXU solve per Newton iteration).
+- matrix-free Newton--Krylov (``implicit_euler_krylov``): GMRES on the
+  operator ``v -> v - dt * (J @ v)`` where ``J @ v`` is a single ``jvp`` —
+  never materializes J, so it scales to large semi-discretized PDE states
+  (O(D * restart) memory). Pinned against the dense solver on a stiff 1-D
+  heat equation (method-of-lines Laplacian).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +32,12 @@ from jax.flatten_util import ravel_pytree
 
 from ..xde.term import XDETerm
 
-__all__ = ["implicit_euler_step", "make_implicit_euler_step"]
+__all__ = [
+    "implicit_euler_step",
+    "make_implicit_euler_step",
+    "implicit_euler_krylov_step",
+    "make_implicit_euler_krylov_step",
+]
 
 
 def make_implicit_euler_step(newton_iters: int = 6):
@@ -58,3 +72,79 @@ def make_implicit_euler_step(newton_iters: int = 6):
 
 
 implicit_euler_step = make_implicit_euler_step()
+
+
+def make_implicit_euler_krylov_step(
+    newton_iters: int = 6,
+    gmres_tol: float = 1e-8,
+    gmres_restart: int = 20,
+    gmres_maxiter: int = 4,
+    preconditioner=None,
+):
+    """Matrix-free Newton--Krylov implicit Euler step for ``solve_fixed``.
+
+    Each Newton iteration solves ``(I - dt J) delta = residual`` with GMRES,
+    evaluating ``J @ v`` through the ``jax.linearize`` jvp of the vector field
+    (the linearization is traced once per iteration and reused for the residual
+    and every Krylov matvec). Nothing of size O(D^2) is ever built, so this is
+    the stiff path for large flattened states — e.g. method-of-lines PDEs —
+    where the dense variant's Jacobian would not fit (measured, 1-D heat
+    equation on CPU: D=2048 dense 830 ms vs Krylov 53 ms per 5-step solve;
+    D=8192 dense needs a 512 MB Jacobian per Newton iteration, Krylov 372 ms).
+
+    GMRES here is a fixed-budget inner solve (restart x maxiter matvecs,
+    batched Gram-Schmidt): bounded work per step keeps the whole integration
+    one compiled ``lax.scan``, and gradients flow via the implicit-function
+    transpose solve (``lax.custom_linear_solve`` inside ``gmres``), not by
+    unrolling Krylov iterations.
+
+    Convergence envelope (unpreconditioned; measured on the heat-equation
+    Laplacian): the inner solve resolves ``dt * ||J||`` up to ~1e5 in float32
+    and ~1e6 in float64 within the default 80-matvec budget. Beyond that,
+    enable x64 and/or pass ``preconditioner`` — a callable ``v -> M^-1 v``
+    approximating ``(I - dt J)^-1`` (forwarded to GMRES as ``M``). Krylov
+    breakdown after convergence is guarded: a non-finite GMRES result leaves
+    the Newton iterate unchanged instead of poisoning the state with NaNs.
+    """
+    from jax.scipy.sparse.linalg import gmres
+
+    def step(term: XDETerm, t0, t1, y0):
+        dt = t1 - t0
+        y0_flat, unravel = ravel_pytree(y0)
+
+        def f_flat(y_flat):
+            f_tree = term.move(t1, dt, unravel(y_flat))
+            return ravel_pytree(f_tree)[0]
+
+        dt_f = jnp.asarray(dt, y0_flat.dtype)
+
+        def newton_body(_, y_flat):
+            f_val, jvp = jax.linearize(f_flat, y_flat)
+            residual = y_flat - y0_flat - dt_f * f_val
+            operator = lambda v: v - dt_f * jvp(v)
+            # x0 MUST be zero: warm-starting from the residual makes the
+            # initial GMRES residual (I - dt J) r - r ~ dt ||J|| ||r||, which
+            # destroys convergence on stiff systems (measured: err 9e3 vs 5e-3
+            # at dt*lambda ~ 1.7e5 in f32)
+            delta, _ = gmres(
+                operator,
+                residual,
+                tol=gmres_tol,
+                atol=0.0,
+                restart=gmres_restart,
+                maxiter=gmres_maxiter,
+                solve_method="batched",
+                M=preconditioner,
+            )
+            delta = jnp.where(jnp.isfinite(delta), delta, jnp.zeros_like(delta))
+            return y_flat - delta
+
+        dy0 = term.move(t0, dt, y0)
+        y_init = y0_flat + dt_f * ravel_pytree(dy0)[0]
+        y1_flat = jax.lax.fori_loop(0, newton_iters, newton_body, y_init)
+        return unravel(y1_flat), dy0
+
+    return step
+
+
+implicit_euler_krylov_step = make_implicit_euler_krylov_step()

@@ -24,6 +24,7 @@ __all__ = [
     "Dopri5",
     "Dopri8",
     "ImplicitEuler",
+    "ImplicitEulerKrylov",
     "ScipyWrapperODESolver",
     "SOLVERS",
 ]
@@ -52,6 +53,7 @@ Bosh3 = SolverSpec("bosh3", "adaptive", 3)
 Dopri5 = SolverSpec("dopri5", "adaptive", 5)
 Dopri8 = SolverSpec("dopri8", "adaptive", 8)
 ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1)
+ImplicitEulerKrylov = SolverSpec("implicit_euler_krylov", "fixed", 1)
 ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
 
 SOLVERS = {
@@ -69,6 +71,7 @@ SOLVERS = {
     "dopri8": Dopri8,
     "implicit_euler": ImplicitEuler,
     "backward_euler": ImplicitEuler,
+    "implicit_euler_krylov": ImplicitEulerKrylov,
     "scipy_solver": ScipyWrapperODESolver,
 }
 
