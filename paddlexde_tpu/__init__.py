@@ -40,6 +40,7 @@ from .solver import (  # noqa: F401
     Fehlberg2,
     ImplicitEuler,
     ImplicitEulerKrylov,
+    SDIRK2,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

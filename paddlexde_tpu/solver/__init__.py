@@ -11,6 +11,7 @@ from .registry import (  # noqa: F401
     Fehlberg2,
     ImplicitEuler,
     ImplicitEulerKrylov,
+    SDIRK2,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

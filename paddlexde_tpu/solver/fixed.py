@@ -101,12 +101,26 @@ def _implicit_euler_krylov_step(term, t0, t1, y0):
     return implicit_euler_krylov_step(term, t0, t1, y0)
 
 
+def _sdirk2_step(term, t0, t1, y0):
+    from .implicit import sdirk2_step
+
+    return sdirk2_step(term, t0, t1, y0)
+
+
+def _sdirk2_krylov_step(term, t0, t1, y0):
+    from .implicit import sdirk2_krylov_step
+
+    return sdirk2_krylov_step(term, t0, t1, y0)
+
+
 FIXED_STEP_FNS = {
     "euler": (euler_step, 1),
     "midpoint": (midpoint_step, 2),
     "rk4": (rk4_step, 4),
     "implicit_euler": (_implicit_euler_step, 1),
     "implicit_euler_krylov": (_implicit_euler_krylov_step, 1),
+    "sdirk2": (_sdirk2_step, 2),
+    "sdirk2_krylov": (_sdirk2_krylov_step, 2),
 }
 
 

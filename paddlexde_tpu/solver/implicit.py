@@ -37,6 +37,9 @@ __all__ = [
     "make_implicit_euler_step",
     "implicit_euler_krylov_step",
     "make_implicit_euler_krylov_step",
+    "sdirk2_step",
+    "sdirk2_krylov_step",
+    "make_sdirk2_step",
 ]
 
 
@@ -148,3 +151,100 @@ def make_implicit_euler_krylov_step(
 
 
 implicit_euler_krylov_step = make_implicit_euler_krylov_step()
+
+
+def _stage_newton_solve(f_at, base_flat, gamma_dt, y_init, newton_iters,
+                        krylov_opts=None):
+    """Solve the DIRK stage equation ``Y = base + gamma*dt * f(Y)`` by Newton.
+
+    ``krylov_opts is None`` -> dense Jacobian + ``jnp.linalg.solve`` (one MXU
+    solve per iteration); a dict -> matrix-free GMRES on the jvp operator,
+    with the same zero-x0 / non-finite guards as ``implicit_euler_krylov``.
+    """
+    dim = base_flat.size
+    eye = None if krylov_opts is not None else jnp.eye(dim, dtype=base_flat.dtype)
+
+    def newton_body(_, y_flat):
+        f_val, jvp = jax.linearize(f_at, y_flat)
+        residual = y_flat - base_flat - gamma_dt * f_val
+        if krylov_opts is None:
+            jac = jax.vmap(jvp)(eye).T
+            delta = jnp.linalg.solve(eye - gamma_dt * jac, residual)
+        else:
+            from jax.scipy.sparse.linalg import gmres
+
+            delta, _ = gmres(
+                lambda v: v - gamma_dt * jvp(v),
+                residual,
+                tol=krylov_opts.get("tol", 1e-8),
+                atol=0.0,
+                restart=krylov_opts.get("restart", 20),
+                maxiter=krylov_opts.get("maxiter", 4),
+                solve_method="batched",
+                M=krylov_opts.get("preconditioner"),
+            )
+            delta = jnp.where(jnp.isfinite(delta), delta, jnp.zeros_like(delta))
+        return y_flat - delta
+
+    return jax.lax.fori_loop(0, newton_iters, newton_body, y_init)
+
+
+# Alexander's 2-stage SDIRK, gamma = 1 - sqrt(2)/2: stiffly accurate, L-stable,
+# order 2 — the workhorse upgrade over backward Euler for stiff problems
+# (R. Alexander, SINUM 1977, "Diagonally implicit Runge-Kutta methods for
+# stiff ODEs"). Butcher tableau:
+#     gamma | gamma      0
+#       1   | 1-gamma  gamma
+#     ------+----------------
+#           | 1-gamma  gamma
+_SDIRK2_GAMMA = 1.0 - 0.5 * 2.0**0.5
+
+
+def make_sdirk2_step(newton_iters: int = 6, krylov: bool = False, **krylov_opts):
+    """L-stable order-2 SDIRK step for ``solve_fixed``.
+
+    Both stages solve the SAME-shaped equation ``Y = base + gamma*dt*f(t_s, Y)``
+    (the point of the *singly* diagonally implicit family: one Newton/linear
+    structure reused), dense-Jacobian by default or matrix-free Newton--Krylov
+    with ``krylov=True``. Stiffly accurate (y1 = Y2), so no order reduction at
+    the stiff limit; L-stable, so fast transients are damped, not aliased.
+    """
+    opts = (krylov_opts or {}) if krylov else None
+
+    def step(term: XDETerm, t0, t1, y0):
+        dt = t1 - t0
+        y0_flat, unravel = ravel_pytree(y0)
+        dt_f = jnp.asarray(dt, y0_flat.dtype)
+        g = jnp.asarray(_SDIRK2_GAMMA, y0_flat.dtype)
+
+        def f_flat_at(t_s):
+            def f_at(y_flat):
+                return ravel_pytree(term.move(t_s, dt, unravel(y_flat)))[0]
+
+            return f_at
+
+        dy0 = term.move(t0, dt, y0)  # dense-output derivative for the driver
+        f0_flat = ravel_pytree(dy0)[0]
+
+        # stage 1: Y1 = y0 + g*dt f(t0+g*dt, Y1); explicit predictor warm start
+        t_s1 = t0 + g * dt
+        y1_stage = _stage_newton_solve(
+            f_flat_at(t_s1), y0_flat, g * dt_f, y0_flat + g * dt_f * f0_flat,
+            newton_iters, opts,
+        )
+        f1_flat = f_flat_at(t_s1)(y1_stage)
+
+        # stage 2 (stiffly accurate: y_next = Y2):
+        # Y2 = y0 + (1-g)*dt f1 + g*dt f(t1, Y2)
+        base2 = y0_flat + (1.0 - g) * dt_f * f1_flat
+        y2_stage = _stage_newton_solve(
+            f_flat_at(t1), base2, g * dt_f, y1_stage + g * dt_f * f1_flat,
+            newton_iters, opts,
+        )
+        return unravel(y2_stage), dy0
+
+    return step
+
+
+sdirk2_step = make_sdirk2_step()
+sdirk2_krylov_step = make_sdirk2_step(krylov=True)

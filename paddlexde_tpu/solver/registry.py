@@ -25,6 +25,7 @@ __all__ = [
     "Dopri8",
     "ImplicitEuler",
     "ImplicitEulerKrylov",
+    "SDIRK2",
     "ScipyWrapperODESolver",
     "SOLVERS",
 ]
@@ -54,6 +55,7 @@ Dopri5 = SolverSpec("dopri5", "adaptive", 5)
 Dopri8 = SolverSpec("dopri8", "adaptive", 8)
 ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1)
 ImplicitEulerKrylov = SolverSpec("implicit_euler_krylov", "fixed", 1)
+SDIRK2 = SolverSpec("sdirk2", "fixed", 2)
 ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
 
 SOLVERS = {
@@ -72,6 +74,8 @@ SOLVERS = {
     "implicit_euler": ImplicitEuler,
     "backward_euler": ImplicitEuler,
     "implicit_euler_krylov": ImplicitEulerKrylov,
+    "sdirk2": SDIRK2,
+    "sdirk2_krylov": dataclasses.replace(SDIRK2, name="sdirk2_krylov"),
     "scipy_solver": ScipyWrapperODESolver,
 }
 

@@ -98,3 +98,59 @@ def test_krylov_gradients_flow():
     eps = 1e-5
     fd = (loss(lam0 + eps) - loss(lam0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=5e-5)
+
+
+def test_sdirk2_stiff_accuracy_and_order():
+    """Alexander SDIRK2 (L-stable, stiffly accurate): order 2 on a smooth
+    problem and far better stiff accuracy than backward Euler at the same dt."""
+    lam = -1000.0
+    f = lambda t, y: lam * (y - jnp.cos(t)) - jnp.sin(t)
+    ts = jnp.linspace(0.0, 2.0, 21)
+    y = odeint(f, jnp.asarray(1.5), ts, "sdirk2", time_axis=0)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # implicit_euler at this dt lands ~5e-3 off; SDIRK2 ~1e-5
+    np.testing.assert_allclose(np.asarray(y[-1]), np.cos(2.0), atol=5e-5)
+
+    g = lambda t, y: jnp.cos(t) * y
+    exact = float(np.exp(np.sin(2.0)))
+    errs = []
+    for n in (33, 65, 129):
+        yy = odeint(g, jnp.ones(()), jnp.linspace(0.0, 2.0, n), "sdirk2",
+                    time_axis=0)
+        errs.append(abs(float(yy[-1]) - exact))
+    order = np.mean([np.log2(errs[i] / errs[i + 1]) for i in range(2)])
+    assert abs(order - 2.0) < 0.2, (order, errs)
+
+
+def test_sdirk2_l_stability():
+    """One enormous step (lam*dt = -1e8) must damp to ~0: R(-inf) = 0 for
+    L-stable SDIRK2, where the A-stable-only trapezoidal rule gives ~ -y0."""
+    y = odeint(lambda t, y: -1e8 * y, jnp.ones(()), jnp.asarray([0.0, 1.0]),
+               "sdirk2", time_axis=0)
+    assert abs(float(y[-1])) < 1e-6
+
+
+def test_sdirk2_krylov_matches_dense():
+    lam = -1000.0
+    f = lambda t, y: lam * (y - jnp.cos(t)) - jnp.sin(t)
+    ts = jnp.linspace(0.0, 2.0, 21)
+    y_d = odeint(f, jnp.asarray(1.5), ts, "sdirk2", time_axis=0)
+    y_k = odeint(f, jnp.asarray(1.5), ts, "sdirk2_krylov", time_axis=0)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_d), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_sdirk2_gradients_vs_fd():
+    import jax
+
+    def loss(lam):
+        f = lambda t, y: lam * (y - jnp.cos(t)) - jnp.sin(t)
+        y = odeint(f, jnp.asarray(1.5), jnp.linspace(0.0, 1.0, 11), "sdirk2",
+                   time_axis=0)
+        return jnp.sum(y**2)
+
+    lam0 = jnp.asarray(-40.0)
+    g = jax.grad(loss)(lam0)
+    eps = 1e-5
+    fd = (loss(lam0 + eps) - loss(lam0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-5)
