@@ -29,7 +29,7 @@ from ..brownian.api import BrownianInterval, ReverseBrownian
 from ..xde.term import XDETerm
 from .solve import _is_decreasing, format_solution, integrate_term
 
-__all__ = ["sdeint", "make_sde_term", "make_milstein_term", "make_sra1_term", "make_heun_stratonovich_term"]
+__all__ = ["sdeint", "make_sde_term", "make_milstein_term", "make_sra1_term", "make_sriw1_term", "make_heun_stratonovich_term"]
 
 
 def make_milstein_term(drift, diffusion, bm) -> XDETerm:
@@ -144,6 +144,112 @@ def make_heun_stratonovich_term(drift, diffusion, bm) -> XDETerm:
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
+def make_sriw1_term(drift, diffusion, bm) -> XDETerm:
+    """SRIW1 (Rössler 2010) for DIAGONAL noise — strong order 1.5.
+
+    The strong-1.5 upgrade over Milstein for state-dependent diagonal noise
+    (SRA1 requires additive noise). For diagonal noise every iterated
+    stochastic integral the scheme needs is closed-form per component in the
+    increment and the tree's exact space-time integral:
+
+        I1   = ΔW            I11  = (ΔW² − h)/2
+        I10  = ∫(W_s−W_t)ds  I111 = (ΔW³ − 3hΔW)/6
+
+    Four stages, two stage chains (published SRIW1 tableau: A0/B0 drive the
+    drift-supporting chain H0, A1/B1 the diffusion-supporting chain H1):
+
+        H0_2 = y + 3/4 h f1 + 3/2 (I10/h) g1
+        H1_2 = y + 1/4 h f1 + 1/2 √h g1
+        H1_3 = y +     h f1 −     √h g1
+        H1_4 = y + 1/4 h f1 + √h (−5 g1 + 3 g2 + 1/2 g3)
+        y1   = y + h (f1/3 + 2 f2/3)
+                 + Σ_i (β1_i I1 + β2_i I11/√h + β3_i I10/h + β4_i I111/h) g_i
+
+    with β rows (−1, 4/3, 2/3, 0), (−1, 4/3, −1/3, 0), (2, −4/3, −2/3, 0),
+    (−2, 5/3, −2/3, 1) — each of β2..β4 sums to 0 and β1 to 1, so constant g
+    collapses to g·ΔW (consistency). Strong order ≈ 1.5 is pinned by test
+    against the closed-form GBM solution driven by the same Brownian path.
+    (Stage 3's drift value is f(t, y) = f1 because its c0/A0/B0 rows are all
+    zero, and α3 = α4 = 0 — only f1, f2 enter the drift combination.)
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u = bm(t, t1, return_U=True)
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(dt), dt)
+
+        def lc(base, *pairs):
+            """base + Σ coeff * tree, leafwise."""
+            trees = [p[1] for p in pairs]
+            coeffs = [p[0] for p in pairs]
+            return jax.tree.map(
+                lambda b, *ls: b + sum(jnp.asarray(c, b.dtype) * l
+                                       for c, l in zip(coeffs, ls)),
+                base, *trees,
+            )
+
+        h = jnp.asarray(safe_dt)
+        sqrt_h = jnp.sqrt(h)
+        i10_h = jax.tree.map(lambda ul: ul / jnp.asarray(safe_dt, ul.dtype), u)
+        i11_rh = jax.tree.map(
+            lambda wl: (wl * wl - jnp.asarray(h, wl.dtype))
+            / (2.0 * jnp.asarray(sqrt_h, wl.dtype)),
+            w,
+        )
+        i111_h = jax.tree.map(
+            lambda wl: (wl**3 - 3.0 * jnp.asarray(h, wl.dtype) * wl)
+            / (6.0 * jnp.asarray(h, wl.dtype)),
+            w,
+        )
+
+        f1 = drift(t, y)
+        g1 = diffusion(t, y)
+
+        h0_2 = lc(lc(y, (0.75, jax.tree.map(lambda l: jnp.asarray(h, l.dtype) * l, f1))),
+                  (1.5, jax.tree.map(lambda gl, il: gl * il, g1, i10_h)))
+        h1_2 = lc(y, (0.25, jax.tree.map(lambda l: jnp.asarray(h, l.dtype) * l, f1)),
+                  (0.5, jax.tree.map(lambda l: jnp.asarray(sqrt_h, l.dtype) * l, g1)))
+        f2 = drift(t + 0.75 * dt, h0_2)
+        g2 = diffusion(t + 0.25 * dt, h1_2)
+
+        h1_3 = lc(y, (1.0, jax.tree.map(lambda l: jnp.asarray(h, l.dtype) * l, f1)),
+                  (-1.0, jax.tree.map(lambda l: jnp.asarray(sqrt_h, l.dtype) * l, g1)))
+        g3 = diffusion(t1, h1_3)
+
+        h1_4 = lc(y, (0.25, jax.tree.map(lambda l: jnp.asarray(h, l.dtype) * l, f1)),
+                  (-5.0, jax.tree.map(lambda l: jnp.asarray(sqrt_h, l.dtype) * l, g1)),
+                  (3.0, jax.tree.map(lambda l: jnp.asarray(sqrt_h, l.dtype) * l, g2)),
+                  (0.5, jax.tree.map(lambda l: jnp.asarray(sqrt_h, l.dtype) * l, g3)))
+        g4 = diffusion(t + 0.25 * dt, h1_4)
+
+        f_comb = jax.tree.map(lambda a, b: a / 3.0 + 2.0 * b / 3.0, f1, f2)
+
+        beta1 = (-1.0, 4.0 / 3.0, 2.0 / 3.0, 0.0)
+        beta2 = (-1.0, 4.0 / 3.0, -1.0 / 3.0, 0.0)
+        beta3 = (2.0, -4.0 / 3.0, -2.0 / 3.0, 0.0)
+        beta4 = (-2.0, 5.0 / 3.0, -2.0 / 3.0, 1.0)
+
+        def noise_leafwise(wl, i11l, i10l, i111l, *gs):
+            out = jnp.zeros_like(wl)
+            for i, gl in enumerate(gs):
+                coeff = (beta1[i] * wl + beta2[i] * i11l
+                         + beta3[i] * i10l + beta4[i] * i111l)
+                out = out + coeff * gl
+            return out
+
+        noise = jax.tree.map(noise_leafwise, w, i11_rh, i10_h, i111_h,
+                             g1, g2, g3, g4)
+        return (f_comb, noise)
+
+    def fuse(dy, dt, y):
+        f_val, noise = dy
+        return jax.tree.map(
+            lambda yl, fl, nl: yl + jnp.asarray(dt, yl.dtype) * fl + nl, y, f_val, noise
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
 def make_sde_term(drift, diffusion, bm, *, reverse: bool = False) -> XDETerm:
     """Build the SDE term; with ``reverse``, drift/diffusion/noise are the
     substituted-time (s = -t) forms so the solve runs over an increasing span."""
@@ -226,14 +332,14 @@ def sdeint(
             f"(got a pytree with {len(leaves)} leaves); flatten the state or "
             "drive each member with its own Brownian motion"
         )
-    need_levy = isinstance(solver, str) and solver.lower() == "sra1"
+    need_levy = isinstance(solver, str) and solver.lower() in ("sra1", "sriw1")
     if bm is None:
         try:  # concrete spans give tol->depth a chance; traced spans are fine too
             t_lo, t_hi = float(jnp.min(t_span)), float(jnp.max(t_span))
         except TypeError:
             t_lo, t_hi = jnp.min(t_span), jnp.max(t_span)
         if need_levy and levy_area_approximation == "none":
-            levy_area_approximation = "space-time"  # sra1 needs (W, I10)
+            levy_area_approximation = "space-time"  # sra1/sriw1 need (W, I10)
         bm = BrownianInterval(
             t_lo,
             t_hi,
@@ -244,29 +350,30 @@ def sdeint(
         )
     elif need_levy and getattr(bm, "levy_area_approximation", "none") == "none":
         raise ValueError(
-            "sra1 needs the space-time integral: construct the Brownian motion "
-            "with levy_area_approximation='space-time'"
+            f"{solver} needs the space-time integral: construct the Brownian "
+            "motion with levy_area_approximation='space-time'"
         )
 
     solver_name = solver.lower() if isinstance(solver, str) else ""
     is_milstein = solver_name == "milstein"
     is_sra1 = solver_name == "sra1"
+    is_sriw1 = solver_name == "sriw1"
     is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
-    if not (is_milstein or is_sra1 or is_heun_strat):
+    if not (is_milstein or is_sra1 or is_sriw1 or is_heun_strat):
         from ..solver.registry import resolve_solver
 
         spec = resolve_solver(solver)
-        if spec.kind != "fixed" or spec.name == "implicit_euler":
+        if spec.kind != "fixed" or spec.implicit:
             raise ValueError(
                 "sdeint requires an explicit fixed-step solver (euler/midpoint/"
-                "rk4) or an SDE scheme (milstein/sra1/heun_stratonovich): "
+                "rk4) or an SDE scheme (milstein/sra1/sriw1/heun_stratonovich): "
                 "adaptive error control and implicit Newton steps are not "
                 "defined for the Ito increment pair this term produces"
             )
 
     decreasing = reverse or _is_decreasing(t_span)
     if decreasing:
-        if is_milstein or is_sra1 or is_heun_strat:
+        if is_milstein or is_sra1 or is_sriw1 or is_heun_strat:
             raise NotImplementedError(f"{solver_name} reverse-time is not implemented; use euler")
         span = -t_span if _is_decreasing(t_span) else -t_span[::-1]
         term = make_sde_term(drift, diffusion, bm, reverse=True)
@@ -284,6 +391,9 @@ def sdeint(
         # plain one-eval-per-step fixed stepper
     elif is_sra1:
         term = make_sra1_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_sriw1:
+        term = make_sriw1_term(drift, diffusion, bm)
         solver = "euler"
     elif is_heun_strat:
         term = make_heun_stratonovich_term(drift, diffusion, bm)

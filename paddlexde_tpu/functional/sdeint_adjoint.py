@@ -31,6 +31,7 @@ from .sdeint import (
     make_milstein_term,
     make_sde_term,
     make_sra1_term,
+    make_sriw1_term,
 )
 from .solve import format_solution
 
@@ -38,6 +39,7 @@ _TERM_BUILDERS = {
     None: make_sde_term,
     "milstein": make_milstein_term,
     "sra1": make_sra1_term,
+    "sriw1": make_sriw1_term,
     "heun_stratonovich": make_heun_stratonovich_term,
     "stratonovich_heun": make_heun_stratonovich_term,
 }
@@ -73,14 +75,14 @@ def sdeint_adjoint(
     del adjoint_params
     solver_name = solver.lower() if isinstance(solver, str) else ""
     scheme = solver_name if solver_name in (
-        "milstein", "sra1", "heun_stratonovich", "stratonovich_heun"
+        "milstein", "sra1", "sriw1", "heun_stratonovich", "stratonovich_heun"
     ) else None
     if scheme is None:
         spec = resolve_solver(solver)
-        if spec.kind != "fixed" or spec.name == "implicit_euler":
+        if spec.kind != "fixed" or spec.implicit:
             raise ValueError(
                 "sdeint_adjoint supports explicit fixed-step solvers "
-                "(euler/midpoint/rk4) and SDE schemes (milstein/sra1/"
+                "(euler/midpoint/rk4) and SDE schemes (milstein/sra1/sriw1/"
                 "heun_stratonovich)"
             )
         step_fn, _ = FIXED_STEP_FNS[spec.name]
@@ -99,7 +101,7 @@ def sdeint_adjoint(
             "sdeint_adjoint's diagonal-noise contract requires a single-array "
             f"state (got a pytree with {len(leaves)} leaves)"
         )
-    if scheme == "sra1" and levy_area_approximation == "none" and bm is None:
+    if scheme in ("sra1", "sriw1") and levy_area_approximation == "none" and bm is None:
         levy_area_approximation = "space-time"
     if bm is None:
         try:

@@ -36,6 +36,7 @@ class SolverSpec:
     name: str
     kind: str  # "fixed" | "adaptive" | "adams" | "scipy"
     order: int
+    implicit: bool = False  # Newton-iteration steppers (not SDE-increment safe)
 
     def __call__(self, *args, **kwargs):  # pragma: no cover
         raise TypeError(
@@ -53,9 +54,9 @@ Fehlberg2 = SolverSpec("fehlberg2", "adaptive", 2)
 Bosh3 = SolverSpec("bosh3", "adaptive", 3)
 Dopri5 = SolverSpec("dopri5", "adaptive", 5)
 Dopri8 = SolverSpec("dopri8", "adaptive", 8)
-ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1)
-ImplicitEulerKrylov = SolverSpec("implicit_euler_krylov", "fixed", 1)
-SDIRK2 = SolverSpec("sdirk2", "fixed", 2)
+ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1, implicit=True)
+ImplicitEulerKrylov = SolverSpec("implicit_euler_krylov", "fixed", 1, implicit=True)
+SDIRK2 = SolverSpec("sdirk2", "fixed", 2, implicit=True)
 ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
 
 SOLVERS = {

@@ -264,7 +264,7 @@ def test_heun_stratonovich_gbm():
     assert err_strat < err_ito * 0.5  # clearly Stratonovich, not Ito
 
 
-@pytest.mark.parametrize("scheme", ["milstein", "heun_stratonovich", "sra1"])
+@pytest.mark.parametrize("scheme", ["milstein", "heun_stratonovich", "sra1", "sriw1"])
 def test_sdeint_adjoint_schemes_exact(scheme):
     """Discrete-exact adjoint for the extended SDE schemes too."""
     from paddlexde_tpu import sdeint_adjoint
@@ -288,3 +288,58 @@ def test_sdeint_adjoint_schemes_exact(scheme):
     g_adj = jax.grad(make_loss(sdeint_adjoint))(theta0)
     np.testing.assert_allclose(g_adj["mu"], g_direct["mu"], rtol=1e-9)
     np.testing.assert_allclose(g_adj["sig"], g_direct["sig"], rtol=1e-9)
+
+
+def test_sriw1_diagonal_strong_order():
+    """SRIW1 (Rössler, strong 1.5 for DIAGONAL noise) against the closed-form
+    GBM solution on the same path: measured orders ~1.1/1.7/1.6 over dyadic
+    refinement with errors ~30x below Milstein at the same grid. A tableau
+    transcription error would show up here as a wrong slope."""
+    from paddlexde_tpu.brownian.api import BrownianInterval
+
+    mu, sigma, T, P = 0.8, 0.5, 1.0, 512
+    y0 = jnp.full((P,), 1.0)
+    drift = lambda t, y: mu * y
+    diff = lambda t, y: sigma * y
+
+    errs = {}
+    for n in (17, 33, 65):
+        ts = jnp.linspace(0.0, T, n)
+        bm = BrownianInterval(0.0, T, size=(P,), dtype=jnp.float64, key=0,
+                              levy_area_approximation="space-time",
+                              tol=T / ((n - 1) * 4096))
+        exact = y0 * jnp.exp((mu - 0.5 * sigma**2) * T + sigma * bm(0.0, T))
+        for name in ("sriw1", "milstein"):
+            y = sdeint(drift, diff, y0, ts, name, bm=bm, time_axis=0)
+            e = float(jnp.sqrt(jnp.mean((y[-1] - exact) ** 2)))
+            errs.setdefault(name, []).append(e)
+
+    orders = [np.log2(errs["sriw1"][i] / errs["sriw1"][i + 1]) for i in range(2)]
+    assert np.mean(orders) > 1.3, (orders, errs["sriw1"])  # clearly > Milstein's 1.0
+    # and strictly dominates Milstein at every grid
+    for e15, e10 in zip(errs["sriw1"], errs["milstein"]):
+        assert e15 < e10 / 5.0, errs
+
+
+def test_sriw1_constant_diffusion_consistency():
+    """With constant g, every beta row except beta1 cancels: SRIW1's noise term
+    must reduce to g*dW — cross-check against Euler-Maruyama with f=0."""
+    y0 = jnp.zeros((8,))
+    ts = jnp.linspace(0.0, 1.0, 17)
+    drift = lambda t, y: jnp.zeros_like(y)
+    diff = lambda t, y: 0.7 * jnp.ones_like(y)
+    y_sri = sdeint(drift, diff, y0, ts, "sriw1", key=3, time_axis=0)
+    y_em = sdeint(drift, diff, y0, ts, "euler", key=3,
+                  levy_area_approximation="space-time", time_axis=0)
+    np.testing.assert_allclose(np.asarray(y_sri), np.asarray(y_em), rtol=1e-12,
+                               atol=1e-14)
+
+
+def test_implicit_solvers_rejected_for_sde():
+    """Newton steppers are not defined for the Ito increment pair; all of the
+    implicit family must be rejected, not just implicit_euler."""
+    for name in ("implicit_euler", "implicit_euler_krylov", "sdirk2",
+                 "sdirk2_krylov"):
+        with pytest.raises(ValueError):
+            sdeint(lambda t, y: -y, lambda t, y: 0.1 * y, jnp.ones(3),
+                   jnp.linspace(0.0, 1.0, 5), name, time_axis=0)
