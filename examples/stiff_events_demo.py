@@ -1,0 +1,109 @@
+"""Stiff chemistry + terminal events demo.
+
+Capabilities beyond the reference (DrownFish19/PaddleXDE has no stiff-capable
+on-device solver and no event handling; its only stiff path was the host-side
+scipy bridge, ``solver/base_scipy_solver.py``):
+
+1. Robertson's stiff chemical kinetics (the classic stiff benchmark: rate
+   constants spanning 9 orders of magnitude) with the L-stable ``sdirk2``
+   solver — explicit solvers need dt ~ 1e-4/k2 here; SDIRK2 strides over the
+   fast transient in a handful of steps.
+2. A method-of-lines reaction-diffusion front with the matrix-free
+   ``implicit_euler_krylov`` solver (no materialized Jacobian).
+3. A bouncing ball integrated until impact with ``odeint_event``, and the
+   impact-time sensitivity dt*/dh0 via ``odeint_event_grad`` checked against
+   the closed form.
+
+Run: python examples/stiff_events_demo.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paddlexde_tpu import odeint, odeint_event, odeint_event_grad
+
+
+def robertson():
+    """Stiff kinetics: y1' = -0.04 y1 + 1e4 y2 y3, etc. (mass conserved)."""
+
+    def f(t, y):
+        y1, y2, y3 = y[0], y[1], y[2]
+        r1 = 0.04 * y1
+        r2 = 1.0e4 * y2 * y3
+        r3 = 3.0e7 * y2 * y2
+        return jnp.stack([-r1 + r2, r1 - r2 - r3, r3])
+
+    y0 = jnp.asarray([1.0, 0.0, 0.0])
+    # log-spaced grid: the interesting dynamics span 1e-5 .. 1e2 seconds
+    ts = jnp.concatenate([jnp.zeros(1), jnp.logspace(-5, 2, 40)])
+    sol = odeint(f, y0, ts, "sdirk2", time_axis=0)
+    mass = np.asarray(jnp.sum(sol, axis=-1))
+    print("[robertson/sdirk2]  y(100) =", np.asarray(sol[-1]).round(6),
+          " mass drift:", float(np.max(np.abs(mass - 1.0))))
+    assert np.all(np.isfinite(np.asarray(sol))), "stiff solve blew up"
+    assert float(np.max(np.abs(mass - 1.0))) < 1e-5, "mass not conserved"
+
+
+def reaction_diffusion():
+    """Fisher-KPP front, 256 grid points, matrix-free Newton-Krylov."""
+    D = 256
+    dx = 1.0 / (D + 1)
+    x = jnp.arange(1, D + 1, dtype=jnp.float32) * dx
+
+    def f(t, u):
+        u_pad = jnp.pad(u, 1)
+        lap = (u_pad[2:] - 2.0 * u_pad[1:-1] + u_pad[:-2]) / dx**2
+        return 1e-3 * lap + u * (1.0 - u)
+
+    u0 = jnp.exp(-200.0 * (x - 0.2) ** 2)  # seed bump
+    ts = jnp.linspace(0.0, 4.0, 9)
+    sol = jax.jit(
+        lambda u: odeint(f, u, ts, "implicit_euler_krylov", time_axis=0)
+    )(u0)
+    frac = np.asarray(jnp.mean(sol > 0.5, axis=-1))
+    print("[fisher-kpp/krylov] front coverage over time:", frac.round(2))
+    assert frac[-1] > frac[0], "front did not propagate"
+
+
+def bouncing_ball():
+    """Integrate free fall until impact; event-time gradient vs closed form."""
+    g = 9.81
+    h0 = 10.0
+
+    def f(t, y):  # y = [height, velocity]
+        return jnp.stack([y[1], -g])
+
+    def hits_ground(t, y):
+        return y[0]
+
+    res = odeint_event(f, jnp.asarray([h0, 0.0]), 0.0, hits_ground, "dopri5",
+                       t_max=10.0)
+    t_star = float(res.t_event)
+    print(f"[event]             impact at t*={t_star:.6f}"
+          f" (closed form {np.sqrt(2 * h0 / g):.6f}),"
+          f" v(t*)={float(res.y_event[1]):.4f}")
+
+    def impact_time(h):
+        r = odeint_event_grad(f, jnp.stack([h, jnp.zeros(())]), 0.0,
+                              hits_ground, "dopri5", t_max=10.0)
+        return r.t_event
+
+    dt_dh = float(jax.grad(impact_time)(jnp.asarray(h0)))
+    closed = 1.0 / np.sqrt(2.0 * g * h0)  # d/dh sqrt(2h/g)
+    print(f"[event-grad]        dt*/dh0 = {dt_dh:.6f} (closed form {closed:.6f})")
+    assert abs(dt_dh - closed) < 1e-4
+
+
+if __name__ == "__main__":
+    robertson()
+    reaction_diffusion()
+    bouncing_ball()
+    print("all demos passed")
