@@ -24,6 +24,7 @@ from .functional import (  # noqa: F401
     ddeint,
     ddeint_adjoint,
     odeint,
+    odeint_per_element,
     odeint_adjoint,
     odeint_event,
     odeint_event_grad,
