@@ -250,28 +250,44 @@ def make_sriw1_term(drift, diffusion, bm) -> XDETerm:
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
+def _reversed_ito_fns(drift, diffusion, bm):
+    """Time-reversal substitution (s = -t) for an Itô SDE.
+
+    Naive backward EM carries a systematic O(1) bias of -g·(∂g/∂y)·T (the
+    backward Itô integral has the opposite endpoint convention); adding
+    g·∂g/∂y to the reversed drift cancels it. ∂g/∂y computed by
+    jvp-with-ones — exact for elementwise (diagonal-Jacobian) diffusions,
+    the diagonal-noise contract of this API. The reversed system is itself
+    an Itô SDE, so any Itô scheme (EM, Milstein) applies to it unchanged.
+    """
+
+    def drift_rev(s, y):
+        t = -s
+        f_val = drift(t, y)
+        g_val, dg = jax.jvp(
+            lambda y_: diffusion(t, y_), (y,), (jax.tree.map(jnp.ones_like, y),)
+        )
+        return jax.tree.map(lambda f, g, d: -f + g * d, f_val, g_val, dg)
+
+    return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
+
+
+def _reversed_stratonovich_fns(drift, diffusion, bm):
+    """Time-reversal substitution for a STRATONOVICH SDE: no drift correction
+    (Stratonovich calculus is time-symmetric) — just negate the drift and
+    retrace the path."""
+    return (
+        (lambda s, y: jax.tree.map(jnp.negative, drift(-s, y))),
+        (lambda s, y: diffusion(-s, y)),
+        ReverseBrownian(bm),
+    )
+
+
 def make_sde_term(drift, diffusion, bm, *, reverse: bool = False) -> XDETerm:
     """Build the SDE term; with ``reverse``, drift/diffusion/noise are the
     substituted-time (s = -t) forms so the solve runs over an increasing span."""
     if reverse:
-        base_drift, base_diff, base_bm = drift, diffusion, bm
-
-        def drift(s, y):
-            t = -s
-            f_val = base_drift(t, y)
-            # Itô time-reversal correction: naive backward EM carries a
-            # systematic O(1) bias of -g·(∂g/∂y)·T (the backward Itô integral
-            # has the opposite endpoint convention); adding g·∂g/∂y to the
-            # reversed drift cancels it. ∂g/∂y computed by jvp-with-ones —
-            # exact for elementwise (diagonal-Jacobian) diffusions, the
-            # diagonal-noise contract of this API.
-            g_val, dg = jax.jvp(
-                lambda y_: base_diff(t, y_), (y,), (jax.tree.map(jnp.ones_like, y),)
-            )
-            return jax.tree.map(lambda f, g, d: -f + g * d, f_val, g_val, dg)
-
-        diffusion = lambda s, y: base_diff(-s, y)
-        bm = ReverseBrownian(base_bm)
+        drift, diffusion, bm = _reversed_ito_fns(drift, diffusion, bm)
 
     def move(t, dt, y):
         d_w = bm(t, t + dt)
@@ -373,10 +389,25 @@ def sdeint(
 
     decreasing = reverse or _is_decreasing(t_span)
     if decreasing:
-        if is_milstein or is_sra1 or is_sriw1 or is_heun_strat:
-            raise NotImplementedError(f"{solver_name} reverse-time is not implemented; use euler")
+        if is_sra1 or is_sriw1:
+            raise NotImplementedError(
+                f"{solver_name} reverse-time is not implemented (the reversed "
+                "space-time integral's sign conventions are untested); use "
+                "euler/milstein/heun_stratonovich"
+            )
         span = -t_span if _is_decreasing(t_span) else -t_span[::-1]
-        term = make_sde_term(drift, diffusion, bm, reverse=True)
+        if is_milstein:
+            # the reversed (Itô-corrected) system is itself an Itô SDE, so
+            # Milstein applies unchanged for strong order 1 on the way back
+            term = make_milstein_term(*_reversed_ito_fns(drift, diffusion, bm))
+            solver = "euler"
+        elif is_heun_strat:
+            term = make_heun_stratonovich_term(
+                *_reversed_stratonovich_fns(drift, diffusion, bm)
+            )
+            solver = "euler"
+        else:
+            term = make_sde_term(drift, diffusion, bm, reverse=True)
         sol = integrate_term(
             term, y0, span, solver, rtol=rtol, atol=atol, options=options,
             time_axis=0,

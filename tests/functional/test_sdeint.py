@@ -343,3 +343,56 @@ def test_implicit_solvers_rejected_for_sde():
         with pytest.raises(ValueError):
             sdeint(lambda t, y: -y, lambda t, y: 0.1 * y, jnp.ones(3),
                    jnp.linspace(0.0, 1.0, 5), name, time_axis=0)
+
+
+def test_milstein_reverse_order_one():
+    """reverse=True via Milstein: the reversed (Ito-corrected) system is
+    itself an Ito SDE, so Milstein on it is strong order 1 on the way back.
+    Start from the exact GBM value at T (computed from the same path) and
+    integrate back to 0; the endpoint error must halve per dt halving and
+    clearly beat reversed EM (order 0.5)."""
+    from paddlexde_tpu.brownian.api import BrownianInterval
+
+    mu, sigma, T, P = 0.6, 0.4, 1.0, 1024
+    y0 = jnp.full((P,), 1.0)
+    drift = lambda t, y: mu * y
+    diff = lambda t, y: sigma * y
+
+    errs = {}
+    for n in (65, 257):
+        ts_rev = jnp.linspace(T, 0.0, n)
+        bm = BrownianInterval(0.0, T, size=(P,), dtype=jnp.float64, key=7,
+                              tol=T / ((n - 1) * 2048))
+        yT = y0 * jnp.exp((mu - 0.5 * sigma**2) * T + sigma * bm(0.0, T))
+        for name in ("milstein", "euler"):
+            back = sdeint(drift, diff, yT, ts_rev, name, bm=bm, time_axis=0)
+            errs.setdefault(name, []).append(
+                float(jnp.sqrt(jnp.mean((back[-1] - y0) ** 2)))
+            )
+    order = np.log2(errs["milstein"][0] / errs["milstein"][1]) / 2  # 4x dt
+    assert order > 0.85, (order, errs)
+    assert errs["milstein"][1] < errs["euler"][1] / 4.0, errs
+
+
+def test_heun_stratonovich_reverse():
+    """Stratonovich reversal needs NO drift correction (time-symmetric
+    calculus): reverse Heun from the exact Stratonovich GBM at T lands back
+    on y0."""
+    from paddlexde_tpu.brownian.api import BrownianInterval
+
+    mu, sigma, T, P = 0.6, 0.4, 1.0, 512
+    y0 = jnp.full((P,), 1.0)
+    bm = BrownianInterval(0.0, T, size=(P,), dtype=jnp.float64, key=9,
+                          tol=T / (256 * 2048))
+    yT = y0 * jnp.exp(mu * T + sigma * bm(0.0, T))
+    back = sdeint(lambda t, y: mu * y, lambda t, y: sigma * y, yT,
+                  jnp.linspace(T, 0.0, 257), "heun_stratonovich", bm=bm,
+                  time_axis=0)
+    err = float(jnp.sqrt(jnp.mean((back[-1] - y0) ** 2)))
+    assert err < 1e-3, err
+
+
+def test_sra1_reverse_still_rejected():
+    with pytest.raises(NotImplementedError):
+        sdeint(lambda t, y: -y, lambda t, y: jnp.ones_like(y), jnp.ones(4),
+               jnp.linspace(1.0, 0.0, 5), "sra1", time_axis=0)
