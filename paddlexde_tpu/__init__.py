@@ -42,6 +42,7 @@ from .solver import (  # noqa: F401
     ImplicitEuler,
     ImplicitEulerKrylov,
     SDIRK2,
+    SDIRK3,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

@@ -12,6 +12,7 @@ from .registry import (  # noqa: F401
     ImplicitEuler,
     ImplicitEulerKrylov,
     SDIRK2,
+    SDIRK3,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

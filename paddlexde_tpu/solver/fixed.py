@@ -113,6 +113,12 @@ def _sdirk2_krylov_step(term, t0, t1, y0):
     return sdirk2_krylov_step(term, t0, t1, y0)
 
 
+def _sdirk3_step(term, t0, t1, y0):
+    from .implicit import sdirk3_step
+
+    return sdirk3_step(term, t0, t1, y0)
+
+
 FIXED_STEP_FNS = {
     "euler": (euler_step, 1),
     "midpoint": (midpoint_step, 2),
@@ -121,6 +127,7 @@ FIXED_STEP_FNS = {
     "implicit_euler_krylov": (_implicit_euler_krylov_step, 1),
     "sdirk2": (_sdirk2_step, 2),
     "sdirk2_krylov": (_sdirk2_krylov_step, 2),
+    "sdirk3": (_sdirk3_step, 3),
 }
 
 

@@ -40,6 +40,8 @@ __all__ = [
     "sdirk2_step",
     "sdirk2_krylov_step",
     "make_sdirk2_step",
+    "sdirk3_step",
+    "make_sdirk3_step",
 ]
 
 
@@ -248,3 +250,63 @@ def make_sdirk2_step(newton_iters: int = 6, krylov: bool = False, **krylov_opts)
 
 sdirk2_step = make_sdirk2_step()
 sdirk2_krylov_step = make_sdirk2_step(krylov=True)
+
+
+# Crouzeix's 2-stage SDIRK, gamma = 1/2 + sqrt(3)/6: A-stable, order 3 — the
+# accuracy upgrade over SDIRK2 for stiff-but-not-violently-stiff problems
+# (A-stable but NOT L-stable: |R(-inf)| < 1 so fast transients are damped,
+# but not annihilated like sdirk2's R(-inf) = 0). gamma is the root of
+# g^2 - g + 1/6 = 0 picked for A-stability; the order-3 conditions
+# (sum b = 1, b.c = 1/2, b.c^2 = 1/3, b.A.c = 1/6) are pinned exactly in
+# tests/solver/test_implicit.py.
+_CROUZEIX_GAMMA = 0.5 + 3.0**0.5 / 6.0
+
+
+def make_sdirk3_step(newton_iters: int = 8, krylov: bool = False, **krylov_opts):
+    """A-stable order-3 SDIRK (Crouzeix) step for ``solve_fixed``.
+
+        Y1 = y + g*dt f(t + g dt, Y1)
+        Y2 = y + (1-2g)*dt f(t + g dt, Y1) + g*dt f(t + (1-g) dt, Y2)
+        y1 = y + dt/2 (f(t + g dt, Y1) + f(t + (1-g) dt, Y2))
+
+    Same singly-diagonal Newton structure as SDIRK2 (shared
+    ``_stage_newton_solve``; dense Jacobian or matrix-free Krylov).
+    """
+    opts = (krylov_opts or {}) if krylov else None
+
+    def step(term: XDETerm, t0, t1, y0):
+        dt = t1 - t0
+        y0_flat, unravel = ravel_pytree(y0)
+        dt_f = jnp.asarray(dt, y0_flat.dtype)
+        g = jnp.asarray(_CROUZEIX_GAMMA, y0_flat.dtype)
+
+        def f_flat_at(t_s):
+            def f_at(y_flat):
+                return ravel_pytree(term.move(t_s, dt, unravel(y_flat)))[0]
+
+            return f_at
+
+        dy0 = term.move(t0, dt, y0)
+        f0_flat = ravel_pytree(dy0)[0]
+
+        t_s1 = t0 + g * dt
+        y1_stage = _stage_newton_solve(
+            f_flat_at(t_s1), y0_flat, g * dt_f, y0_flat + g * dt_f * f0_flat,
+            newton_iters, opts,
+        )
+        f1_flat = f_flat_at(t_s1)(y1_stage)
+
+        t_s2 = t0 + (1.0 - g) * dt
+        base2 = y0_flat + (1.0 - 2.0 * g) * dt_f * f1_flat
+        y2_stage = _stage_newton_solve(
+            f_flat_at(t_s2), base2, g * dt_f, y1_stage, newton_iters, opts,
+        )
+        f2_flat = f_flat_at(t_s2)(y2_stage)
+
+        y_next = y0_flat + 0.5 * dt_f * (f1_flat + f2_flat)
+        return unravel(y_next), dy0
+
+    return step
+
+
+sdirk3_step = make_sdirk3_step()

@@ -26,6 +26,7 @@ __all__ = [
     "ImplicitEuler",
     "ImplicitEulerKrylov",
     "SDIRK2",
+    "SDIRK3",
     "ScipyWrapperODESolver",
     "SOLVERS",
 ]
@@ -57,6 +58,7 @@ Dopri8 = SolverSpec("dopri8", "adaptive", 8)
 ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1, implicit=True)
 ImplicitEulerKrylov = SolverSpec("implicit_euler_krylov", "fixed", 1, implicit=True)
 SDIRK2 = SolverSpec("sdirk2", "fixed", 2, implicit=True)
+SDIRK3 = SolverSpec("sdirk3", "fixed", 3, implicit=True)
 ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
 
 SOLVERS = {
@@ -77,6 +79,7 @@ SOLVERS = {
     "implicit_euler_krylov": ImplicitEulerKrylov,
     "sdirk2": SDIRK2,
     "sdirk2_krylov": dataclasses.replace(SDIRK2, name="sdirk2_krylov"),
+    "sdirk3": SDIRK3,
     "scipy_solver": ScipyWrapperODESolver,
 }
 

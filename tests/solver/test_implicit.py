@@ -154,3 +154,37 @@ def test_sdirk2_gradients_vs_fd():
     eps = 1e-5
     fd = (loss(lam0 + eps) - loss(lam0 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=5e-5)
+
+
+def test_sdirk3_order_conditions_and_convergence():
+    """Crouzeix 2-stage SDIRK, gamma = 1/2 + sqrt(3)/6: the four order-3
+    conditions hold EXACTLY for this gamma (it is the A-stable root of
+    g^2 - g + 1/6 = 0), and the measured convergence order is ~3."""
+    g = 0.5 + np.sqrt(3.0) / 6.0
+    b = np.array([0.5, 0.5])
+    c = np.array([g, 1.0 - g])
+    A = np.array([[g, 0.0], [1.0 - 2.0 * g, g]])
+    assert abs(b.sum() - 1.0) < 1e-15
+    assert abs(b @ c - 0.5) < 1e-15
+    assert abs(b @ c**2 - 1.0 / 3.0) < 1e-15
+    assert abs(b @ A @ c - 1.0 / 6.0) < 1e-15
+
+    f = lambda t, y: jnp.cos(t) * y
+    exact = float(np.exp(np.sin(2.0)))
+    errs = []
+    for n in (17, 33, 65):
+        y = odeint(f, jnp.ones(()), jnp.linspace(0.0, 2.0, n), "sdirk3",
+                   time_axis=0)
+        errs.append(abs(float(y[-1]) - exact))
+    order = np.mean([np.log2(errs[i] / errs[i + 1]) for i in range(2)])
+    assert abs(order - 3.0) < 0.2, (order, errs)
+
+
+def test_sdirk3_a_stability():
+    """A-stable (not L-stable): lambda = -1000 with dt = 0.1 stays bounded and
+    tracks the slow manifold."""
+    f = lambda t, y: -1000.0 * (y - jnp.cos(t)) - jnp.sin(t)
+    y = odeint(f, jnp.asarray(1.5), jnp.linspace(0.0, 2.0, 21), "sdirk3",
+               time_axis=0)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    np.testing.assert_allclose(np.asarray(y[-1]), np.cos(2.0), atol=2e-3)
