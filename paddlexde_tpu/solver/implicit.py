@@ -271,6 +271,12 @@ def make_sdirk3_step(newton_iters: int = 8, krylov: bool = False, **krylov_opts)
 
     Same singly-diagonal Newton structure as SDIRK2 (shared
     ``_stage_newton_solve``; dense Jacobian or matrix-free Krylov).
+
+    Trade-off vs ``sdirk2``: higher classical order (3 vs 2) wins on
+    smooth-stiff problems, but this scheme is neither stiffly accurate nor
+    L-stable, so ON the stiff manifold (fast transients at large dt*lambda)
+    ``sdirk2`` is more accurate (measured: 1.1e-5 vs 1.2e-4 at dt=0.1,
+    lambda=-1000 on the relaxation test).
     """
     opts = (krylov_opts or {}) if krylov else None
 
