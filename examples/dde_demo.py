@@ -30,6 +30,12 @@ def main():
     args = demo_args(max_steps=300)
     n_lags = 6
     his_len = args.his_len
+    if args.data_len - args.pred_len <= his_len:
+        raise SystemExit(
+            f"data_len ({args.data_len}) must exceed his_len + pred_len "
+            f"({his_len} + {args.pred_len}): every training window needs a "
+            f"full history behind it (use --his_len to shrink the history)"
+        )
 
     t, true_y = make_spiral(args.data_len)
     true_np = np.asarray(true_y)  # [T, 1, 2]
