@@ -188,3 +188,27 @@ def test_sdirk3_a_stability():
                time_axis=0)
     assert bool(jnp.all(jnp.isfinite(y)))
     np.testing.assert_allclose(np.asarray(y[-1]), np.cos(2.0), atol=2e-3)
+
+
+def test_implicit_adjoint_composes_and_converges():
+    """odeint_adjoint through sdirk2: the continuous adjoint re-integrates the
+    augmented system with the same implicit solver, so it stays STABLE where
+    an explicit solver's adjoint explodes (rk4 at dt*lambda = -4 returns
+    ~1e15), and its O(dt^2) gradient error converges to the exact discrete
+    gradient under refinement (measured ratio-err 15 -> 2.4e-4 over 11 -> 641
+    points; pinned at the 161-point level here)."""
+    import jax
+
+    from paddlexde_tpu import odeint_adjoint
+
+    lam0 = jnp.asarray(-40.0)
+
+    def loss(fn, lam, n):
+        f = lambda t, y: lam * (y - jnp.cos(t)) - jnp.sin(t)
+        y = fn(f, jnp.asarray(1.5), jnp.linspace(0.0, 1.0, n), "sdirk2",
+               time_axis=0)
+        return jnp.sum(y[:: (n - 1) // 10] ** 2)
+
+    g_adj = float(jax.grad(lambda l: loss(odeint_adjoint, l, 161))(lam0))
+    g_dir = float(jax.grad(lambda l: loss(odeint, l, 161))(lam0))
+    assert abs(g_adj - g_dir) / abs(g_dir) < 2e-2, (g_adj, g_dir)
