@@ -59,7 +59,7 @@ def net(p, y):
 
 
 def main():
-    args = demo_args(max_steps=300)
+    args = demo_args(max_steps=300, solver="euler")
     xdeint = sdeint_adjoint if args.adjoint else sdeint
 
     t, true_y = make_noisy_spiral(args.data_len)
@@ -77,7 +77,7 @@ def main():
                 lambda tt, y: jax.nn.softplus(net(p["diffusion"], y)) * 0.1,
                 y0,
                 tb,
-                "euler",
+                args.solver,  # euler/milstein/sriw1/heun_stratonovich
                 key=jax.random.fold_in(jax.random.key(123), step),
                 time_axis=0,
             )
