@@ -1,0 +1,64 @@
+"""Preconditioners for the matrix-free Newton--Krylov implicit solvers.
+
+The Krylov steppers (``implicit_euler_krylov``, ``sdirk2_krylov``) accept a
+``preconditioner`` callable ``v -> M^-1 v`` approximating ``(I - c*dt*J)^-1``.
+Unpreconditioned GMRES resolves ``dt*||J||`` only up to ~1e5 (f32) / ~1e6
+(f64) within its default matvec budget; a good M removes that ceiling.
+
+This module ships the workhorse for semi-discretized diffusion problems: the
+EXACT spectral inverse of ``I - nu*dt*Laplacian`` under Dirichlet boundaries,
+applied in O(D log D) with two FFT-based sine transforms. For
+reaction-diffusion systems, preconditioning by the diffusion part alone is
+the classic choice — GMRES then only has to resolve the (mild) reaction
+Jacobian. (No analogue in the reference: its only stiff path was host-side
+scipy, SURVEY §2.3.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+__all__ = ["dst1", "dirichlet_heat_preconditioner"]
+
+
+def dst1(v):
+    """Un-normalized type-I discrete sine transform of the LAST axis via the
+    FFT of the odd extension: returns ``2 * sum_j v_j sin(pi j k / (D+1))``.
+    Self-inverse up to the factor ``2 (D+1)``: ``dst1(dst1(v)) == 2(D+1) v``.
+    """
+    d = v.shape[-1]
+    zeros = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
+    ext = jnp.concatenate([zeros, v, zeros, -v[..., ::-1]], axis=-1)
+    return (-jnp.fft.fft(ext, axis=-1).imag[..., 1 : d + 1]).astype(v.dtype)
+
+
+def dirichlet_heat_preconditioner(n, dx, dt, nu=1.0, dtype=jnp.float32):
+    """Exact inverse of ``I - nu*dt*Laplacian`` (2nd-order stencil, Dirichlet).
+
+    The Dirichlet Laplacian's eigenvectors are the DST-I modes with
+    eigenvalues ``-mu_k = -(2 - 2 cos(pi k dx))/dx^2``, so the operator is
+    diagonal in sine space: transform, divide by ``1 + nu*dt*mu_k``, transform
+    back. Use as ``make_implicit_euler_krylov_step(preconditioner=M)`` /
+    ``make_sdirk2_step(krylov=True, preconditioner=M)`` — note the SDIRK stage
+    operator is ``I - gamma*dt*J``, so pass ``dt_eff = gamma*dt`` there.
+
+    Measured (1-D heat, D~8k, f32, dt*||J|| ~ 2.7e6): unpreconditioned
+    GMRES diverges (endpoint error ~55); with this M the Krylov solve is
+    accurate to f32 roundoff (~1e-5).
+
+    GRID SIZE RULE: pick ``n = 2**k - 1`` interior points so the sine
+    transform's FFT length ``2(n+1)`` is a power of two. TPU FFT falls off a
+    cliff on large prime factors — measured 47 ms (n=8191, length 16384) vs
+    16.8 s (n=8192, length 16386 = 2*3*2731) for the same 5-step solve.
+    """
+    k = np.arange(1, n + 1)
+    mu = (2.0 - 2.0 * np.cos(np.pi * k * dx)) / dx**2
+    denom = jnp.asarray(1.0 + nu * float(dt) * mu, dtype)
+    scale = 1.0 / (2.0 * (n + 1))
+
+    def apply(v):
+        return dst1(dst1(v) / denom.astype(v.dtype)) * jnp.asarray(scale, v.dtype)
+
+    return apply

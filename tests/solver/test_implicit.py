@@ -212,3 +212,43 @@ def test_implicit_adjoint_composes_and_converges():
     g_adj = float(jax.grad(lambda l: loss(odeint_adjoint, l, 161))(lam0))
     g_dir = float(jax.grad(lambda l: loss(odeint, l, 161))(lam0))
     assert abs(g_adj - g_dir) / abs(g_dir) < 2e-2, (g_adj, g_dir)
+
+
+def test_dirichlet_heat_preconditioner_unlocks_f32_stiffness():
+    """Spectral (DST) exact inverse of I - nu*dt*Lap as the GMRES M: at
+    D=2048/f32 (dt*||J|| ~ 1.7e5, the unpreconditioned f32 envelope edge,
+    where plain GMRES leaves ~2e-2 error) the preconditioned solve is
+    accurate to f32 roundoff. At D=8192 (measured separately) plain GMRES
+    diverges to err ~55 while preconditioned lands at 1.4e-5."""
+    from paddlexde_tpu.solver.implicit import make_implicit_euler_krylov_step
+    from paddlexde_tpu.utils.preconditioners import (
+        dirichlet_heat_preconditioner,
+        dst1,
+    )
+    from paddlexde_tpu.xde.term import ode_term
+
+    # dst1 self-inverse contract
+    v = jnp.asarray(np.random.RandomState(0).randn(64).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dst1(dst1(v))) / (2 * 65), np.asarray(v), rtol=1e-5, atol=1e-6
+    )
+
+    D = 2048
+    dx = 1.0 / (D + 1)
+
+    def lap(t, u):
+        up = jnp.pad(u, 1)
+        return (up[2:] - 2.0 * up[1:-1] + up[:-2]) / dx**2
+
+    term = ode_term(lap)
+    u0 = jnp.sin(jnp.pi * jnp.arange(1, D + 1, dtype=jnp.float32) * dx)
+    dt = 0.01
+    M = dirichlet_heat_preconditioner(D, dx, dt)
+    step = make_implicit_euler_krylov_step(preconditioner=M)
+    y = u0
+    for i in range(5):
+        y, _ = step(term, i * dt, (i + 1) * dt, y)
+    mu1 = (2.0 - 2.0 * np.cos(np.pi * dx)) / dx**2
+    exact = (1.0 + dt * mu1) ** -5
+    err = float(jnp.max(jnp.abs(y - exact * u0)))
+    assert err < 1e-4, err  # plain GMRES: ~2e-2 here, ~55 at D=8192
