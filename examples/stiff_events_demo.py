@@ -73,6 +73,41 @@ def reaction_diffusion():
     assert frac[-1] > frac[0], "front did not propagate"
 
 
+def reaction_diffusion_preconditioned():
+    """Same physics at 8191 grid points (f32): the diffusion-only spectral
+    preconditioner makes a grid unpreconditioned GMRES cannot handle in f32
+    (dt*||J|| ~ 1.7e6) solve accurately — the classic recipe of
+    preconditioning a reaction-diffusion system by its stiff linear part.
+    (8191 = 2^13 - 1 keeps the sine-transform FFT length a power of two —
+    the measured difference on TPU is 47 ms vs 16.8 s.)"""
+    from paddlexde_tpu.solver.fixed import solve_fixed
+    from paddlexde_tpu.solver.implicit import make_implicit_euler_krylov_step
+    from paddlexde_tpu.utils.preconditioners import dirichlet_heat_preconditioner
+    from paddlexde_tpu.xde.term import ode_term
+
+    D = 8191
+    dx = 1.0 / (D + 1)
+    nu = 1e-3
+    x = jnp.arange(1, D + 1, dtype=jnp.float32) * dx
+
+    def f(t, u):
+        u_pad = jnp.pad(u, 1)
+        lap = (u_pad[2:] - 2.0 * u_pad[1:-1] + u_pad[:-2]) / dx**2
+        return nu * lap + u * (1.0 - u)
+
+    ts = jnp.linspace(0.0, 4.0, 9, dtype=jnp.float32)
+    dt = float(ts[1] - ts[0])
+    step = make_implicit_euler_krylov_step(
+        preconditioner=dirichlet_heat_preconditioner(D, dx, dt, nu=nu)
+    )
+    u0 = jnp.exp(-200.0 * (x - 0.2) ** 2)
+    sol = jax.jit(lambda u: solve_fixed(ode_term(f), u, ts, method=step))(u0)
+    frac = np.asarray(jnp.mean(sol > 0.5, axis=-1))
+    print("[fisher-kpp 8k/pc]  front coverage over time:", frac.round(2))
+    assert bool(jnp.all(jnp.isfinite(sol))), "solve diverged"
+    assert frac[-1] > frac[0], "front did not propagate"
+
+
 def bouncing_ball():
     """Integrate free fall until impact; event-time gradient vs closed form."""
     g = 9.81
@@ -105,5 +140,6 @@ def bouncing_ball():
 if __name__ == "__main__":
     robertson()
     reaction_diffusion()
+    reaction_diffusion_preconditioned()
     bouncing_ball()
     print("all demos passed")
