@@ -102,6 +102,25 @@ def integrate_term(
     step_size, grid_constructor, first_step, safety/ifactor/dfactor,
     step_t/jump_t, min_step/max_step, max_num_steps, interp, return_stats).
     """
+    if callable(solver) and not isinstance(solver, SolverSpec):
+        # power-user path: a custom fixed-step function
+        # ``step(term, t0, t1, y0) -> (y1, dy0)`` — e.g. a preconditioned
+        # Newton-Krylov stepper from ``make_implicit_euler_krylov_step`` —
+        # is first-class at the odeint level, not just via solve_fixed
+        options = dict(options or {})
+        kw = {k: v for k, v in options.items() if k in _FIXED_KEYS}
+        unknown = set(options) - _FIXED_KEYS - {"norm"}
+        if unknown:
+            raise ValueError(
+                f"custom step functions take fixed-solver options only; "
+                f"unknown: {sorted(unknown)}"
+            )
+        if _is_decreasing(t_span):
+            t_span = -jnp.asarray(t_span)
+            term = _reversed_term(term)
+        sol = solve_fixed(term, y0, t_span, method=solver, **kw)
+        return format_solution(sol, time_axis)
+
     spec: SolverSpec = resolve_solver(solver)
     options = dict(options or {})
     if interp is not None:

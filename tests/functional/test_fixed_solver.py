@@ -89,3 +89,26 @@ def test_float32_smoke():
         y = odeint(f, y0, t_points, RK4)
         assert y.dtype == jnp.float32
         np.testing.assert_allclose(y, sol, rtol=5e-2, atol=5e-2)
+
+
+def test_custom_step_function_through_odeint():
+    """Power-user path: a custom fixed-step callable
+    ``step(term, t0, t1, y0) -> (y1, dy0)`` passed as ``solver`` — e.g. a
+    preconditioned Krylov stepper — goes straight through odeint, including
+    reversed spans; adaptive-only options are rejected with a clear error."""
+    import pytest as _pytest
+
+    from paddlexde_tpu.solver.fixed import rk4_step
+
+    f = lambda t, y: jnp.cos(t) * y
+    ts = jnp.linspace(0.0, 2.0, 33)
+    y_custom = odeint(f, jnp.ones(()), ts, rk4_step, time_axis=0)
+    y_named = odeint(f, jnp.ones(()), ts, "rk4", time_axis=0)
+    np.testing.assert_allclose(np.asarray(y_custom), np.asarray(y_named))
+
+    y_rev = odeint(f, jnp.ones(()), ts[::-1], rk4_step, time_axis=0)
+    assert bool(jnp.all(jnp.isfinite(y_rev)))
+
+    with _pytest.raises(ValueError):
+        odeint(f, jnp.ones(()), ts, rk4_step, options={"max_steps": 8},
+               time_axis=0)
