@@ -20,7 +20,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["dst1", "dirichlet_heat_preconditioner"]
+__all__ = ["dst1", "dirichlet_heat_preconditioner", "periodic_heat_preconditioner"]
 
 
 def dst1(v):
@@ -60,5 +60,26 @@ def dirichlet_heat_preconditioner(n, dx, dt, nu=1.0, dtype=jnp.float32):
 
     def apply(v):
         return dst1(dst1(v) / denom.astype(v.dtype)) * jnp.asarray(scale, v.dtype)
+
+    return apply
+
+
+def periodic_heat_preconditioner(n, dx, dt, nu=1.0, dtype=jnp.float32):
+    """Exact inverse of ``I - nu*dt*Laplacian`` with PERIODIC boundaries.
+
+    The periodic second-difference operator is diagonalized by the DFT with
+    eigenvalues ``-mu_k = -(2 - 2 cos(2 pi k / n))/dx^2``; one rfft/irfft pair
+    applies the inverse in O(n log n). Same usage and grid-size rule as
+    :func:`dirichlet_heat_preconditioner` (here ``n`` itself should be a
+    power of two).
+    """
+    k = np.arange(n // 2 + 1)
+    mu = (2.0 - 2.0 * np.cos(2.0 * np.pi * k / n)) / dx**2
+    denom = jnp.asarray(1.0 + nu * float(dt) * mu)
+
+    def apply(v):
+        return jnp.fft.irfft(jnp.fft.rfft(v, axis=-1) / denom, n=n, axis=-1).astype(
+            v.dtype
+        )
 
     return apply
