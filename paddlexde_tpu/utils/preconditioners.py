@@ -20,7 +20,12 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["dst1", "dirichlet_heat_preconditioner", "periodic_heat_preconditioner"]
+__all__ = [
+    "dst1",
+    "dirichlet_heat_preconditioner",
+    "periodic_heat_preconditioner",
+    "neumann_heat_preconditioner",
+]
 
 
 def dst1(v):
@@ -81,5 +86,39 @@ def periodic_heat_preconditioner(n, dx, dt, nu=1.0, dtype=jnp.float32):
         return jnp.fft.irfft(jnp.fft.rfft(v, axis=-1) / denom, n=n, axis=-1).astype(
             v.dtype
         )
+
+    return apply
+
+
+def neumann_heat_preconditioner(n, dx, dt, nu=1.0, dtype=jnp.float32):
+    """Exact inverse of ``I - nu*dt*Laplacian`` with NEUMANN (reflecting)
+    boundaries — the ghost-point stencil ``u[-1] = u[0], u[n] = u[n-1]``.
+
+    Diagonalized by the type-II DCT (eigenvalues
+    ``-mu_k = -(2 - 2 cos(pi k / n))/dx^2``), applied via the FFT of the even
+    extension. Same usage as the Dirichlet/periodic variants; ``n`` a power
+    of two keeps the length-2n FFT fast.
+    """
+    k = np.arange(n)
+    mu = (2.0 - 2.0 * np.cos(np.pi * k / n)) / dx**2
+    # host-side numpy constants: eager complex device arrays captured in a
+    # jitted closure fail the axon TPU backend's constant-embedding path
+    denom = (1.0 + nu * float(dt) * mu).astype(np.complex64)
+    fwd_phase = np.exp(-1j * np.pi * np.arange(n) / (2 * n)).astype(np.complex64)
+    inv_phase = np.conj(fwd_phase)
+
+    def apply(v):
+        ext = jnp.concatenate([v, v[..., ::-1]], axis=-1)
+        coeff = (jnp.fft.fft(ext, axis=-1)[..., :n] * fwd_phase).real / 2.0
+        x_half = 2.0 * (coeff.astype(np.complex64) / denom) * inv_phase
+        x_full = jnp.concatenate(
+            [
+                x_half,
+                jnp.zeros(x_half.shape[:-1] + (1,), x_half.dtype),
+                jnp.conj(x_half[..., 1:][..., ::-1]),
+            ],
+            axis=-1,
+        )
+        return jnp.fft.ifft(x_full, axis=-1).real[..., :n].astype(v.dtype)
 
     return apply
