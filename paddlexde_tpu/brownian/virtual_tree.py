@@ -187,14 +187,41 @@ def brownian_value_levy(
 
 
 def _query_key(key, ta, tb):
-    """Reproducible per-(ta, tb) key from the interval's float bit pattern."""
-    bits_a = jax.lax.bitcast_convert_type(jnp.asarray(ta, jnp.float32), jnp.int32)
-    bits_b = jax.lax.bitcast_convert_type(jnp.asarray(tb, jnp.float32), jnp.int32)
-    return jax.random.fold_in(jax.random.fold_in(key, bits_a), bits_b)
+    """Reproducible per-(ta, tb) key from the interval's float bit pattern.
+
+    float64 times fold in BOTH 32-bit halves of the 64-bit pattern: a plain
+    f32 downcast would collide distinct fine-step intervals (times closer than
+    f32 resolution), silently duplicating the per-query Lévy-area noise.
+    """
+
+    def fold_time(k, t):
+        t = jnp.asarray(t)
+        if t.dtype == jnp.float64:
+            bits = jax.lax.bitcast_convert_type(t, jnp.int64)
+            lo = jax.lax.convert_element_type(
+                jax.lax.bitwise_and(bits, jnp.int64(0xFFFFFFFF)), jnp.uint32
+            )
+            hi = jax.lax.convert_element_type(
+                jax.lax.shift_right_logical(bits, jnp.int64(32)), jnp.uint32
+            )
+            return jax.random.fold_in(jax.random.fold_in(k, lo), hi)
+        bits = jax.lax.bitcast_convert_type(t.astype(jnp.float32), jnp.int32)
+        return jax.random.fold_in(k, bits)
+
+    return fold_time(fold_time(key, ta), tb)
 
 
 def space_time_levy_area(key, ta, tb, w, shape=(), dtype=jnp.float32):
-    """H over [ta, tb] sampled from the exact conditional H | W ~ N(0, h/12)."""
+    """H over [ta, tb] sampled from the exact conditional H | W ~ N(0, h/12).
+
+    CHEAP PER-QUERY PATH — composition-INconsistent by construction: H values
+    for [a,m] and [m,b] do not compose to the H of [a,b] (each query draws
+    from an independent per-(ta,tb) key). Never mix these values with the
+    joint-descent U/H returned by :class:`~.api.BrownianInterval` (the single
+    default every solver uses — it routes ALL queries, W included, through the
+    consistent joint (W, ∫W) descent). Use this only for standalone,
+    single-interval statistics.
+    """
     del w  # H is independent of W in the space-time decomposition
     h = jnp.asarray(tb, dtype) - jnp.asarray(ta, dtype)
     x = jax.random.normal(_query_key(key, ta, tb), shape, dtype)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..xde.history import history_index
@@ -61,7 +62,13 @@ def ddeint_adjoint(
 
     def f_eff(t, y):
         dy = call(t, y, lags, y_lags)
-        return jnp.asarray(dy) - damping * y if damping else dy
+        if not damping:
+            return dy
+        # leafwise, matching dde_term: pytree DDE states damp per leaf (a
+        # bare jnp.asarray(dy) - damping*y crashed on pytree states)
+        return jax.tree.map(
+            lambda d, yl: jnp.asarray(d) - damping * yl, dy, y
+        )
 
     solution = odeint_adjoint(
         f_eff,

@@ -8,8 +8,10 @@ TPU-native construction: the adaptive engine's ``lax.while_loop`` runs until
 the accepted step brackets a sign change (or ``t_max``/step budget), then the
 event time is located by bisection ON THE QUARTIC DENSE OUTPUT of the
 bracketing step — no extra vector-field evaluations for the root find, and the
-whole thing is one jittable/differentiable-via-implicit-fn program (event-time
-gradients are future work; values are jit/vmap-safe).
+whole thing is one jittable/differentiable-via-implicit-fn program. Event-time
+and event-state gradients are provided by :func:`odeint_event_grad` below
+(implicit-function differentiation via a Newton-step re-expression over the
+adjoint); values are jit/vmap-safe.
 """
 
 from __future__ import annotations

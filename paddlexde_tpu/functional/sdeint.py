@@ -379,12 +379,20 @@ def sdeint(
         from ..solver.registry import resolve_solver
 
         spec = resolve_solver(solver)
-        if spec.kind != "fixed" or spec.implicit:
+        if spec.kind != "fixed" or spec.implicit or spec.name != "euler":
+            # The reference nominally routed SDE terms through its whole fixed
+            # zoo, but multi-stage RK drivers sample each stage's Brownian
+            # increment on the stage's own sub-interval and fuse it unscaled —
+            # midpoint's noise variance comes out dt/2 instead of dt and rk4's
+            # ~dt/8 with cross-step correlation. That is a wrong diffusion law,
+            # not a higher-order SDE scheme, so we refuse instead of silently
+            # under-dispersing (deliberate deviation from the reference's
+            # anything-goes solver plumbing, SURVEY §2.11-2).
             raise ValueError(
-                "sdeint requires an explicit fixed-step solver (euler/midpoint/"
-                "rk4) or an SDE scheme (milstein/sra1/sriw1/heun_stratonovich): "
-                "adaptive error control and implicit Newton steps are not "
-                "defined for the Ito increment pair this term produces"
+                f"sdeint got solver={spec.name!r}: multi-stage deterministic RK "
+                "steppers mis-weight the Brownian increment (understated noise "
+                "variance). Use 'euler' (Euler-Maruyama) or a dedicated SDE "
+                "scheme: milstein / sra1 / sriw1 / heun_stratonovich."
             )
 
     decreasing = reverse or _is_decreasing(t_span)

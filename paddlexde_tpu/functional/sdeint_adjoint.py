@@ -33,7 +33,7 @@ from .sdeint import (
     make_sra1_term,
     make_sriw1_term,
 )
-from .solve import format_solution
+from .solve import _is_decreasing, format_solution
 
 _TERM_BUILDERS = {
     None: make_sde_term,
@@ -79,11 +79,13 @@ def sdeint_adjoint(
     ) else None
     if scheme is None:
         spec = resolve_solver(solver)
-        if spec.kind != "fixed" or spec.implicit:
+        if spec.kind != "fixed" or spec.implicit or spec.name != "euler":
+            # same refusal as sdeint: multi-stage deterministic RK mis-weights
+            # the Brownian increment (understated noise variance)
             raise ValueError(
-                "sdeint_adjoint supports explicit fixed-step solvers "
-                "(euler/midpoint/rk4) and SDE schemes (milstein/sra1/sriw1/"
-                "heun_stratonovich)"
+                f"sdeint_adjoint got solver={getattr(spec, 'name', solver)!r}: "
+                "use 'euler' (Euler-Maruyama) or an SDE scheme (milstein/sra1/"
+                "sriw1/heun_stratonovich)"
             )
         step_fn, _ = FIXED_STEP_FNS[spec.name]
     else:
@@ -94,6 +96,16 @@ def sdeint_adjoint(
         raise NotImplementedError("sdeint_adjoint requires grid == t_span")
 
     t_span = jnp.asarray(t_span)
+    if _is_decreasing(t_span):
+        # without this the scan would silently run naive backward
+        # Euler-Maruyama WITHOUT the Ito time-reversal correction (+g*dg/dy)
+        # that sdeint's reverse path applies — systematically biased
+        # trajectories and gradients. Fail loudly instead.
+        raise ValueError(
+            "sdeint_adjoint requires an increasing t_span (backward-in-time "
+            "Ito solves need the reversal drift correction; use "
+            "sdeint(..., reverse=True) for values, or solve forward and flip)"
+        )
     y0 = jax.tree.map(jnp.asarray, y0)
     leaves = jax.tree.leaves(y0)
     if len(leaves) != 1:

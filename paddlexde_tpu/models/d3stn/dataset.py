@@ -126,7 +126,7 @@ class TrafficFlowDataset:
         return self.scaler.inverse_transform(data) if self.scaler else data
 
     def batches(self, batch_size, shuffle=False, seed=0, drop_last=False,
-                time_major=False):
+                time_major=False, process_index=0, process_count=1):
         """Yield (his, tgt) numpy batches.
 
         Both layouts fill REUSED preallocated buffers with ``np.copyto``
@@ -136,12 +136,25 @@ class TrafficFlowDataset:
         transpose on device if needed). The consumer MUST snapshot/upload each
         batch before advancing the iterator (``utils.data.prefetch`` does;
         plain ``np.asarray``/``jax.device_put`` alias and do not).
+
+        ``process_index``/``process_count`` give each host a disjoint strided
+        shard of the (shared-seed) global order — the role of the reference's
+        ``DistributedBatchSampler`` (``example/D3STN/train_dde.py:99-114`` in
+        DrownFish19/PaddleXDE). Like the reference sampler, the order is
+        wrap-padded so every process yields the SAME number of samples (a few
+        duplicates at the tail instead of a collective-deadlocking ragged
+        epoch); the shuffle seed must match across processes.
         """
         cfg = self.cfg
         starts = np.asarray([w[0] for w in self.windows])
         order = np.arange(len(self))
         if shuffle:
             np.random.RandomState(seed).shuffle(order)
+        if process_count > 1:
+            total = -(-len(order) // process_count) * process_count
+            if total > len(order) and len(order) > 0:
+                order = np.concatenate([order, order[: total - len(order)]])
+            order = order[process_index::process_count]
 
         n, d = self.data.shape[0], self.data.shape[2]
         if time_major:

@@ -74,7 +74,12 @@ class Trainer:
                  mesh=None):
         self.cfg = cfg
         self.mesh = mesh
-        self.is_main = jax.process_index() == 0
+        # multi-host coordinates: each process feeds its own data shard and
+        # eval/test metrics are aggregated across processes (the reference's
+        # DistributedBatchSampler + all_gather_object roles)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.is_main = self.process_index == 0
 
         self.save_path = os.path.join(
             cfg.save_dir, cfg.dataset_name,
@@ -107,6 +112,14 @@ class Trainer:
                 self._set_phase_lr(self.finetune)
             except FileNotFoundError:
                 self.logger.warning("continue_training set but no checkpoint found")
+        if mesh is not None:
+            # params / lags / opt state replicated across the mesh; batches
+            # are sharded over 'data' in _device_put and XLA inserts the
+            # gradient all-reduces (lag tensors included — no special case)
+            from ...parallel import replicate
+
+            self._set_state(replicate(self.state, mesh))
+            self.opt_state = replicate(self.opt_state, mesh)
         self._compile_steps()
 
     # ------------------------------------------------------------------ data
@@ -244,6 +257,12 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            n_data = self.mesh.shape["data"]
+            if np.shape(arr)[0] % n_data != 0:
+                # ragged tail batch (eval/test with drop_last=False): a
+                # batch-sharded put would fail, so place it replicated — one
+                # extra program shape, correctness unchanged
+                return jax.device_put(arr, NamedSharding(self.mesh, P()))
             return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
         return jnp.asarray(arr)
 
@@ -286,6 +305,8 @@ class Trainer:
                 self.train_dataset.batches(
                     cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
                     drop_last=True,
+                    process_index=self.process_index,
+                    process_count=self.process_count,
                 ),
                 depth=2,
                 # snapshot the reused host buffers before upload (device_put
@@ -324,7 +345,11 @@ class Trainer:
                 best_eval_loss, best_epoch = eval_loss, epoch
                 self.logger.info(f"best_epoch: {best_epoch}, eval_loss: {eval_loss}")
                 self.save(epoch=epoch, full_state=True)
-                self.save()
+                # epoch_best also carries the full-state sidecar: load() with
+                # no epoch reads epoch_best, and without the sidecar the
+                # documented exact-resume path would silently degrade to
+                # params-only with fresh Adam moments
+                self.save(full_state=True, at_epoch=epoch)
 
             self.early_stopping(eval_loss)
             if self.early_stopping.early_stop:
@@ -350,25 +375,46 @@ class Trainer:
 
     # ------------------------------------------------------------ eval/test
     def compute_eval_loss(self, epoch=-1) -> float:
+        """Mean eval loss; each process evaluates its own data shard and the
+        per-batch losses are aggregated across processes (the role of the
+        reference's ``dist.all_gather_object``, ``train_dde.py:602-606``)."""
+        from ...parallel import process_concat
+
         losses = [
             float(self._eval_step(self.state, self._device_put(src), self._device_put(tgt)))
-            for src, tgt in self.val_dataset.batches(self.cfg.batch_size)
+            for src, tgt in self.val_dataset.batches(
+                self.cfg.batch_size,
+                process_index=self.process_index,
+                process_count=self.process_count,
+            )
         ]
-        eval_loss = float(np.mean(losses)) if losses else np.inf
+        losses = process_concat(np.asarray(losses, np.float64))
+        eval_loss = float(np.mean(losses)) if losses.size else np.inf
         self.logger.info(f"epoch {epoch} eval_loss: {eval_loss:.6f}")
         return eval_loss
 
     def compute_test_loss(self, epoch=-1) -> dict:
+        """Test metrics over the GLOBAL test set: per-process prediction on
+        the local shard, then cross-process gather of (preds, trues) before
+        the masked metrics (reference ``train_dde.py:635-649``)."""
+        from ...parallel import process_concat
+
         preds, trues = [], []
-        for src, tgt in self.test_dataset.batches(self.cfg.batch_size):
+        for src, tgt in self.test_dataset.batches(
+            self.cfg.batch_size,
+            process_index=self.process_index,
+            process_count=self.process_count,
+        ):
             p = self._pred_step(self.state, self._device_put(src))
             preds.append(np.asarray(p))
             # np.array (copy!): tgt is a view of the dataset's REUSED batch
             # buffer — an alias here would silently make every collected batch
             # equal to the last one
             trues.append(np.array(tgt[..., :1]))
-        preds = self.test_dataset.inverse_transform(np.concatenate(preds, 0))
-        trues = self.test_dataset.inverse_transform(np.concatenate(trues, 0))
+        preds = process_concat(np.concatenate(preds, 0))
+        trues = process_concat(np.concatenate(trues, 0))
+        preds = self.test_dataset.inverse_transform(preds)
+        trues = self.test_dataset.inverse_transform(trues)
 
         results = {"per_horizon": []}
         for i in range(trues.shape[2]):
@@ -410,11 +456,12 @@ class Trainer:
             os.path.join(self.save_path, f"{tag}.deidx"),
         )
 
-    def save(self, epoch=None, full_state: bool = False):
+    def save(self, epoch=None, full_state: bool = False, at_epoch=None):
         """Persist params + lag tensors (reference file-per-part layout,
         ``train_dde.py:306-321``); ``full_state`` additionally saves the
         optimizer state and epoch for exact resume (a capability the
-        reference lacks)."""
+        reference lacks). ``at_epoch`` records the epoch in the sidecar when
+        the filename tag is epoch-less (the ``epoch_best`` alias)."""
         if not self.is_main:
             return
         pf, ef, df = self._ckpt_files(epoch)
@@ -429,7 +476,7 @@ class Trainer:
                         "opt_state": jax.tree.map(np.asarray, self.opt_state),
                         "finetune": self.finetune,
                         "kl_loss_weight": self.kl_loss_weight,
-                        "epoch": epoch,
+                        "epoch": epoch if epoch is not None else at_epoch,
                     },
                     f,
                 )

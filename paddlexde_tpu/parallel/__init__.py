@@ -25,10 +25,30 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_parallel_sharding",
+    "process_concat",
     "P",
     "Mesh",
     "NamedSharding",
 ]
+
+
+def process_concat(x: np.ndarray) -> np.ndarray:
+    """Concatenate a host-local numpy array across processes along axis 0.
+
+    The multihost analogue of the reference's eval/test metric aggregation via
+    ``dist.all_gather_object`` (``example/D3STN/train_dde.py:602-606, 635-649``
+    in DrownFish19/PaddleXDE): every process contributes its local shard and
+    receives the full global array. Identity when single-process, so
+    single-host code paths need no jax.distributed setup. Requires the same
+    local shape on every process (the wrap-padded per-process sampler
+    guarantees it).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(x))
+    return np.concatenate(list(gathered), axis=0)
 
 
 def make_mesh(

@@ -167,3 +167,27 @@ def test_levy_tree_statistics():
     # U itself: Var(U) = h^2 Var(W)/4 + h^3/12 (W and H independent)
     expect_u_var = h**2 * h / 4 + h**3 / 12
     np.testing.assert_allclose(np.asarray(u).var(), expect_u_var, rtol=0.15)
+
+
+def test_query_key_f64_no_collision():
+    """float64 query times closer than f32 resolution must map to DISTINCT
+    per-query keys (a plain f32 downcast collided them, duplicating the
+    per-query Levy-area noise across neighbouring fine steps)."""
+    from paddlexde_tpu.brownian.virtual_tree import _query_key, space_time_levy_area
+
+    key = jax.random.key(7)
+    eps = 1e-12  # far below f32 resolution at 1.0
+    ta1, tb1 = jnp.float64(1.0), jnp.float64(1.0 + eps)
+    ta2, tb2 = jnp.float64(1.0 + eps), jnp.float64(1.0 + 2 * eps)
+    k1 = jax.random.key_data(_query_key(key, ta1, tb1))
+    k2 = jax.random.key_data(_query_key(key, ta2, tb2))
+    assert not bool(jnp.all(k1 == k2))
+    h1 = space_time_levy_area(key, ta1, tb1, None, (8,), jnp.float64)
+    h2 = space_time_levy_area(key, ta2, tb2, None, (8,), jnp.float64)
+    assert not np.allclose(np.asarray(h1), np.asarray(h2))
+    # determinism per (key, ta, tb) is preserved in both dtypes
+    k1b = jax.random.key_data(_query_key(key, ta1, tb1))
+    assert bool(jnp.all(k1 == k1b))
+    k32 = jax.random.key_data(_query_key(key, jnp.float32(0.25), jnp.float32(0.5)))
+    k32b = jax.random.key_data(_query_key(key, jnp.float32(0.25), jnp.float32(0.5)))
+    assert bool(jnp.all(k32 == k32b))

@@ -196,18 +196,17 @@ def test_milstein_strong_order_beats_em():
     assert order_mi > 0.8, (order_em, order_mi)
 
 
-def test_sde_through_midpoint_and_rk4():
-    """Reference parity: the fixed zoo accepts SDE terms (move/fuse combos);
-    results stay finite and track the drift."""
+def test_sde_rejects_multistage_deterministic_rk():
+    """midpoint/rk4 mis-weight the Brownian increment (stage-subinterval
+    sampling fused unscaled => understated noise variance), so sdeint refuses
+    them loudly instead of silently producing the wrong diffusion law
+    (deliberate deviation from the reference's anything-goes plumbing)."""
     y0 = jnp.ones((64,))
     ts = jnp.linspace(0.0, 1.0, 129)
-    for method in ("midpoint", "rk4"):
-        sol = sdeint(lambda t, y: -y, lambda t, y: 0.05 * jnp.ones_like(y),
-                     y0, ts, method, key=3, time_axis=0)
-        assert bool(jnp.all(jnp.isfinite(sol)))
-        np.testing.assert_allclose(
-            float(jnp.mean(sol[-1])), np.exp(-1.0), atol=0.05
-        )
+    for method in ("midpoint", "rk4", "dopri5", "implicit_euler"):
+        with pytest.raises(ValueError, match="euler|SDE|fixed-step"):
+            sdeint(lambda t, y: -y, lambda t, y: 0.05 * jnp.ones_like(y),
+                   y0, ts, method, key=3, time_axis=0)
 
 
 def test_sra1_additive_strong_order():
@@ -396,3 +395,16 @@ def test_sra1_reverse_still_rejected():
     with pytest.raises(NotImplementedError):
         sdeint(lambda t, y: -y, lambda t, y: jnp.ones_like(y), jnp.ones(4),
                jnp.linspace(1.0, 0.0, 5), "sra1", time_axis=0)
+
+
+def test_sdeint_adjoint_rejects_decreasing_span():
+    """A decreasing t_span must fail loudly: the scan would otherwise run
+    naive backward EM without the Ito reversal correction (+g*dg/dy),
+    producing systematically biased trajectories AND gradients."""
+    from paddlexde_tpu import sdeint_adjoint
+
+    y0 = jnp.ones((16,))
+    ts = jnp.linspace(1.0, 0.0, 33)
+    with pytest.raises(ValueError, match="increasing t_span"):
+        sdeint_adjoint(lambda t, y: -y, lambda t, y: 0.1 * jnp.ones_like(y),
+                       y0, ts, "euler", key=5)
