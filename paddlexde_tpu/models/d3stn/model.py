@@ -273,7 +273,9 @@ class SublayerConnection(nn.Module):
 
     @nn.compact
     def __call__(self, x, sublayer, deterministic=True):
-        h = nn.LayerNorm()(x)
+        # epsilon 1e-5 = paddle nn.LayerNorm default (flax defaults to 1e-6);
+        # matters only for exact numerical parity with reference checkpoints
+        h = nn.LayerNorm(epsilon=1e-5)(x)
         h = sublayer(h)
         if self.cfg.dropout > 0:
             h = nn.Dropout(self.cfg.dropout)(h, deterministic=deterministic)
@@ -365,8 +367,8 @@ class D3STN(nn.Module):
             DecoderLayer(cfg, self.adj_matrix, self.sc_matrix, name=f"dec_{i}")
             for i in range(cfg.decoder_num_layers)
         ]
-        self.encoder_norm = nn.LayerNorm()
-        self.decoder_norm = nn.LayerNorm()
+        self.encoder_norm = nn.LayerNorm(epsilon=1e-5)  # paddle default eps
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5)
         self.generator = nn.Dense(cfg.decoder_output_size, kernel_init=_xavier)  # f32 out
 
     def _embed(self, x, dense):
