@@ -186,7 +186,22 @@ class BrownianTree(BrownianInterval):
 
 
 class ReverseBrownian(BaseBrownian):
-    """Negate query times for backward SDE solves (``derived.py:21-48``)."""
+    """Negate query times for backward SDE solves (``derived.py:21-48``).
+
+    The reversed path is ``W̃(s) = W(-s)`` — a Brownian motion in the
+    substituted time ``s = -t``. Exact transformations per query over
+    ``[sa, sb]`` (forward interval ``[ta, tb] = [-sb, -sa]``, ``h = sb-sa``):
+
+        ΔW̃ = -ΔW
+        Ĩ10 = ∫ (W̃(u) - W̃(sa)) du = U - h·ΔW      (substitute u = -r)
+
+    so the space-time Lévy area is INVARIANT: H̃ = Ĩ10/h - ΔW̃/2
+    = U/h - ΔW/2 = H. The reference returned U untransformed (it never wired
+    ReverseBrownian in, SURVEY §2.11-10); the correction here is what makes
+    reverse-time SRA1/SRIW1 possible. Full Lévy areas (``return_A``) flip
+    sign under time reversal in the Davie construction (H̃ᵢW̃ⱼ - W̃ᵢH̃ⱼ =
+    -(HᵢWⱼ - WᵢHⱼ)).
+    """
 
     def __init__(self, base_brownian: BaseBrownian):
         self.base_brownian = base_brownian
@@ -198,9 +213,20 @@ class ReverseBrownian(BaseBrownian):
         if tb is None:
             raise ValueError("ReverseBrownian requires both ta and tb")
         out = self.base_brownian(-tb, -ta, return_U=return_U, return_A=return_A)
-        if return_U or return_A:
-            return tuple(jax.tree.map(jnp.negative, o) if i == 0 else o for i, o in enumerate(out))
-        return -out
+        if not (return_U or return_A):
+            return -out
+        h = jnp.asarray(tb) - jnp.asarray(ta)
+        w = out[0]
+        res = [-w]
+        if return_U:
+            u = out[1]
+            res.append(jax.tree.map(
+                lambda ul, wl: ul - jnp.asarray(h, wl.dtype) * wl, u, w
+            ))
+        if return_A:
+            a = out[-1]
+            res.append(jax.tree.map(jnp.negative, a))
+        return tuple(res)
 
 
 def brownian_interval_like(y, t0=0.0, t1=1.0, **kwargs):

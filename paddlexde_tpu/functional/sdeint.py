@@ -397,17 +397,26 @@ def sdeint(
 
     decreasing = reverse or _is_decreasing(t_span)
     if decreasing:
-        if is_sra1 or is_sriw1:
-            raise NotImplementedError(
-                f"{solver_name} reverse-time is not implemented (the reversed "
-                "space-time integral's sign conventions are untested); use "
-                "euler/milstein/heun_stratonovich"
-            )
         span = -t_span if _is_decreasing(t_span) else -t_span[::-1]
         if is_milstein:
             # the reversed (Itô-corrected) system is itself an Itô SDE, so
             # Milstein applies unchanged for strong order 1 on the way back
             term = make_milstein_term(*_reversed_ito_fns(drift, diffusion, bm))
+            solver = "euler"
+        elif is_sra1:
+            # additive noise: the reversal correction g·∂g/∂y vanishes, the
+            # reversed system stays additive, and ReverseBrownian supplies the
+            # exact reversed (ΔW̃, Ĩ10) pair — SRA1 applies unchanged.
+            # Strong order ~1.5 on the reversed path is pinned by test.
+            term = make_sra1_term(*_reversed_ito_fns(drift, diffusion, bm))
+            solver = "euler"
+        elif is_sriw1:
+            # diagonal noise: the reversed system is an Itô SDE with drift
+            # -f + g·∂g/∂y and the same diagonal structure; I11/I111 are
+            # closed-form in ΔW̃ and Ĩ10 comes exact from ReverseBrownian.
+            # Strong order ~1.5 on the reversed path is pinned by test
+            # against the closed-form reversed GBM on the same path.
+            term = make_sriw1_term(*_reversed_ito_fns(drift, diffusion, bm))
             solver = "euler"
         elif is_heun_strat:
             term = make_heun_stratonovich_term(

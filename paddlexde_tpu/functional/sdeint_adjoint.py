@@ -27,6 +27,8 @@ from ..brownian.api import BrownianInterval
 from ..solver.fixed import FIXED_STEP_FNS
 from ..solver.registry import resolve_solver
 from .sdeint import (
+    _reversed_ito_fns,
+    _reversed_stratonovich_fns,
     make_heun_stratonovich_term,
     make_milstein_term,
     make_sde_term,
@@ -66,11 +68,13 @@ def sdeint_adjoint(
 ):
     """Like :func:`sdeint` but with O(1)-memory, discrete-exact gradients.
 
-    Restrictions (asserted): explicit fixed-step solver or SDE scheme
-    (milstein/sra1/heun_stratonovich), grid == t_span (the default and the
-    reference's SDE semantics), forward time. ``adjoint_params`` is accepted
-    for signature parity and ignored (closure_convert discovers parameters
-    automatically).
+    Restrictions (asserted): 'euler' or an SDE scheme
+    (milstein/sra1/sriw1/heun_stratonovich), grid == t_span (the default and
+    the reference's SDE semantics). Reverse-time solves (``reverse=True`` or
+    a decreasing ``t_span``) run the reversed system forward in s = -t with
+    the Itô reversal correction, exactly like :func:`sdeint`.
+    ``adjoint_params`` is accepted for signature parity and ignored
+    (closure_convert discovers parameters automatically).
     """
     del adjoint_params
     solver_name = solver.lower() if isinstance(solver, str) else ""
@@ -90,22 +94,10 @@ def sdeint_adjoint(
         step_fn, _ = FIXED_STEP_FNS[spec.name]
     else:
         step_fn, _ = FIXED_STEP_FNS["euler"]  # scheme lives in the term's move/fuse
-    if reverse:
-        raise NotImplementedError("sdeint_adjoint with reverse=True: solve forward and flip")
     if options and ("step_size" in options or "grid_constructor" in options):
         raise NotImplementedError("sdeint_adjoint requires grid == t_span")
 
     t_span = jnp.asarray(t_span)
-    if _is_decreasing(t_span):
-        # without this the scan would silently run naive backward
-        # Euler-Maruyama WITHOUT the Ito time-reversal correction (+g*dg/dy)
-        # that sdeint's reverse path applies — systematically biased
-        # trajectories and gradients. Fail loudly instead.
-        raise ValueError(
-            "sdeint_adjoint requires an increasing t_span (backward-in-time "
-            "Ito solves need the reversal drift correction; use "
-            "sdeint(..., reverse=True) for values, or solve forward and flip)"
-        )
     y0 = jax.tree.map(jnp.asarray, y0)
     leaves = jax.tree.leaves(y0)
     if len(leaves) != 1:
@@ -124,6 +116,23 @@ def sdeint_adjoint(
             t_lo, t_hi, size=leaves[0].shape, dtype=leaves[0].dtype, key=key,
             levy_area_approximation=levy_area_approximation,
         )
+
+    # Reverse-time solves: substitute s = -t so the reversed system (Itô
+    # reversal drift correction +g·∂g/∂y, or the time-symmetric Stratonovich
+    # form; exact reversed (ΔW̃, Ĩ10) from ReverseBrownian) is an ordinary
+    # forward SDE — the replay adjoint below then applies unchanged. Gradients
+    # are pinned by test against direct backprop through sdeint(reverse=True).
+    flip_output = False
+    if reverse or _is_decreasing(t_span):
+        if scheme in ("heun_stratonovich", "stratonovich_heun"):
+            drift, diffusion, bm = _reversed_stratonovich_fns(drift, diffusion, bm)
+        else:
+            drift, diffusion, bm = _reversed_ito_fns(drift, diffusion, bm)
+        if _is_decreasing(t_span):
+            t_span = -t_span
+        else:  # reverse flag with an increasing span: report in given order
+            t_span = -t_span[::-1]
+            flip_output = True
 
     # expose closed-over parameters of drift/diffusion as explicit residuals
     t0 = t_span[0]
@@ -192,4 +201,6 @@ def sdeint_adjoint(
 
     _solve.defvjp(_fwd, _bwd)
     solution = _solve(y0, t_span, drift_consts, diff_consts)
+    if flip_output:
+        solution = jax.tree.map(lambda a: a[::-1], solution)
     return format_solution(solution, time_axis)

@@ -391,20 +391,121 @@ def test_heun_stratonovich_reverse():
     assert err < 1e-3, err
 
 
-def test_sra1_reverse_still_rejected():
-    with pytest.raises(NotImplementedError):
-        sdeint(lambda t, y: -y, lambda t, y: jnp.ones_like(y), jnp.ones(4),
-               jnp.linspace(1.0, 0.0, 5), "sra1", time_axis=0)
-
-
-def test_sdeint_adjoint_rejects_decreasing_span():
-    """A decreasing t_span must fail loudly: the scan would otherwise run
-    naive backward EM without the Ito reversal correction (+g*dg/dy),
-    producing systematically biased trajectories AND gradients."""
+def test_sdeint_adjoint_reverse_matches_direct():
+    """Reverse-time adjoint: values bit-match sdeint's reverse path (same
+    reversed system, same noise) and gradients match direct backprop through
+    the reverse solve (the replay adjoint applied to the reversed SDE)."""
     from paddlexde_tpu import sdeint_adjoint
 
-    y0 = jnp.ones((16,))
-    ts = jnp.linspace(1.0, 0.0, 33)
-    with pytest.raises(ValueError, match="increasing t_span"):
-        sdeint_adjoint(lambda t, y: -y, lambda t, y: 0.1 * jnp.ones_like(y),
-                       y0, ts, "euler", key=5)
+    y1 = jnp.ones((16,)) * 1.3
+    ts = jnp.linspace(1.0, 0.0, 33)  # decreasing span = reverse solve
+    key = jax.random.key(5)
+
+    def make_loss(fn):
+        def loss(theta):
+            bm = BrownianInterval(0.0, 1.0, size=(16,), key=key, dtype=jnp.float64)
+            sol = fn(lambda t, y: theta["mu"] * y,
+                     lambda t, y: theta["sig"] * y,
+                     y1, ts, "euler", bm=bm, time_axis=0)
+            return jnp.mean(sol[-1] ** 2) + jnp.mean(jnp.abs(sol))
+
+        return loss
+
+    theta0 = {"mu": jnp.asarray(0.4), "sig": jnp.asarray(0.3)}
+    bm = BrownianInterval(0.0, 1.0, size=(16,), key=key, dtype=jnp.float64)
+    v_direct = sdeint(lambda t, y: 0.4 * y, lambda t, y: 0.3 * y, y1, ts,
+                      "euler", bm=bm, time_axis=0)
+    from paddlexde_tpu import sdeint_adjoint as adj
+    bm2 = BrownianInterval(0.0, 1.0, size=(16,), key=key, dtype=jnp.float64)
+    v_adj = adj(lambda t, y: 0.4 * y, lambda t, y: 0.3 * y, y1, ts,
+                "euler", bm=bm2, time_axis=0)
+    np.testing.assert_allclose(np.asarray(v_adj), np.asarray(v_direct), rtol=1e-12)
+
+    g_direct = jax.grad(make_loss(sdeint))(theta0)
+    g_adj = jax.grad(make_loss(sdeint_adjoint))(theta0)
+    np.testing.assert_allclose(g_adj["mu"], g_direct["mu"], rtol=1e-9)
+    np.testing.assert_allclose(g_adj["sig"], g_direct["sig"], rtol=1e-9)
+
+    # reverse=True with an increasing span reports in the given order
+    ts_inc = ts[::-1]
+    v_flag = adj(lambda t, y: 0.4 * y, lambda t, y: 0.3 * y, y1, ts_inc,
+                 "euler", bm=BrownianInterval(0.0, 1.0, size=(16,), key=key,
+                                              dtype=jnp.float64),
+                 reverse=True, time_axis=0)
+    np.testing.assert_allclose(np.asarray(v_flag), np.asarray(v_direct)[::-1],
+                               rtol=1e-12)
+
+
+def test_reverse_brownian_levy_transform():
+    """ReverseBrownian's (W, U) transform is the exact time-reversal algebra:
+    ΔW̃ = -ΔW and Ĩ10 = U - h·ΔW (so H̃ = H)."""
+    from paddlexde_tpu import ReverseBrownian
+
+    bm = BrownianInterval(0.0, 2.0, size=(64,), key=jax.random.key(3),
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    rbm = ReverseBrownian(bm)
+    ta, tb = 0.3, 1.1  # forward interval; reversed query is (-1.1, -0.3)
+    w, u = bm(ta, tb, return_U=True)
+    w_r, u_r = rbm(-tb, -ta, return_U=True)
+    h = tb - ta
+    np.testing.assert_allclose(np.asarray(w_r), -np.asarray(w), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(u_r), np.asarray(u - h * w), rtol=1e-10)
+    # H invariance
+    h_fwd = u / h - 0.5 * w
+    h_rev = u_r / h - 0.5 * w_r
+    np.testing.assert_allclose(np.asarray(h_rev), np.asarray(h_fwd), rtol=1e-9)
+
+
+def test_sriw1_reverse_strong_order():
+    """Reverse-time SRIW1 on GBM vs the closed-form reversed path (the
+    reversed system is GBM with drift (-mu+sigma^2)y driven by W̃; its exact
+    endpoint is y0). MEASURED orders (f64, 512 paths): euler 0.53,
+    milstein 1.00, sriw1 1.52."""
+    mu, sigma = 0.7, 0.5
+    y0 = jnp.ones((512,))
+    key = jax.random.key(13)
+
+    def rev_err(method, n):
+        ts = jnp.linspace(1.0, 0.0, n)
+        bm = BrownianInterval(0.0, 1.0, size=(512,), key=key, dtype=jnp.float64,
+                              levy_area_approximation="space-time")
+        w_t = bm(0.0, 1.0)
+        y1 = y0 * jnp.exp((mu - 0.5 * sigma**2) + sigma * w_t)
+        sol = sdeint(lambda t, y: mu * y, lambda t, y: sigma * y, y1, ts,
+                     method, bm=bm, time_axis=0)
+        return float(jnp.mean(jnp.abs(sol[-1] - y0)))
+
+    em_c, em_f = rev_err("euler", 65), rev_err("euler", 257)
+    sr_c, sr_f = rev_err("sriw1", 65), rev_err("sriw1", 257)
+    assert sr_c < em_c * 0.05 and sr_f < em_f * 0.05, (em_c, em_f, sr_c, sr_f)
+    order = np.log(sr_c / sr_f) / np.log(4.0)
+    assert order > 1.2, order
+
+
+def test_sra1_reverse_strong_order():
+    """Reverse-time SRA1 on the additive-noise OU process: self-convergence
+    order ~2 (measured 1.95) against a fine-grid reverse SRA1 on the same
+    path; errors ~70x below reverse-EM."""
+    theta, sigma = 1.2, 0.7
+    y0 = jnp.ones((256,))
+    key = jax.random.key(29)
+    f = lambda t, y: -theta * y
+    g = lambda t, y: sigma * jnp.ones_like(y)
+    bm = BrownianInterval(0.0, 1.0, size=(256,), key=key, dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    y1 = sdeint(f, g, y0, jnp.linspace(0.0, 1.0, 4097), "euler", bm=bm,
+                time_axis=0)[-1]
+    ref = sdeint(f, g, y1, jnp.linspace(1.0, 0.0, 2049), "sra1", bm=bm,
+                 time_axis=0)[-1]
+
+    def rev_err(method, n):
+        sol = sdeint(f, g, y1, jnp.linspace(1.0, 0.0, n), method, bm=bm,
+                     time_axis=0)
+        return float(jnp.mean(jnp.abs(sol[-1] - ref)))
+
+    em_c = rev_err("euler", 33)
+    sr_c, sr_f = rev_err("sra1", 33), rev_err("sra1", 129)
+    assert sr_c < em_c * 0.05, (em_c, sr_c)
+    order = np.log(sr_c / sr_f) / np.log(4.0)
+    assert order > 1.5, order
