@@ -43,6 +43,7 @@ from .solver import (  # noqa: F401
     ImplicitEulerKrylov,
     SDIRK2,
     SDIRK3,
+    Kvaerno3,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

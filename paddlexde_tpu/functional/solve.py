@@ -46,6 +46,7 @@ _ADAPTIVE_KEYS = {
     "jump_t",
     "return_stats",
     "time_dtype",
+    "newton_iters",  # implicit (ESDIRK) tableaus: Newton iterations per stage
 }
 _ADAMS_KEYS = {"implicit", "max_iters", "max_order", "step_size", "grid_constructor", "time_dtype", "norm"}
 

@@ -13,6 +13,7 @@ from .registry import (  # noqa: F401
     ImplicitEulerKrylov,
     SDIRK2,
     SDIRK3,
+    Kvaerno3,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,

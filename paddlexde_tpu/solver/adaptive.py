@@ -92,17 +92,26 @@ def _combine(k, coeffs, dt, y0=None):
 def make_adaptive_step(
     term, tableau, rtol, atol, norm, safety_a, ifactor_a, dfactor_a,
     min_step_a, max_step_a, step_t_a, jump_t_a, time_dtype,
+    newton_iters: int = 6,
 ):
     """Build the branchless ``RKState -> RKState`` step (reference
     ``_adaptive_step``, ``base_adaptive_solver_rk.py:183-284``). Shared by the
     per-output-time engine below and the buffered-dense engine
-    (``adaptive_dense.py``)."""
+    (``adaptive_dense.py``).
+
+    Implicit (E)SDIRK tableaus (``tableau.diag`` set) route each diagonal
+    stage through a Newton solve (``newton_iters`` iterations, dense Jacobian
+    via ``jax.linearize``) — the error control, dense output, step_t/jump_t
+    and status machinery are scheme-agnostic, so stiff problems get the same
+    adaptive dt the explicit zoo enjoys.
+    """
     n_stages = tableau.n_stages
     order = tableau.order
     has_step_t = step_t_a is not None
     has_jump_t = jump_t_a is not None
+    implicit = tableau.implicit
 
-    def runge_kutta_step(y0_, f0_, t0_, dt_, t1_):
+    def explicit_rk_stages(y0_, f0_, t0_, dt_, t1_):
         k = jax.tree.map(
             lambda f: jnp.zeros((n_stages,) + f.shape, f.dtype).at[0].set(f), f0_
         )
@@ -113,7 +122,47 @@ def make_adaptive_step(
             yi = _combine(k, tableau.beta[i], dt_, y0_)
             f = term.move(ti, dt_, yi)
             k = jax.tree.map(lambda kl, fl, i=i: kl.at[i + 1].set(fl), k, f)
+        return k, yi
 
+    def dirk_stages(y0_, f0_, t0_, dt_, t1_):
+        """(E)SDIRK stage loop: Y_i = y0 + dt*(beta_i . k) + dt*g_i f(t_i, Y_i),
+        stage derivative recovered exactly from the solved stage equation as
+        f_i = (Y_i - base_i)/(dt*g_i) — no extra vector-field call."""
+        from jax.flatten_util import ravel_pytree
+
+        from .implicit import _stage_newton_solve
+
+        k = jax.tree.map(
+            lambda f: jnp.zeros((n_stages,) + f.shape, f.dtype).at[0].set(f), f0_
+        )
+        yi = y0_
+        for i in range(n_stages - 1):
+            alpha_i = float(tableau.alpha[i])
+            gamma_i = float(tableau.diag[i + 1])
+            ti = t1_ if alpha_i == 1.0 else t0_ + alpha_i * dt_
+            base = _combine(k, tableau.beta[i], dt_, y0_)
+            base_flat, unravel = ravel_pytree(base)
+            gdt = jnp.asarray(gamma_i, base_flat.dtype) * jnp.asarray(
+                dt_, base_flat.dtype
+            )
+
+            def f_at(y_flat, ti=ti, unravel=unravel):
+                return ravel_pytree(term.move(ti, dt_, unravel(y_flat)))[0]
+
+            y_flat = _stage_newton_solve(
+                f_at, base_flat, gdt, base_flat, newton_iters
+            )
+            safe = jnp.where(gdt == 0, jnp.ones_like(gdt), gdt)
+            f_flat = (y_flat - base_flat) / safe
+            f = unravel(f_flat)
+            yi = unravel(y_flat)
+            k = jax.tree.map(lambda kl, fl, i=i: kl.at[i + 1].set(fl), k, f)
+        return k, yi
+
+    def runge_kutta_step(y0_, f0_, t0_, dt_, t1_):
+        k, yi = (dirk_stages if implicit else explicit_rk_stages)(
+            y0_, f0_, t0_, dt_, t1_
+        )
         if tableau.fsal:
             y1_ = yi  # Dormand-Prince: last stage input is the solution
         else:
@@ -201,7 +250,8 @@ def make_adaptive_step(
             interp_coeff=coeff,
             next_step_index=next_step_index,
             next_jump_index=next_jump_index,
-            nfe=s.nfe + (n_stages - 1) + nfe_extra,
+            nfe=s.nfe + (n_stages - 1) * (newton_iters if implicit else 1)
+            + nfe_extra,
             n_accept=s.n_accept + accept.astype(jnp.int32),
             n_reject=s.n_reject + (~accept).astype(jnp.int32),
             status=status,
@@ -230,6 +280,7 @@ def solve_adaptive(
     jump_t=None,
     return_stats: bool = False,
     time_dtype=None,
+    newton_iters: int = 6,
 ):
     """Integrate ``term`` over ``t_span`` (strictly increasing), adaptively.
 
@@ -297,6 +348,7 @@ def solve_adaptive(
         term, tableau, rtol, atol, norm, safety_a, ifactor_a, dfactor_a,
         min_step_a, max_step_a, step_t_a if has_step_t else None,
         jump_t_a if has_jump_t else None, time_dtype,
+        newton_iters=newton_iters,
     )
 
     max_steps_arr = jnp.asarray(max_num_steps, jnp.int32)

@@ -57,6 +57,7 @@ def solve_adaptive_dense(
     max_step=float("inf"),
     return_stats: bool = False,
     time_dtype=None,
+    newton_iters: int = 6,
 ):
     """Adaptive solve with buffered dense output; returns ``[T, ...]``."""
     tableau = TABLEAUS[method] if isinstance(method, str) else method
@@ -94,6 +95,7 @@ def solve_adaptive_dense(
         jnp.asarray(safety, time_dtype), jnp.asarray(ifactor, time_dtype),
         jnp.asarray(dfactor, time_dtype), jnp.asarray(min_step, time_dtype),
         jnp.asarray(max_step, time_dtype), None, None, time_dtype,
+        newton_iters=newton_iters,
     )
 
     # step buffers: boundaries init to +inf so searchsorted skips unused slots

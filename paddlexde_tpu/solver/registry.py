@@ -27,6 +27,7 @@ __all__ = [
     "ImplicitEulerKrylov",
     "SDIRK2",
     "SDIRK3",
+    "Kvaerno3",
     "ScipyWrapperODESolver",
     "SOLVERS",
 ]
@@ -59,6 +60,10 @@ ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1, implicit=True)
 ImplicitEulerKrylov = SolverSpec("implicit_euler_krylov", "fixed", 1, implicit=True)
 SDIRK2 = SolverSpec("sdirk2", "fixed", 2, implicit=True)
 SDIRK3 = SolverSpec("sdirk3", "fixed", 3, implicit=True)
+# Adaptive implicit: stiffly-accurate L-stable ESDIRK with an embedded
+# order-2 error estimate — stiff problems get step-size CONTROL, not just a
+# fixed grid (capability beyond the reference's scipy escape hatch)
+Kvaerno3 = SolverSpec("kvaerno3", "adaptive", 3, implicit=True)
 ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
 
 SOLVERS = {
@@ -80,6 +85,7 @@ SOLVERS = {
     "sdirk2": SDIRK2,
     "sdirk2_krylov": dataclasses.replace(SDIRK2, name="sdirk2_krylov"),
     "sdirk3": SDIRK3,
+    "kvaerno3": Kvaerno3,
     "scipy_solver": ScipyWrapperODESolver,
 }
 

@@ -28,14 +28,25 @@ class ButcherTableau:
     c_sol: np.ndarray  # [S] solution weights
     c_error: np.ndarray  # [S] error-estimate weights
     c_mid: np.ndarray  # [S] dense-output midpoint weights
+    # [S] per-stage diagonal for (E)SDIRK tableaus (None = explicit). For
+    # stage i > 0, the engine solves Y_i = y0 + dt*(beta[i-1]·k) + dt*diag[i]
+    # * f(t_i, Y_i) by Newton instead of an explicit evaluation; beta rows
+    # hold only the EXPLICIT part (a_ij, j < i).
+    diag: "np.ndarray | None" = None
 
     @property
     def n_stages(self) -> int:
         return self.c_sol.shape[0]
 
     @property
+    def implicit(self) -> bool:
+        return self.diag is not None
+
+    @property
     def fsal(self) -> bool:
         """First-same-as-last: y1 equals the last stage input (Dormand–Prince)."""
+        if self.diag is not None:
+            return False
         return bool(
             self.c_sol[-1] == 0.0 and np.allclose(self.c_sol[:-1], self.beta[-1, :-1])
         )
@@ -188,10 +199,58 @@ def _dopri8() -> ButcherTableau:
 
 DOPRI8 = _dopri8()
 
+
+def _kvaerno3():
+    """Kvaerno(4,2,3): 4-stage stiffly-accurate ESDIRK, L-stable, order 3 with
+    an embedded order-2 (also stiffly-accurate) error estimator (A. Kvaerno,
+    BIT 2004, "Singly diagonally implicit Runge-Kutta methods with an explicit
+    first stage"). All coefficients derive in closed form from gamma, the
+    middle root of 6g^3 - 18g^2 + 9g - 1 = 0 (the choice that makes the
+    4-stage method order 3 AND L-stable):
+
+        c = [0, 2g, 1, 1],   diagonal = [0, g, g, g]
+        a32 = (1 - 2g)/(4g),           a31 = 1 - g - a32       (embedded b^)
+        b2  = -1/(12 g (2g - 1)),      b3 = 1/2 - g - 2g b2,   b1 = 1-g-b2-b3
+        b^  = [a31, a32, g, 0],        error weights = b - b^
+
+    Dense-output midpoint weights (3rd-order b(1/2) interpolant) from the
+    collocation conditions at theta = 1/2: m2 = 1/(24 g (1 - 2g)),
+    m3 + m4 = 1/8 - 2g m2 (split evenly; the b.A.c condition is then
+    satisfied identically), m1 = 1/2 - m2 - m3 - m4. All order/embedded/
+    L-stability properties are pinned algebraically and by measured
+    convergence in tests/solver/test_implicit_adaptive.py.
+    """
+    roots = np.roots([6.0, -18.0, 9.0, -1.0])
+    g = float(np.sort(roots[np.isreal(roots)].real)[1])  # middle root ~0.4359
+    a32 = (1.0 - 2.0 * g) / (4.0 * g)
+    a31 = 1.0 - g - a32
+    b2 = -1.0 / (12.0 * g * (2.0 * g - 1.0))
+    b3 = 0.5 - g - 2.0 * g * b2
+    b1 = 1.0 - g - b2 - b3
+    b = [b1, b2, b3, g]
+    b_hat = [a31, a32, g, 0.0]
+    m2 = 1.0 / (24.0 * g * (1.0 - 2.0 * g))
+    m34 = 0.125 - 2.0 * g * m2
+    c_mid = [0.5 - m2 - m34, m2, m34 / 2.0, m34 / 2.0]
+    tab = _tableau(
+        "kvaerno3",
+        3,
+        alpha=[2.0 * g, 1.0, 1.0],
+        beta_rows=[[g], [a31, a32], [b1, b2, b3]],  # explicit parts only
+        c_sol=b,
+        c_error=[bi - bhi for bi, bhi in zip(b, b_hat)],
+        c_mid=c_mid,
+    )
+    return dataclasses.replace(tab, diag=np.asarray([0.0, g, g, g], np.float64))
+
+
+KVAERNO3 = _kvaerno3()
+
 TABLEAUS = {
     "adaptive_heun": ADAPTIVE_HEUN,
     "fehlberg2": FEHLBERG2,
     "bosh3": BOSH3,
     "dopri5": DOPRI5,
     "dopri8": DOPRI8,
+    "kvaerno3": KVAERNO3,
 }

@@ -1,0 +1,163 @@
+"""Adaptive implicit (ESDIRK) solver: kvaerno3 — embedded-error step control
+for stiff problems (VERDICT r1 next-step 6; capability beyond the reference,
+whose only stiff path is the host-side scipy bridge).
+
+Pins: the tableau's algebraic order conditions (order 3, embedded order 2,
+stiffly accurate, L-stable), measured convergence order ~3, the Robertson
+stiff benchmark against a tight scipy Radau reference with ADAPTIVE dt, and
+the buffered-dense engine + stats plumbing.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+import paddlexde_tpu as pxt
+from paddlexde_tpu.solver.tableaus import KVAERNO3
+
+
+def test_kvaerno3_tableau_algebra():
+    """Order conditions pinned exactly (coefficients derive from gamma, the
+    middle root of 6g^3-18g^2+9g-1): order 3 (sum b=1, b.c=1/2, b.c^2=1/3,
+    b.A.c=1/6), embedded order 2, stiffly accurate (b = last row of A),
+    L-stable (R(-inf) = 0 via stiff accuracy + invertible lower block)."""
+    tab = KVAERNO3
+    b = tab.c_sol
+    c = np.concatenate([[0.0], tab.alpha])
+    a_mat = np.zeros((4, 4))
+    for i in range(3):
+        a_mat[i + 1, : i + 1] = tab.beta[i][: i + 1]
+    for i in range(4):
+        a_mat[i, i] = tab.diag[i]
+    np.testing.assert_allclose(a_mat.sum(1), c, atol=1e-14)
+    np.testing.assert_allclose(b.sum(), 1.0, atol=1e-14)
+    np.testing.assert_allclose(b @ c, 0.5, atol=1e-14)
+    np.testing.assert_allclose(b @ c**2, 1.0 / 3.0, atol=1e-14)
+    np.testing.assert_allclose(b @ (a_mat @ c), 1.0 / 6.0, atol=1e-14)
+    b_hat = b - tab.c_error
+    np.testing.assert_allclose(b_hat.sum(), 1.0, atol=1e-14)
+    np.testing.assert_allclose(b_hat @ c, 0.5, atol=1e-13)
+    np.testing.assert_allclose(a_mat[3], b, atol=1e-14)  # stiffly accurate
+    # |R(z)| -> 0 as z -> -inf (evaluate the resolvent form at a large z)
+    r = 1.0 + -1e8 * b @ np.linalg.solve(np.eye(4) + 1e8 * a_mat, np.ones(4))
+    assert abs(r) < 1e-5, r
+    # dense-output midpoint weights: 2nd/3rd-order interpolation conditions
+    m = tab.c_mid
+    np.testing.assert_allclose(m.sum(), 0.5, atol=1e-14)
+    np.testing.assert_allclose(m @ c, 0.125, atol=1e-14)
+    np.testing.assert_allclose(m @ c**2, 1.0 / 24.0, atol=1e-13)
+
+
+def test_kvaerno3_convergence_order():
+    """Measured order ~3 on the harmonic oscillator with pinned step size
+    (min_step = max_step = h forces a fixed grid through the adaptive
+    engine). Measured: 3.0015."""
+    f = lambda t, y: jnp.stack([y[1], -y[0]])
+    y0 = jnp.asarray([1.0, 0.0])
+
+    def err(h):
+        s = pxt.odeint(
+            f, y0, jnp.asarray([0.0, 3.0]), "kvaerno3", time_axis=0,
+            options={"min_step": h, "max_step": h, "first_step": h,
+                     "newton_iters": 10},
+        )
+        return float(jnp.abs(s[-1, 0] - math.cos(3.0)))
+
+    e_c, e_f = err(0.05), err(0.0125)
+    order = np.log(e_c / e_f) / np.log(4.0)
+    assert order > 2.7, (order, e_c, e_f)
+
+
+def test_kvaerno3_robertson_adaptive():
+    """The classic Robertson stiff system over [0, 100] with rate constants
+    spanning 9 orders of magnitude: adaptive dt must carry the solve (~470
+    accepted steps; explicit dopri5 would need ~1e6) and match a tight scipy
+    Radau reference. Measured rel err ~5e-8 at rtol 1e-7."""
+
+    def rob_np(t, y):
+        return [
+            -0.04 * y[0] + 1e4 * y[1] * y[2],
+            0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+            3e7 * y[1] ** 2,
+        ]
+
+    truth = solve_ivp(rob_np, (0.0, 100.0), [1.0, 0.0, 0.0], method="Radau",
+                      rtol=1e-10, atol=1e-14).y[:, -1]
+
+    def rob(t, y):
+        return jnp.stack([
+            -0.04 * y[0] + 1e4 * y[1] * y[2],
+            0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] ** 2,
+            3e7 * y[1] ** 2,
+        ])
+
+    ts = jnp.asarray([0.0, 1.0, 10.0, 100.0])
+    sol, stats = pxt.odeint(
+        rob, jnp.asarray([1.0, 0.0, 0.0]), ts, "kvaerno3",
+        rtol=1e-7, atol=1e-10, time_axis=0,
+        options={"return_stats": True, "newton_iters": 8},
+    )
+    assert int(stats.status) == 0
+    assert int(stats.n_accept) < 2000  # adaptive, not brute-force
+    np.testing.assert_allclose(np.asarray(sol[-1]), truth, rtol=5e-6)
+
+
+def test_kvaerno3_l_stable_transient():
+    """lambda*dt = -1e8: one step must crush the transient (L-stability),
+    not oscillate (A-stable-only) or explode (explicit)."""
+    lam = -1e8
+    f = lambda t, y: lam * y
+    sol = pxt.odeint(
+        f, jnp.asarray([1.0]), jnp.asarray([0.0, 1.0]), "kvaerno3",
+        time_axis=0,
+        options={"min_step": 1.0, "max_step": 1.0, "first_step": 1.0,
+                 "newton_iters": 10},
+    )
+    assert abs(float(sol[-1, 0])) < 1e-4
+
+
+def test_kvaerno3_dense_engine_and_stats():
+    """The buffered-dense engine (options={'max_steps': N}) works with the
+    implicit tableau, and NFE counts the Newton evaluations."""
+    f = lambda t, y: -50.0 * (y - jnp.sin(t))
+    ts = jnp.linspace(0.0, 2.0, 33)
+    y, stats = pxt.odeint(
+        f, jnp.asarray([0.0]), ts, "kvaerno3", rtol=1e-6, atol=1e-9,
+        time_axis=0, options={"return_stats": True, "max_steps": 256},
+    )
+    assert int(stats.status) == 0
+    assert bool(jnp.all(jnp.isfinite(y)))
+    assert int(stats.nfe) > int(stats.n_accept) * 6  # Newton iters counted
+    # dense output tracks the solution between solver steps
+    exact = (50.0**2 * np.sin(np.asarray(ts)) - 50.0 * np.cos(np.asarray(ts))
+             + 50.0 * np.exp(-50.0 * np.asarray(ts))) / (1 + 50.0**2)
+    np.testing.assert_allclose(np.asarray(y[:, 0]), exact, atol=2e-4)
+
+
+def test_kvaerno3_gradients_via_adjoint():
+    """Gradients flow through odeint_adjoint with the implicit tableau — the
+    augmented BACKWARD solve also runs kvaerno3, i.e. a fully implicit
+    adjoint for stiff training. (Direct reverse-mode through the while_loop
+    engine is a JAX limitation shared with every adaptive solver here;
+    odeint_adjoint is the documented gradient path.)"""
+    def loss(lam):
+        sol = pxt.odeint_adjoint(
+            lambda t, y: lam * y, jnp.asarray([1.0]), jnp.asarray([0.0, 1.0]),
+            "kvaerno3", rtol=1e-8, atol=1e-10, time_axis=0,
+        )
+        return sol[-1, 0]
+
+    g = jax.grad(loss)(-2.0)
+    # d/dlam e^lam = e^lam
+    np.testing.assert_allclose(float(g), np.exp(-2.0), rtol=1e-6)
+
+
+def test_kvaerno3_rejected_for_sde():
+    with pytest.raises(ValueError):
+        pxt.sdeint(lambda t, y: -y, lambda t, y: 0.1 * jnp.ones_like(y),
+                   jnp.ones(4), jnp.linspace(0.0, 1.0, 9), "kvaerno3",
+                   key=1, time_axis=0)
