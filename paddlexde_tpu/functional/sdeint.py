@@ -29,7 +29,16 @@ from ..brownian.api import BrownianInterval, ReverseBrownian
 from ..xde.term import XDETerm
 from .solve import _is_decreasing, format_solution, integrate_term
 
-__all__ = ["sdeint", "make_sde_term", "make_milstein_term", "make_sra1_term", "make_sriw1_term", "make_heun_stratonovich_term"]
+__all__ = [
+    "sdeint",
+    "make_sde_term",
+    "make_milstein_term",
+    "make_sra1_term",
+    "make_sriw1_term",
+    "make_heun_stratonovich_term",
+    "make_general_euler_term",
+    "make_general_milstein_term",
+]
 
 
 def make_milstein_term(drift, diffusion, bm) -> XDETerm:
@@ -250,6 +259,77 @@ def make_sriw1_term(drift, diffusion, bm) -> XDETerm:
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
+def _general_fuse(dy, dt, y):
+    f_val, g_dw = dy
+    return jax.tree.map(
+        lambda yl, fl, gl: yl + jnp.asarray(dt, yl.dtype) * fl + gl, y, f_val, g_dw
+    )
+
+
+def make_general_euler_term(drift, diffusion, bm) -> XDETerm:
+    """Euler–Maruyama for GENERAL (matrix) noise: dy = f dt + G(t, y) dW with
+    state ``y [..., D]``, diffusion ``G(t, y) -> [..., D, M]`` and an
+    M-dimensional Brownian motion (``bm`` size ``y.shape[:-1] + (M,)``).
+
+    Capability beyond the reference's diagonal-only ``BaseSDE.move``
+    (``xde/base_sde.py:55-58``). Strong order 0.5.
+    """
+
+    def move(t, dt, y):
+        d_w = bm(t, t + dt)  # [..., M]
+        f_val = drift(t, y)
+        g_val = diffusion(t, y)  # [..., D, M]
+        g_dw = jnp.einsum("...dm,...m->...d", g_val, d_w)
+        return (f_val, g_dw)
+
+    return XDETerm(move=move, fuse=_general_fuse, additive=False, kind="sde")
+
+
+def make_general_milstein_term(drift, diffusion, bm, *, use_area: bool = True) -> XDETerm:
+    """Milstein for GENERAL (matrix) noise — strong order 1.0:
+
+        y1 = y + f h + G ΔW + Σ_{j1,j2} (∂G_{·j2}/∂y · G_{·j1}) I(j1,j2)
+        I(j1,j2) = (ΔW_{j1} ΔW_{j2} − h δ_{j1j2}) / 2 + A_{j1,j2}
+
+    The directional derivatives come from M ``jvp``s of the diffusion (one per
+    noise column, vmapped). ``A`` is the antisymmetric Lévy area from the
+    tree's Davie/Foster approximation (``brownian_interval.py:81-107`` math);
+    with ``use_area=False`` the A term is dropped — EXACT for commutative
+    noise (where ∂G_{·j2}·G_{·j1} is symmetric in (j1,j2) and A cancels
+    identically), wrong diffusion law otherwise. Strong order is pinned by a
+    measured-convergence test on a two-noise commutative GBM closed form and
+    a variance test on the non-commutative Lévy-area triple.
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        if use_area:
+            d_w, _, a_mat = bm(t, t1, return_U=True, return_A=True)
+        else:
+            d_w, a_mat = bm(t, t1), None
+        f_val = drift(t, y)
+        g_val = diffusion(t, y)  # [..., D, M]
+        m = g_val.shape[-1]
+        h = jnp.asarray(dt, g_val.dtype)
+
+        def dcol(tangent):
+            # ∂G/∂y · tangent, tangent [..., D] -> [..., D, M]
+            return jax.jvp(lambda y_: diffusion(t, y_), (y,), (tangent,))[1]
+
+        tangents = jnp.moveaxis(g_val, -1, 0)  # [M, ..., D]
+        dg_all = jax.vmap(dcol)(tangents)  # [M, ..., D, M]
+
+        eye = jnp.eye(m, dtype=g_val.dtype)
+        i_mat = 0.5 * (d_w[..., :, None] * d_w[..., None, :] - h * eye)
+        if a_mat is not None:
+            i_mat = i_mat + a_mat
+        corr = jnp.einsum("j...dk,...jk->...d", dg_all, i_mat)
+        g_dw = jnp.einsum("...dm,...m->...d", g_val, d_w) + corr
+        return (f_val, g_dw)
+
+    return XDETerm(move=move, fuse=_general_fuse, additive=False, kind="sde")
+
+
 def _reversed_ito_fns(drift, diffusion, bm):
     """Time-reversal substitution (s = -t) for an Itô SDE.
 
@@ -321,22 +401,30 @@ def sdeint(
     key=None,
     levy_area_approximation: str = "none",
     time_axis: int = -2,
+    noise_dim: Optional[int] = None,
 ):
     """Integrate an Itô SDE with a fixed-step solver.
 
     Args:
         drift: ``f(t, y) -> dy`` (pytree like y).
-        diffusion: ``g(t, y) -> dy`` (pytree like y; diagonal noise).
+        diffusion: ``g(t, y) -> dy`` (pytree like y; diagonal noise) — or, for
+            the general-noise solvers (``euler_general`` /
+            ``milstein_general`` / ``milstein_commutative``), a matrix
+            diffusion ``G(t, y) -> [..., D, M]`` against an M-dimensional
+            Brownian motion (``dy = f dt + G dW``).
         y0: initial state.
         t_span: output times (also the integration grid, reference semantics).
-        solver: a fixed-step solver (Euler is the mathematically meaningful
-            choice for Itô EM; the reference likewise routes SDEs through its
-            fixed zoo).
+        solver: 'euler' (Euler–Maruyama) or a dedicated SDE scheme: milstein
+            (diagonal, strong 1.0), sra1 (additive, 1.5), sriw1 (diagonal,
+            1.5), heun_stratonovich (Stratonovich), euler_general /
+            milstein_general / milstein_commutative (matrix noise).
         reverse: integrate from ``t_span[-1]`` backwards, retracing the same
             Brownian path.
         bm: an explicit Brownian motion (``BrownianInterval``-like); built from
             ``key`` (or key 0) when omitted.
         key: PRNG key / int entropy for the default Brownian motion.
+        noise_dim: M for the general-noise solvers when ``bm`` is omitted
+            (the default bm then has size ``y.shape[:-1] + (M,)``).
     """
     t_span = jnp.asarray(t_span)
     y0 = jax.tree.map(jnp.asarray, y0)
@@ -348,7 +436,19 @@ def sdeint(
             f"(got a pytree with {len(leaves)} leaves); flatten the state or "
             "drive each member with its own Brownian motion"
         )
-    need_levy = isinstance(solver, str) and solver.lower() in ("sra1", "sriw1")
+    solver_name = solver.lower() if isinstance(solver, str) else ""
+    is_milstein = solver_name == "milstein"
+    is_sra1 = solver_name == "sra1"
+    is_sriw1 = solver_name == "sriw1"
+    is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
+    is_general_euler = solver_name in ("euler_general", "general_euler")
+    is_general_milstein = solver_name in ("milstein_general", "general_milstein")
+    is_comm_milstein = solver_name in (
+        "milstein_commutative", "commutative_milstein"
+    )
+    is_general = is_general_euler or is_general_milstein or is_comm_milstein
+
+    need_levy = is_sra1 or is_sriw1
     if bm is None:
         try:  # concrete spans give tol->depth a chance; traced spans are fine too
             t_lo, t_hi = float(jnp.min(t_span)), float(jnp.max(t_span))
@@ -356,10 +456,22 @@ def sdeint(
             t_lo, t_hi = jnp.min(t_span), jnp.max(t_span)
         if need_levy and levy_area_approximation == "none":
             levy_area_approximation = "space-time"  # sra1/sriw1 need (W, I10)
+        if is_general_milstein and levy_area_approximation in ("none", "space-time"):
+            levy_area_approximation = "davie"  # needs full areas A_{j1,j2}
+        if is_general:
+            if noise_dim is None:
+                raise ValueError(
+                    "general-noise solvers need the Brownian dimension: pass "
+                    "noise_dim=M (bm size becomes y.shape[:-1] + (M,)) or an "
+                    "explicit bm"
+                )
+            size = leaves[0].shape[:-1] + (noise_dim,)
+        else:
+            size = leaves[0].shape
         bm = BrownianInterval(
             t_lo,
             t_hi,
-            size=leaves[0].shape,
+            size=size,
             dtype=leaves[0].dtype,
             key=key,
             levy_area_approximation=levy_area_approximation,
@@ -369,13 +481,22 @@ def sdeint(
             f"{solver} needs the space-time integral: construct the Brownian "
             "motion with levy_area_approximation='space-time'"
         )
+    if is_general_milstein:
+        if getattr(bm, "levy_area_approximation", "none") not in ("davie", "foster"):
+            raise ValueError(
+                "milstein_general needs full Lévy areas: construct the "
+                "Brownian motion with levy_area_approximation='davie' or "
+                "'foster' (or use milstein_commutative if the noise commutes)"
+            )
+        if len(getattr(bm, "shape", ())) < 2:
+            raise ValueError(
+                "milstein_general needs bm size [..., M] with at least a "
+                "batch axis: a 1-D bm is treated as independent scalar "
+                "Brownian motions whose Lévy area is zero (add a leading "
+                "batch axis of 1)"
+            )
 
-    solver_name = solver.lower() if isinstance(solver, str) else ""
-    is_milstein = solver_name == "milstein"
-    is_sra1 = solver_name == "sra1"
-    is_sriw1 = solver_name == "sriw1"
-    is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
-    if not (is_milstein or is_sra1 or is_sriw1 or is_heun_strat):
+    if not (is_milstein or is_sra1 or is_sriw1 or is_heun_strat or is_general):
         from ..solver.registry import resolve_solver
 
         spec = resolve_solver(solver)
@@ -397,6 +518,12 @@ def sdeint(
 
     decreasing = reverse or _is_decreasing(t_span)
     if decreasing:
+        if is_general:
+            raise NotImplementedError(
+                "reverse-time general-noise solves need the matrix reversal "
+                "correction sum_j (dG_j/dy) G_j worked out and order-validated; "
+                "use the diagonal schemes or solve forward and flip"
+            )
         span = -t_span if _is_decreasing(t_span) else -t_span[::-1]
         if is_milstein:
             # the reversed (Itô-corrected) system is itself an Itô SDE, so
@@ -445,6 +572,15 @@ def sdeint(
         solver = "euler"
     elif is_heun_strat:
         term = make_heun_stratonovich_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_general_euler:
+        term = make_general_euler_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_general_milstein:
+        term = make_general_milstein_term(drift, diffusion, bm, use_area=True)
+        solver = "euler"
+    elif is_comm_milstein:
+        term = make_general_milstein_term(drift, diffusion, bm, use_area=False)
         solver = "euler"
     else:
         term = make_sde_term(drift, diffusion, bm)

@@ -509,3 +509,90 @@ def test_sra1_reverse_strong_order():
     assert sr_c < em_c * 0.05, (em_c, sr_c)
     order = np.log(sr_c / sr_f) / np.log(4.0)
     assert order > 1.5, order
+
+
+def test_general_noise_commutative_strong_order():
+    """General (matrix) noise machinery on a two-noise COMMUTATIVE GBM with
+    per-path closed form y = y0 exp(-(s1^2+s2^2)t/2 + s1 W1 + s2 W2):
+    euler_general ~0.5, milstein_commutative / milstein_general ~1.0
+    (measured 0.46 / 0.96 / 1.02). For commutative noise the antisymmetric
+    Levy-area term cancels identically, so the davie-area path must agree."""
+    s1, s2 = 0.4, 0.3
+    n_paths = 512
+    y0 = jnp.ones((n_paths, 1))
+    key = jax.random.key(17)
+    f = lambda t, y: jnp.zeros_like(y)
+    g_mat = lambda t, y: jnp.stack([s1 * y, s2 * y], axis=-1)  # [B,1,2]
+
+    def strong_err(method, n, levy):
+        bm = BrownianInterval(0.0, 1.0, size=(n_paths, 2), key=key,
+                              dtype=jnp.float64, levy_area_approximation=levy)
+        sol = sdeint(f, g_mat, y0, jnp.linspace(0.0, 1.0, n), method, bm=bm,
+                     time_axis=0)
+        w = bm(0.0, 1.0)
+        exact = y0[:, 0] * jnp.exp(-(s1**2 + s2**2) / 2 + s1 * w[:, 0] + s2 * w[:, 1])
+        return float(jnp.mean(jnp.abs(sol[-1][:, 0] - exact)))
+
+    em_c, em_f = strong_err("euler_general", 65, "none"), strong_err("euler_general", 257, "none")
+    for method, levy in (("milstein_commutative", "none"), ("milstein_general", "davie")):
+        mi_c, mi_f = strong_err(method, 65, levy), strong_err(method, 257, levy)
+        assert mi_c < em_c * 0.2 and mi_f < em_f * 0.2, (method, em_c, mi_c)
+        order = np.log(mi_c / mi_f) / np.log(4.0)
+        assert order > 0.8, (method, order)
+
+
+def test_general_noise_levy_area_variance():
+    """Non-commutative Levy triple dy1=dW1, dy2=dW2, dy3=y1 dW2 at coarse
+    h=1/8: Var[y3(1)] distinguishes the schemes EXACTLY —
+    true 0.5 = t^2/2; EM loses the in-step integral (0.5 - h/2 = 0.4375);
+    area-free Milstein recovers the symmetric half (0.5 - h/4 = 0.46875);
+    davie areas overshoot by the documented h^2/12-per-step excess
+    (0.46875 + h/3 - h/4 = 0.5104); foster's variance correction lands ~0.5.
+    Measured (32768 paths): 0.438 / 0.4683 / 0.5107 / 0.4969."""
+    n_paths = 32768
+    y0 = jnp.zeros((n_paths, 3))
+    f = lambda t, y: jnp.zeros_like(y)
+
+    def g_mat(t, y):  # [B,3,2]
+        z = jnp.zeros_like(y[..., 0])
+        one = jnp.ones_like(z)
+        col1 = jnp.stack([one, z, z], -1)
+        col2 = jnp.stack([z, one, y[..., 0]], -1)
+        return jnp.stack([col1, col2], axis=-1)
+
+    ts = jnp.linspace(0.0, 1.0, 9)
+
+    def var_y3(method, levy):
+        bm = BrownianInterval(0.0, 1.0, size=(n_paths, 2), key=jax.random.key(5),
+                              dtype=jnp.float64, levy_area_approximation=levy)
+        sol = sdeint(f, g_mat, y0, ts, method, bm=bm, time_axis=0)
+        return float(jnp.var(sol[-1][:, 2]))
+
+    assert 0.424 < var_y3("euler_general", "none") < 0.452
+    assert 0.455 < var_y3("milstein_commutative", "none") < 0.483
+    assert 0.495 < var_y3("milstein_general", "davie") < 0.526
+    assert 0.481 < var_y3("milstein_general", "foster") < 0.513
+
+
+def test_general_noise_guards():
+    """milstein_general refuses Brownian motions without full areas and 1-D
+    bm shapes (whose Levy area is silently zero); default-bm construction
+    needs noise_dim."""
+    y0 = jnp.ones((4, 2))
+    ts = jnp.linspace(0.0, 1.0, 5)
+    f = lambda t, y: jnp.zeros_like(y)
+    g_mat = lambda t, y: jnp.stack([y, 0.5 * y], axis=-1)
+    with pytest.raises(ValueError, match="noise_dim"):
+        sdeint(f, g_mat, y0, ts, "milstein_general", key=1, time_axis=0)
+    bm_none = BrownianInterval(0.0, 1.0, size=(4, 2), key=jax.random.key(1))
+    with pytest.raises(ValueError, match="davie"):
+        sdeint(f, g_mat, y0, ts, "milstein_general", bm=bm_none, time_axis=0)
+    bm_1d = BrownianInterval(0.0, 1.0, size=(2,), key=jax.random.key(1),
+                             levy_area_approximation="davie")
+    with pytest.raises(ValueError, match="batch"):
+        sdeint(f, lambda t, y: jnp.stack([y, y], -1), jnp.ones((2,)), ts,
+               "milstein_general", bm=bm_1d, time_axis=0)
+    # noise_dim default-bm path works end to end
+    sol = sdeint(f, g_mat, y0, ts, "milstein_general", key=1, noise_dim=2,
+                 time_axis=0)
+    assert bool(jnp.all(jnp.isfinite(sol)))
