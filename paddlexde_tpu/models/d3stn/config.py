@@ -48,6 +48,10 @@ class D3STNConfig:
     solver: str = "euler"
     compute_dtype: str = "float32"  # "bfloat16" runs matmuls/convs on the MXU
     # in bf16 (params stay float32; softmax/layernorm/losses stay float32)
+    conv_impl: str = "conv"  # "shifted_matmul": temporal convs as K time-
+    # shifted [D,D] GEMMs (numerically identical, checkpoint-compatible)
+    remat: bool = False  # jax.checkpoint each encoder/decoder layer: trades
+    # recompute for peak-memory/spill (the step is remat/spill-bound at scale)
 
     # train
     learning_rate: float = 1e-3

@@ -45,35 +45,104 @@ def _topk_mixer(matrix: jnp.ndarray, k: int):
     return indx, weights
 
 
+def _topk_mix_matrix(matrix: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Dense [N, N] row-mixing matrix M with M[n, idx[n, j]] = softmax(top-k
+    scores of row n)[j]: ``mix(x) = M @ x`` over the node axis.
+
+    Numerically equal to the reference's gather + weighted sum
+    (``attention.py:226-241``) but expressed as ONE dense matmul — the
+    gather form materializes a [B, N, K, T, D] intermediate (~267 MB per
+    mix at PEMS08 bs 32, twice per attention module, fwd+bwd), which made
+    the step spill-bound; a 170x170 static matrix on the MXU costs nothing.
+    The matrix is static per model (built from the adjacency top-k).
+    """
+    vals, indx = jax.lax.top_k(matrix, k)
+    weights = jax.nn.softmax(vals, axis=-1)
+    n = matrix.shape[0]
+    return (
+        jnp.zeros((n, n), weights.dtype)
+        .at[jnp.arange(n)[:, None], indx]
+        .add(weights)
+    )
+
+
 class TemporalConv(nn.Module):
     """Conv over the time axis of [B, N, T, D]; 'same' or 'causal' padding.
 
     Reference: the conv_1d / conv_causal pair in ``attention.py:120-151``.
+
+    Two numerically identical implementations (same flax param tree, so
+    checkpoints swap freely):
+    - ``impl='conv'``: XLA's native conv.
+    - ``impl='shifted_matmul'``: out[t] = b + sum_j x[t+j-off] @ W[j] — K
+      dense [D, D] matmuls on time-shifted views of one zero-padded buffer.
+      Unlike im2col (tried round 1, SLOWER: materializes the KxT window
+      tensor) the shifts are slices XLA folds into the matmul's operand
+      window, mapping the kernel-3-over-T=12 conv onto the MXU as plain
+      GEMMs.
     """
 
     features: int
     kernel_size: int
     causal: bool = False
     dtype: type = jnp.float32
+    impl: str = "conv"
 
     @nn.compact
     def __call__(self, x):
-        # NOTE: an im2col matmul formulation was tried and measured SLOWER
-        # than XLA's native conv at PEMS08 scale (742 vs 659 ms/step at
-        # bs 128 — the 3x window materialization costs more than the conv
-        # mapping saves); keep nn.Conv. See ROADMAP.md.
         pad = (
             (self.kernel_size - 1, 0)
             if self.causal
             else ((self.kernel_size - 1) // 2, (self.kernel_size - 1) // 2)
         )
-        return nn.Conv(
+        if self.impl == "shifted_matmul":
+            # name="Conv_0" + identical param shapes keep the tree
+            # checkpoint-compatible with the nn.Conv path
+            return _ShiftedMatmulConv(
+                self.features, self.kernel_size, pad, self.dtype, name="Conv_0"
+            )(x)
+        conv = nn.Conv(
             features=self.features,
             kernel_size=(1, self.kernel_size),
             padding=((0, 0), pad),
             kernel_init=_xavier,
             dtype=self.dtype,
-        )(x)
+        )
+        return conv(x)
+
+
+class _ShiftedMatmulConv(nn.Module):
+    """K time-shifted [D, D] GEMMs == the (1, K) conv; params mirror nn.Conv."""
+
+    features: int
+    kernel_size: int
+    pad: tuple
+    dtype: type = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            _xavier,
+            (1, self.kernel_size, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        dt = self.dtype
+        xp = jnp.pad(x, ((0, 0), (0, 0), self.pad, (0, 0))).astype(dt)
+        t = x.shape[2]
+        k = kernel[0].astype(dt)  # [K, in, out]
+        out = sum(
+            jnp.einsum(
+                "bntd,df->bntf",
+                jax.lax.dynamic_slice_in_dim(xp, j, t, 2),
+                k[j],
+            )
+            for j in range(self.kernel_size)
+        )
+        return out + bias.astype(dt)
 
 
 class MultiHeadAttentionAwareTemporalContext(nn.Module):
@@ -93,14 +162,17 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
         t_k = key.shape[2]
 
         dt = _cdtype(cfg)
-        q = TemporalConv(d_model, cfg.kernel_size, self.query_causal, dt, name="query_conv")(query)
-        k = TemporalConv(d_model, cfg.kernel_size, self.key_causal, dt, name="key_conv")(key)
-        v = TemporalConv(d_model, cfg.kernel_size, self.key_causal, dt, name="value_conv")(value)
+        impl = getattr(cfg, "conv_impl", "conv")
+        q = TemporalConv(d_model, cfg.kernel_size, self.query_causal, dt, impl, name="query_conv")(query)
+        k = TemporalConv(d_model, cfg.kernel_size, self.key_causal, dt, impl, name="key_conv")(key)
+        v = TemporalConv(d_model, cfg.kernel_size, self.key_causal, dt, impl, name="value_conv")(value)
 
         if cfg.attention == "Corr":
-            indx, weights = _topk_mixer(self.sc_matrix, cfg.top_k)
-            # mix queries/keys over each node's top-k correlated nodes
-            mix = lambda x: jnp.einsum("nk,bnktd->bntd", weights, x[:, indx])
+            # mix queries/keys over each node's top-k correlated nodes — as a
+            # static dense [N, N] node matmul (see _topk_mix_matrix: the
+            # gather form spilled at scale)
+            mix_m = _topk_mix_matrix(self.sc_matrix, cfg.top_k).astype(dt)
+            mix = lambda x: jnp.einsum("nm,bmtd->bntd", mix_m, x)
             q = mix(q)
             k = mix(k)
 
@@ -125,7 +197,7 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
             attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
         x = jnp.einsum("bnhqk,bnhkd->bnhqd", attn, v)
         x = x.transpose(0, 1, 3, 2, 4).reshape(b, n, t_q, d_model)
-        return TemporalConv(d_model, cfg.kernel_size, False, dt, name="out_conv")(x)
+        return TemporalConv(d_model, cfg.kernel_size, False, dt, impl, name="out_conv")(x)
 
 
 class SpatialAttentionGCN(nn.Module):
@@ -359,12 +431,20 @@ class D3STN(nn.Module):
             # NB: the reference instantiates a decoder copy but (by what looks
             # like a slip) reuses the ENCODER one in decode (d3stn.py:113);
             # we keep one shared embedding, numerically equivalent.
+        enc_cls, dec_cls = EncoderLayer, DecoderLayer
+        if getattr(cfg, "remat", False):
+            # checkpoint each layer: backward recomputes the layer's
+            # activations instead of keeping them live — the step is
+            # remat/spill-bound at PEMS08 scale (ROADMAP), so trading
+            # FLOPs for peak memory is the documented lever
+            enc_cls = nn.remat(EncoderLayer, static_argnums=(2,))
+            dec_cls = nn.remat(DecoderLayer, static_argnums=(3,))
         self.encoder_layers = [
-            EncoderLayer(cfg, self.adj_matrix, self.sc_matrix, name=f"enc_{i}")
+            enc_cls(cfg, self.adj_matrix, self.sc_matrix, name=f"enc_{i}")
             for i in range(cfg.encoder_num_layers)
         ]
         self.decoder_layers = [
-            DecoderLayer(cfg, self.adj_matrix, self.sc_matrix, name=f"dec_{i}")
+            dec_cls(cfg, self.adj_matrix, self.sc_matrix, name=f"dec_{i}")
             for i in range(cfg.decoder_num_layers)
         ]
         self.encoder_norm = nn.LayerNorm(epsilon=1e-5)  # paddle default eps
@@ -382,13 +462,14 @@ class D3STN(nn.Module):
     def encode(self, src, deterministic=True):
         x = self._embed(src, self.encoder_dense)
         for layer in self.encoder_layers:
-            x = layer(x, deterministic=deterministic)
+            # positional: remat's static_argnums needs the bool positional
+            x = layer(x, deterministic)
         return self.encoder_norm(x)
 
     def decode(self, memory, tgt, deterministic=True):
         x = self._embed(tgt, self.decoder_dense)
         for layer in self.decoder_layers:
-            x = layer(x, memory, deterministic=deterministic)
+            x = layer(x, memory, deterministic)
         return self.generator(self.decoder_norm(x))
 
     def __call__(self, src, tgt, deterministic=True):
