@@ -39,10 +39,17 @@ class LEVY_AREA_APPROXIMATIONS:
 
 
 def _as_key(entropy_or_key):
+    # ensure_compile_time_eval: jax.random.key(int) called under an ambient
+    # jit trace would STAGE to a tracer, and a traced key closed into
+    # sdeint_adjoint's custom_vjp backward crashes grad-of-jit ("No constant
+    # handler for DynamicJaxprTracer"). The key is a compile-time constant by
+    # construction, so evaluate it eagerly.
     if entropy_or_key is None:
-        return jax.random.key(0)
+        with jax.ensure_compile_time_eval():
+            return jax.random.key(0)
     if isinstance(entropy_or_key, int):
-        return jax.random.key(entropy_or_key)
+        with jax.ensure_compile_time_eval():
+            return jax.random.key(entropy_or_key)
     return entropy_or_key  # already a PRNG key
 
 

@@ -259,6 +259,26 @@ def make_sriw1_term(drift, diffusion, bm) -> XDETerm:
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
+def _span_bounds(t_span):
+    """(t_lo, t_hi) for a default BrownianInterval — CONCRETE floats whenever
+    t_span's values are known, even under an ambient jit trace.
+
+    ``float(jnp.min(t_span))`` fails inside jit even for a closed-over
+    concrete span (every jnp op stages to a tracer), which used to hand the
+    Brownian tree TRACED bounds; those leak through sdeint_adjoint's
+    custom_vjp closure and crash grad-of-jit with "No constant handler for
+    DynamicJaxprTracer". numpy reads the concrete values without staging;
+    genuinely traced spans still fall back to traced bounds (fine for plain
+    solves — the tree normalizes with them in-trace)."""
+    import numpy as np
+
+    try:
+        arr = np.asarray(t_span)
+        return float(arr.min()), float(arr.max())
+    except (TypeError, jax.errors.TracerArrayConversionError):
+        return jnp.min(t_span), jnp.max(t_span)
+
+
 def _general_fuse(dy, dt, y):
     f_val, g_dw = dy
     return jax.tree.map(
@@ -348,6 +368,39 @@ def _reversed_ito_fns(drift, diffusion, bm):
             lambda y_: diffusion(t, y_), (y,), (jax.tree.map(jnp.ones_like, y),)
         )
         return jax.tree.map(lambda f, g, d: -f + g * d, f_val, g_val, dg)
+
+    return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
+
+
+def _reversed_general_ito_fns(drift, diffusion, bm):
+    """Time-reversal substitution (s = -t) for a GENERAL (matrix) noise Itô
+    SDE ``dy = f dt + G dW`` with ``G(t, y) -> [..., D, M]``.
+
+    The pathwise backward Itô integral carries the matrix analogue of the
+    diagonal ``+g·∂g/∂y`` correction:
+
+        f̃(s, y) = -f(-s, y) + Σ_j (∂G_{·j}/∂y) · G_{·j}(-s, y)
+
+    (for diagonal G this reduces exactly to ``_reversed_ito_fns``'s term).
+    The directional derivatives come from M jvps of the diffusion, one per
+    noise column (the same machinery as ``make_general_milstein_term``); the
+    correction is the trace ``Σ_j dG[j, ..., d, j]``. ReverseBrownian supplies
+    ΔW̃ = -ΔW and Ã = -A, so euler_general / milstein_general /
+    milstein_commutative apply to the reversed system unchanged. Strong
+    orders on the reversed path are pinned by measured-convergence tests."""
+
+    def drift_rev(s, y):
+        t = -s
+        f_val = drift(t, y)
+        g_val = diffusion(t, y)  # [..., D, M]
+
+        def dcol(tangent):  # (∂G/∂y)·tangent for tangent [..., D]
+            return jax.jvp(lambda y_: diffusion(t, y_), (y,), (tangent,))[1]
+
+        tangents = jnp.moveaxis(g_val, -1, 0)  # [M, ..., D]
+        dg_all = jax.vmap(dcol)(tangents)  # [M, ..., D, M]
+        corr = jnp.einsum("j...dj->...d", dg_all)
+        return -f_val + corr
 
     return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
 
@@ -450,10 +503,7 @@ def sdeint(
 
     need_levy = is_sra1 or is_sriw1
     if bm is None:
-        try:  # concrete spans give tol->depth a chance; traced spans are fine too
-            t_lo, t_hi = float(jnp.min(t_span)), float(jnp.max(t_span))
-        except TypeError:
-            t_lo, t_hi = jnp.min(t_span), jnp.max(t_span)
+        t_lo, t_hi = _span_bounds(t_span)
         if need_levy and levy_area_approximation == "none":
             levy_area_approximation = "space-time"  # sra1/sriw1 need (W, I10)
         if is_general_milstein and levy_area_approximation in ("none", "space-time"):
@@ -518,14 +568,19 @@ def sdeint(
 
     decreasing = reverse or _is_decreasing(t_span)
     if decreasing:
-        if is_general:
-            raise NotImplementedError(
-                "reverse-time general-noise solves need the matrix reversal "
-                "correction sum_j (dG_j/dy) G_j worked out and order-validated; "
-                "use the diagonal schemes or solve forward and flip"
-            )
         span = -t_span if _is_decreasing(t_span) else -t_span[::-1]
-        if is_milstein:
+        if is_general:
+            # reversed system: drift gets the matrix correction
+            # Σ_j (∂G_{·j}/∂y)·G_{·j}; ReverseBrownian supplies ΔW̃=-ΔW, Ã=-A
+            rev = _reversed_general_ito_fns(drift, diffusion, bm)
+            if is_general_euler:
+                term = make_general_euler_term(*rev)
+            else:
+                term = make_general_milstein_term(
+                    *rev, use_area=is_general_milstein
+                )
+            solver = "euler"
+        elif is_milstein:
             # the reversed (Itô-corrected) system is itself an Itô SDE, so
             # Milstein applies unchanged for strong order 1 on the way back
             term = make_milstein_term(*_reversed_ito_fns(drift, diffusion, bm))

@@ -27,8 +27,12 @@ from ..brownian.api import BrownianInterval
 from ..solver.fixed import FIXED_STEP_FNS
 from ..solver.registry import resolve_solver
 from .sdeint import (
+    _reversed_general_ito_fns,
     _reversed_ito_fns,
+    _span_bounds,
     _reversed_stratonovich_fns,
+    make_general_euler_term,
+    make_general_milstein_term,
     make_heun_stratonovich_term,
     make_milstein_term,
     make_sde_term,
@@ -44,6 +48,19 @@ _TERM_BUILDERS = {
     "sriw1": make_sriw1_term,
     "heun_stratonovich": make_heun_stratonovich_term,
     "stratonovich_heun": make_heun_stratonovich_term,
+    "euler_general": make_general_euler_term,
+    "milstein_general": make_general_milstein_term,
+    "milstein_commutative": lambda d, g, bm: make_general_milstein_term(
+        d, g, bm, use_area=False
+    ),
+}
+
+_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative"}
+_SCHEME_ALIASES = {
+    "stratonovich_heun": "heun_stratonovich",
+    "general_euler": "euler_general",
+    "general_milstein": "milstein_general",
+    "commutative_milstein": "milstein_commutative",
 }
 
 __all__ = ["sdeint_adjoint"]
@@ -64,23 +81,34 @@ def sdeint_adjoint(
     key=None,
     levy_area_approximation: str = "none",
     time_axis: int = -2,
+    noise_dim: Optional[int] = None,
     adjoint_params=None,
 ):
-    """Like :func:`sdeint` but with O(1)-memory, discrete-exact gradients.
+    """Like :func:`sdeint` but with O(T_out)-memory, discrete-exact gradients.
 
-    Restrictions (asserted): 'euler' or an SDE scheme
-    (milstein/sra1/sriw1/heun_stratonovich), grid == t_span (the default and
-    the reference's SDE semantics). Reverse-time solves (``reverse=True`` or
-    a decreasing ``t_span``) run the reversed system forward in s = -t with
-    the Itô reversal correction, exactly like :func:`sdeint`.
-    ``adjoint_params`` is accepted for signature parity and ignored
-    (closure_convert discovers parameters automatically).
+    Accepts 'euler' or any dedicated SDE scheme (milstein / sra1 / sriw1 /
+    heun_stratonovich / euler_general / milstein_general /
+    milstein_commutative — the general-noise schemes take a matrix diffusion
+    ``G(t, y) -> [..., D, M]`` and ``noise_dim=M``, as in :func:`sdeint`).
+
+    ``options={"step_size": h}`` runs a finer internal grid: each output
+    interval ``[t_i, t_{i+1}]`` is cut into ``ceil(max_interval / h)`` equal
+    sub-steps, but only the states at ``t_span`` are stored; the backward
+    re-plays each segment's sub-steps from the saved left endpoint (gradient
+    checkpointing at output granularity — the buffered-adjoint answer to
+    dense-grid SDE training, which previously required grid == t_span).
+    The sub-step count is uniform across intervals so the scan stays static;
+    ``h`` is an upper bound on the realized step.
+
+    Reverse-time solves (``reverse=True`` or a decreasing ``t_span``) run the
+    reversed system forward in s = -t with the Itô reversal correction,
+    exactly like :func:`sdeint`. ``adjoint_params`` is accepted for signature
+    parity and ignored (closure_convert discovers parameters automatically).
     """
     del adjoint_params
     solver_name = solver.lower() if isinstance(solver, str) else ""
-    scheme = solver_name if solver_name in (
-        "milstein", "sra1", "sriw1", "heun_stratonovich", "stratonovich_heun"
-    ) else None
+    solver_name = _SCHEME_ALIASES.get(solver_name, solver_name)
+    scheme = solver_name if solver_name in _TERM_BUILDERS else None
     if scheme is None:
         spec = resolve_solver(solver)
         if spec.kind != "fixed" or spec.implicit or spec.name != "euler":
@@ -89,13 +117,33 @@ def sdeint_adjoint(
             raise ValueError(
                 f"sdeint_adjoint got solver={getattr(spec, 'name', solver)!r}: "
                 "use 'euler' (Euler-Maruyama) or an SDE scheme (milstein/sra1/"
-                "sriw1/heun_stratonovich)"
+                "sriw1/heun_stratonovich/euler_general/milstein_general/"
+                "milstein_commutative)"
             )
         step_fn, _ = FIXED_STEP_FNS[spec.name]
     else:
         step_fn, _ = FIXED_STEP_FNS["euler"]  # scheme lives in the term's move/fuse
-    if options and ("step_size" in options or "grid_constructor" in options):
-        raise NotImplementedError("sdeint_adjoint requires grid == t_span")
+    is_general = scheme in _GENERAL_SCHEMES
+    if options and "grid_constructor" in options:
+        raise NotImplementedError(
+            "sdeint_adjoint supports options={'step_size': h} (uniform "
+            "sub-steps per output interval), not a grid_constructor"
+        )
+    n_sub = 1
+    if options and "step_size" in options:
+        h_max = float(options["step_size"])
+        if h_max <= 0:
+            raise ValueError("step_size must be positive")
+        try:
+            import numpy as _np
+
+            dts = _np.abs(_np.diff(_np.asarray(t_span, dtype=_np.float64)))
+            n_sub = max(1, int(_np.ceil(float(dts.max()) / h_max)))
+        except (TypeError, jax.errors.TracerArrayConversionError) as exc:
+            raise ValueError(
+                "options={'step_size': ...} needs a concrete t_span (the "
+                "sub-step count must be static under jit)"
+            ) from exc
 
     t_span = jnp.asarray(t_span)
     y0 = jax.tree.map(jnp.asarray, y0)
@@ -107,15 +155,42 @@ def sdeint_adjoint(
         )
     if scheme in ("sra1", "sriw1") and levy_area_approximation == "none" and bm is None:
         levy_area_approximation = "space-time"
+    if scheme == "milstein_general" and bm is None and levy_area_approximation in (
+        "none", "space-time"
+    ):
+        levy_area_approximation = "davie"  # needs full areas A_{j1,j2}
     if bm is None:
-        try:
-            t_lo, t_hi = float(jnp.min(t_span)), float(jnp.max(t_span))
-        except TypeError:
-            t_lo, t_hi = jnp.min(t_span), jnp.max(t_span)
+        # concrete bounds whenever possible: traced bounds would leak through
+        # the custom_vjp closure and crash grad-of-jit (see _span_bounds)
+        t_lo, t_hi = _span_bounds(t_span)
+        if is_general:
+            if noise_dim is None:
+                raise ValueError(
+                    "general-noise solvers need the Brownian dimension: pass "
+                    "noise_dim=M (bm size becomes y.shape[:-1] + (M,)) or an "
+                    "explicit bm"
+                )
+            size = leaves[0].shape[:-1] + (noise_dim,)
+        else:
+            size = leaves[0].shape
         bm = BrownianInterval(
-            t_lo, t_hi, size=leaves[0].shape, dtype=leaves[0].dtype, key=key,
+            t_lo, t_hi, size=size, dtype=leaves[0].dtype, key=key,
             levy_area_approximation=levy_area_approximation,
         )
+    if scheme == "milstein_general":
+        if getattr(bm, "levy_area_approximation", "none") not in ("davie", "foster"):
+            raise ValueError(
+                "milstein_general needs full Lévy areas: construct the "
+                "Brownian motion with levy_area_approximation='davie' or "
+                "'foster' (or use milstein_commutative if the noise commutes)"
+            )
+        if len(getattr(bm, "shape", ())) < 2:
+            raise ValueError(
+                "milstein_general needs bm size [..., M] with at least a "
+                "batch axis: a 1-D bm is treated as independent scalar "
+                "Brownian motions whose Lévy area is zero (add a leading "
+                "batch axis of 1)"
+            )
 
     # Reverse-time solves: substitute s = -t so the reversed system (Itô
     # reversal drift correction +g·∂g/∂y, or the time-symmetric Stratonovich
@@ -124,7 +199,12 @@ def sdeint_adjoint(
     # are pinned by test against direct backprop through sdeint(reverse=True).
     flip_output = False
     if reverse or _is_decreasing(t_span):
-        if scheme in ("heun_stratonovich", "stratonovich_heun"):
+        if is_general:
+            # matrix reversal correction Σ_j (∂G_{·j}/∂y)·G_{·j} (see
+            # _reversed_general_ito_fns); the replay adjoint then applies to
+            # the reversed system unchanged
+            drift, diffusion, bm = _reversed_general_ito_fns(drift, diffusion, bm)
+        elif scheme in ("heun_stratonovich", "stratonovich_heun"):
             drift, diffusion, bm = _reversed_stratonovich_fns(drift, diffusion, bm)
         else:
             drift, diffusion, bm = _reversed_ito_fns(drift, diffusion, bm)
@@ -151,10 +231,28 @@ def sdeint_adjoint(
         y1, _ = step_fn(term, t_a, t_b, y)
         return y1
 
+    def one_segment(y, t_a, t_b, d_consts, g_consts):
+        """Advance t_a -> t_b in ``n_sub`` equal sub-steps (1 = plain step).
+
+        Only the segment endpoints are stored by the outer solve; the backward
+        re-enters here under jax.vjp, re-running the sub-steps forward from
+        the saved left endpoint (the stateless Brownian tree replays the same
+        noise bit-exactly)."""
+        if n_sub == 1:
+            return one_step(y, t_a, t_b, d_consts, g_consts)
+        fracs = jnp.linspace(0.0, 1.0, n_sub + 1).astype(t_span.dtype)
+        sub_ts = t_a + (t_b - t_a) * fracs
+
+        def body(yc, i):
+            return one_step(yc, sub_ts[i], sub_ts[i + 1], d_consts, g_consts), None
+
+        y_out, _ = jax.lax.scan(body, y, jnp.arange(n_sub))
+        return y_out
+
     @jax.custom_vjp
     def _solve(y0_, ts_, d_consts, g_consts):
         def body(y, t_pair):
-            y1 = one_step(y, t_pair[0], t_pair[1], d_consts, g_consts)
+            y1 = one_segment(y, t_pair[0], t_pair[1], d_consts, g_consts)
             return y1, y1
 
         t_pairs = jnp.stack([ts_[:-1], ts_[1:]], axis=-1)
@@ -178,7 +276,7 @@ def sdeint_adjoint(
             adj_y = jax.tree.map(jnp.add, adj_y, take(g_sol, i))
             y_prev = take(sol, i - 1)
             _, vjp = jax.vjp(
-                lambda y, dc, gc: one_step(y, ts_[i - 1], ts_[i], dc, gc),
+                lambda y, dc, gc: one_segment(y, ts_[i - 1], ts_[i], dc, gc),
                 y_prev,
                 d_consts,
                 g_consts,
