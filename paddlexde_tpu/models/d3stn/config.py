@@ -50,6 +50,16 @@ class D3STNConfig:
     # in bf16 (params stay float32; softmax/layernorm/losses stay float32)
     conv_impl: str = "conv"  # "shifted_matmul": temporal convs as K time-
     # shifted [D,D] GEMMs (numerically identical, checkpoint-compatible)
+    fuse_qkv: bool = False  # apply the q/k/v temporal convs as ONE conv with
+    # 3x output features when input+padding agree. MEASURED SLOWER on v5e at
+    # PEMS08 bs 32 (150.3 vs 138.4 ms — XLA's conv layout for 3x features
+    # loses more than the op fusion saves); kept as a knob, default off
+    gcn_impl: str = "auto"  # "auto": fused Pallas spatial-attention kernel on
+    # TPU when dropout is inactive (the [B,T,N,N] score stays in VMEM —
+    # ops/gcn_pallas.py); "xla" | "pallas" force a path
+    attn_impl: str = "auto"  # "auto": fused conv->MHA->conv Pallas kernel on
+    # TPU when dropout is inactive (ops/attn_pallas.py — the attention blocks
+    # are ~2/3 of the step under XLA); "xla" | "pallas" force a path
     remat: bool = False  # jax.checkpoint each encoder/decoder layer: trades
     # recompute for peak-memory/spill (the step is remat/spill-bound at scale)
 
@@ -78,6 +88,18 @@ class D3STNConfig:
                 f"d_model ({self.d_model}) must equal d_proj + 2*d_sect + "
                 f"d_adaptive ({expect}) — the embedding concat feeds d_model"
             )
+        for field, allowed in (
+            ("conv_impl", ("conv", "shifted_matmul")),
+            ("gcn_impl", ("auto", "xla", "pallas")),
+            ("attn_impl", ("auto", "xla", "pallas")),
+            ("attention", ("Corr", "Vanilla")),
+        ):
+            val = getattr(self, field)
+            if val not in allowed:
+                raise ValueError(
+                    f"{field}={val!r} not in {allowed} (a typo here would "
+                    "silently fall back to a default implementation)"
+                )
 
 
 def load_config(json_path: Optional[str] = None, **overrides) -> D3STNConfig:

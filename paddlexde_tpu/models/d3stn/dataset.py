@@ -166,20 +166,31 @@ class TrafficFlowDataset:
             his_buf = np.empty((batch_size, n, cfg.his_len, d), self.data.dtype)
             tgt_buf = np.empty((batch_size, n, cfg.tgt_len, d), self.data.dtype)
 
+        from ...ops.native import gather_windows
+
+        src = self._data_tmajor if time_major else self.data
         for start in range(0, len(order), batch_size):
             idx = order[start : start + batch_size]
             if drop_last and idx.size < batch_size:
                 return
             b = idx.size
-            for i, j in enumerate(idx):
-                s = starts[j]
-                e = s + cfg.his_len
-                if time_major:
-                    np.copyto(his_buf[i], self._data_tmajor[s:e])
-                    np.copyto(tgt_buf[i], self._data_tmajor[e : e + cfg.tgt_len])
-                else:
-                    np.copyto(his_buf[i], self.data[:, s:e, :])
-                    np.copyto(tgt_buf[i], self.data[:, e : e + cfg.tgt_len, :])
+            s_b = starts[idx]
+            # native OpenMP gather (ops/native): the batch is b*N contiguous
+            # row copies; the Python loop pays per-sample dispatch and runs
+            # single-threaded. Falls back to numpy when no toolchain.
+            if gather_windows(src, s_b, his_buf[:b], cfg.his_len, time_major):
+                gather_windows(src, s_b + cfg.his_len, tgt_buf[:b], cfg.tgt_len,
+                               time_major)
+            else:
+                for i, j in enumerate(idx):
+                    s = starts[j]
+                    e = s + cfg.his_len
+                    if time_major:
+                        np.copyto(his_buf[i], self._data_tmajor[s:e])
+                        np.copyto(tgt_buf[i], self._data_tmajor[e : e + cfg.tgt_len])
+                    else:
+                        np.copyto(his_buf[i], self.data[:, s:e, :])
+                        np.copyto(tgt_buf[i], self.data[:, e : e + cfg.tgt_len, :])
             yield his_buf[:b], tgt_buf[:b]
 
 

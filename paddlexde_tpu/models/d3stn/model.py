@@ -130,8 +130,21 @@ class _ShiftedMatmulConv(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         )
-        dt = self.dtype
-        xp = jnp.pad(x, ((0, 0), (0, 0), self.pad, (0, 0))).astype(dt)
+        return _apply_temporal_conv(
+            x, kernel, bias, self.pad, self.dtype, "shifted_matmul"
+        )
+
+
+def _apply_temporal_conv(x, kernel, bias, pad, dt, impl):
+    """Functional (1, K)-over-[B, N, T, D] conv given explicit kernel/bias.
+
+    ``impl='conv'`` reproduces flax ``nn.Conv``'s lax call bit-for-bit (same
+    dimension numbers, same dtype promotion); ``'shifted_matmul'`` is the K
+    time-shifted GEMM form. Shared by the per-name and the FUSED query/key/
+    value paths so fusion can never change numerics.
+    """
+    if impl == "shifted_matmul":
+        xp = jnp.pad(x, ((0, 0), (0, 0), pad, (0, 0))).astype(dt)
         t = x.shape[2]
         k = kernel[0].astype(dt)  # [K, in, out]
         out = sum(
@@ -140,9 +153,49 @@ class _ShiftedMatmulConv(nn.Module):
                 jax.lax.dynamic_slice_in_dim(xp, j, t, 2),
                 k[j],
             )
-            for j in range(self.kernel_size)
+            for j in range(kernel.shape[1])
         )
         return out + bias.astype(dt)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt),
+        jnp.asarray(kernel, dt),
+        window_strides=(1, 1),
+        padding=((0, 0), pad),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias.astype(dt)
+
+
+class _ConvParamBank(nn.Module):
+    """Declares nn.Conv-shaped params (``Conv_0/{kernel,bias}``) WITHOUT
+    applying them — the attention module concatenates several banks into one
+    fused conv. The param tree stays byte-identical to the unfused
+    ``TemporalConv(name=...)`` modules, so checkpoints swap freely."""
+
+    features: int
+    kernel_size: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        class _Leaf(nn.Module):
+            features: int
+            kernel_size: int
+            in_features: int
+
+            @nn.compact
+            def __call__(self):
+                k = self.param(
+                    "kernel",
+                    _xavier,
+                    (1, self.kernel_size, self.in_features, self.features),
+                    jnp.float32,
+                )
+                b = self.param(
+                    "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                )
+                return k, b
+
+        return _Leaf(self.features, self.kernel_size, in_features, name="Conv_0")()
 
 
 class MultiHeadAttentionAwareTemporalContext(nn.Module):
@@ -163,29 +216,111 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
 
         dt = _cdtype(cfg)
         impl = getattr(cfg, "conv_impl", "conv")
-        q = TemporalConv(d_model, cfg.kernel_size, self.query_causal, dt, impl, name="query_conv")(query)
-        k = TemporalConv(d_model, cfg.kernel_size, self.key_causal, dt, impl, name="key_conv")(key)
-        v = TemporalConv(d_model, cfg.kernel_size, self.key_causal, dt, impl, name="value_conv")(value)
+        ks = cfg.kernel_size
+        pad_of = lambda causal: (
+            (ks - 1, 0) if causal else ((ks - 1) // 2, (ks - 1) // 2)
+        )
 
-        if cfg.attention == "Corr":
-            # mix queries/keys over each node's top-k correlated nodes — as a
-            # static dense [N, N] node matmul (see _topk_mix_matrix: the
-            # gather form spilled at scale)
-            mix_m = _topk_mix_matrix(self.sc_matrix, cfg.top_k).astype(dt)
-            mix = lambda x: jnp.einsum("nm,bmtd->bntd", mix_m, x)
-            q = mix(q)
-            k = mix(k)
+        # params declared per-name (checkpoint-compatible with TemporalConv)
+        # but APPLIED fused: the q/k/v convs over the same input with the same
+        # padding are one conv with 3x output features — one MXU GEMM instead
+        # of three, and one activation read instead of three. The step is
+        # op-count/copy-bound at PEMS08 scale (HLO attribution: ~half the
+        # entry-level traffic is layout copies between many small ops), so
+        # collapsing instructions is the measured lever.
+        qk_, qb = _ConvParamBank(d_model, ks, name="query_conv")(query.shape[-1])
+        kk_, kb = _ConvParamBank(d_model, ks, name="key_conv")(key.shape[-1])
+        vk_, vb = _ConvParamBank(d_model, ks, name="value_conv")(value.shape[-1])
 
-        def split_heads(x):
-            b_, n_, t_, _ = x.shape
-            return x.reshape(b_, n_, t_, heads, head_dim).transpose(0, 1, 3, 2, 4)
+        fuse = getattr(cfg, "fuse_qkv", True) and impl == "conv"
+        mix_m = (
+            _topk_mix_matrix(self.sc_matrix, cfg.top_k).astype(dt)
+            if cfg.attention == "Corr"
+            else None
+        )
+        mix = (
+            (lambda x: jnp.einsum("nm,bmt...->bnt...", mix_m, x))
+            if mix_m is not None
+            else (lambda x: x)
+        )
 
-        q, k, v = split_heads(q), split_heads(k), split_heads(v)  # [B,N,H,T,dh]
+        # fused whole-block Pallas kernel (ops/attn_pallas.py): the mix is
+        # row-stochastic so it commutes with the conv — hoist it, then the
+        # conv -> MHA -> conv chain runs per node-tile entirely in VMEM.
+        # Measured: the attention blocks hold ~90 of 139 ms of the PEMS08
+        # bs-32 step under XLA. Dropout path falls back (rng inside kernel).
+        from ...ops.attn_pallas import pallas_available as _attn_tpu
+
+        attn_impl = getattr(cfg, "attn_impl", "auto")
+        dropout_active = cfg.dropout > 0 and not deterministic
+        use_attn_kernel = impl == "conv" and not dropout_active and (
+            _attn_tpu() if attn_impl == "auto" else attn_impl == "pallas"
+        )
+        if use_attn_kernel:
+            from ...ops.attn_pallas import fused_temporal_attention
+
+            ok_, ob = _ConvParamBank(d_model, ks, name="out_conv")(d_model)
+            mq = mix(query)
+            mk = mq if (key is query and mix_m is not None) else mix(key)
+            return fused_temporal_attention(
+                mq, mk, value, qk_[0], qb, kk_[0], kb, vk_[0], vb, ok_[0], ob,
+                self.query_causal, self.key_causal, bool(is_mask), heads,
+                cfg.compute_dtype, True, not _attn_tpu(),
+            )
+
+        if fuse and query is key and key is value and (
+            self.query_causal == self.key_causal
+        ):
+            qkv = _apply_temporal_conv(
+                query,
+                jnp.concatenate([qk_, kk_, vk_], axis=-1),
+                jnp.concatenate([qb, kb, vb]),
+                pad_of(self.query_causal),
+                dt,
+                impl,
+            )
+            # q,k are the leading contiguous 2*d_model slice: ONE node-mix
+            # einsum covers both
+            qk_mixed = mix(qkv[..., : 2 * d_model])
+            q, k = qk_mixed[..., :d_model], qk_mixed[..., d_model:]
+            v = qkv[..., 2 * d_model :]
+        elif fuse and key is value:
+            q = mix(
+                _apply_temporal_conv(
+                    query, qk_, qb, pad_of(self.query_causal), dt, impl
+                )
+            )
+            kv = _apply_temporal_conv(
+                key,
+                jnp.concatenate([kk_, vk_], axis=-1),
+                jnp.concatenate([kb, vb]),
+                pad_of(self.key_causal),
+                dt,
+                impl,
+            )
+            k = mix(kv[..., :d_model])
+            v = kv[..., d_model:]
+        else:
+            q = mix(
+                _apply_temporal_conv(
+                    query, qk_, qb, pad_of(self.query_causal), dt, impl
+                )
+            )
+            k = mix(
+                _apply_temporal_conv(key, kk_, kb, pad_of(self.key_causal), dt, impl)
+            )
+            v = _apply_temporal_conv(value, vk_, vb, pad_of(self.key_causal), dt, impl)
+
+        # heads live in the feature axis; einsum indices them directly — no
+        # explicit [B,N,H,T,dh] transpose materialization
+        q = q.reshape(b, n, t_q, heads, head_dim)
+        k = k.reshape(b, n, t_k, heads, head_dim)
+        v = v.reshape(b, n, t_k, heads, head_dim)
 
         # scores/softmax in f32 regardless of compute dtype (bf16 softmax
         # loses too much resolution for attention weights)
         scores = jnp.einsum(
-            "bnhqd,bnhkd->bnhqk", q, k, preferred_element_type=jnp.float32
+            "bnqhd,bnkhd->bnhqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(head_dim)
         if is_mask:
             mask = jnp.triu(
@@ -195,9 +330,8 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
         attn = jax.nn.softmax(scores, axis=-1).astype(dt)
         if cfg.dropout > 0:
             attn = nn.Dropout(cfg.dropout)(attn, deterministic=deterministic)
-        x = jnp.einsum("bnhqk,bnhkd->bnhqd", attn, v)
-        x = x.transpose(0, 1, 3, 2, 4).reshape(b, n, t_q, d_model)
-        return TemporalConv(d_model, cfg.kernel_size, False, dt, impl, name="out_conv")(x)
+        x = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(b, n, t_q, d_model)
+        return TemporalConv(d_model, ks, False, dt, impl, name="out_conv")(x)
 
 
 class SpatialAttentionGCN(nn.Module):
@@ -214,20 +348,6 @@ class SpatialAttentionGCN(nn.Module):
         cfg = self.cfg
         b, n, t, d = x.shape
         dt_c = _cdtype(cfg)
-        # all contractions run from the native [B, N, T, D] layout — the
-        # reference round-trips through [B, T, N, D] per call
-        # (graphconv.py:107, 125), which at batch scale is 2 full-activation
-        # transposes x 6 GCN calls x fwd+bwd of pure HBM traffic (the step is
-        # bandwidth-bound: XLA cost analysis shows ~1 TB accessed/step at
-        # bs 128); einsum folds the layout change into the dot_general
-        score = jnp.einsum(
-            "bntd,bmtd->btnm", x, x, preferred_element_type=jnp.float32
-        ) / math.sqrt(d)
-        score = jax.nn.softmax(score, axis=-1)
-        if cfg.dropout > 0:
-            score = nn.Dropout(cfg.dropout)(score, deterministic=deterministic)
-        if self.is_scale:
-            score = score / math.sqrt(cfg.d_model)
 
         alpha = self.param("alpha", nn.initializers.constant(0.5), (1,), jnp.float32)
         beta = self.param("beta", nn.initializers.constant(0.5), (1,), jnp.float32)
@@ -243,10 +363,46 @@ class SpatialAttentionGCN(nn.Module):
             gate = alpha * self.adj_matrix + beta * self.sc_matrix
         else:
             gate = alpha * self.adj_matrix
-        adj = score.astype(dt_c) * gate.astype(dt_c)
+        scale2 = 1.0 / math.sqrt(cfg.d_model) if self.is_scale else 1.0
 
-        # [B,T,N,M] x [B,M,T,D] -> [B,N,T,D]: output directly in native layout
-        x_gcn = jnp.einsum("btnm,bmtd->bntd", adj, x.astype(dt_c))
+        impl = getattr(cfg, "gcn_impl", "auto")
+        dropout_active = cfg.dropout > 0 and not deterministic
+        from ...ops.gcn_pallas import pallas_available
+
+        if impl == "auto":
+            use_kernel = pallas_available() and not dropout_active
+        else:
+            use_kernel = impl == "pallas" and not dropout_active
+
+        if use_kernel:
+            # flash-style fused kernel: the [B, T, N, N] score never touches
+            # HBM (the hottest buffer family in the step's HLO — see
+            # ops/gcn_pallas.py); grads to x and to alpha/beta (via gate).
+            # Forced 'pallas' off-TPU runs the kernel in interpret mode
+            # (numerics testing).
+            from ...ops.gcn_pallas import gcn_spatial_mix
+
+            x_gcn = gcn_spatial_mix(
+                x, gate.astype(jnp.float32), scale2, cfg.compute_dtype, True,
+                not pallas_available(),
+            )
+        else:
+            # all contractions run from the native [B, N, T, D] layout — the
+            # reference round-trips through [B, T, N, D] per call
+            # (graphconv.py:107, 125), which at batch scale is 2 full-
+            # activation transposes x 6 GCN calls x fwd+bwd of pure HBM
+            # traffic; einsum folds the layout change into the dot_general
+            score = jnp.einsum(
+                "bntd,bmtd->btnm", x, x, preferred_element_type=jnp.float32
+            ) / math.sqrt(d)
+            score = jax.nn.softmax(score, axis=-1)
+            if cfg.dropout > 0:
+                score = nn.Dropout(cfg.dropout)(score, deterministic=deterministic)
+            score = score * scale2
+            adj = score.astype(dt_c) * gate.astype(dt_c)
+            # [B,T,N,M] x [B,M,T,D] -> [B,N,T,D]: native-layout output
+            x_gcn = jnp.einsum("btnm,bmtd->bntd", adj, x.astype(dt_c))
+
         out = nn.Dense(cfg.d_model, use_bias=False, kernel_init=_xavier, dtype=dt_c)(x_gcn)
         return jax.nn.silu(out)  # [B, N, T, D]
 

@@ -1,0 +1,482 @@
+"""Pallas TPU kernel: fused temporal-context attention block (D3STN).
+
+``MultiHeadAttentionAwareTemporalContext`` (reference ``example/D3STN/
+attention.py:100-256`` in DrownFish19/PaddleXDE) is the D3STN train step's
+dominant cost: 4 temporal convs + top-k node mix + per-node MHA per module, 6
+modules per 2+2-layer model. Measured on v5e at PEMS08 scale (bs 32): the
+attention blocks hold ~90 of 139 ms — the step is op-count/copy-bound, every
+sub-op a separate HBM round-trip of a 67 MB activation.
+
+Fusion insight: the top-k mix matrix is ROW-STOCHASTIC (softmax weights), so
+it commutes with the temporal conv exactly — ``mix(conv(x)) = conv(mix(x))``
+(bias term invariant because rows sum to 1). With the mixes hoisted to one
+XLA einsum per input, the whole block becomes per-node independent and fuses
+into ONE kernel: per (batch, node-tile) the conv -> heads -> scores ->
+softmax -> attn@v -> out-conv chain runs entirely in VMEM; x is read once and
+y written once.
+
+The backward is flash-attention-style: a second kernel re-computes q/k/v and
+the softmax from the saved inputs and produces input grads per tile plus
+weight/bias grads accumulated across the sequential TPU grid. A jnp reference
+implementation (bit-matching the shifted-matmul conv form, which is pinned
+equal to the model's nn.Conv path) backs non-TPU devices and the equality
+tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .spline_pallas import pallas_available
+
+__all__ = ["fused_temporal_attention", "pallas_available"]
+
+
+def _dt(name: str):
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
+def _pad_cfg(k: int, causal: bool):
+    return (k - 1, 0) if causal else ((k - 1) // 2, (k - 1) // 2)
+
+
+# ---------------------------------------------------------------------------
+# reference implementation (jnp; used off-TPU and as the test oracle)
+# ---------------------------------------------------------------------------
+
+
+def _tconv_ref(x, w, b, causal, dt):
+    """Shifted-matmul temporal conv over [..., T, D] (== nn.Conv at 1e-5;
+    the equivalence is pinned by the model's conv_impl test)."""
+    k = w.shape[0]
+    pad = _pad_cfg(k, causal)
+    xp = jnp.pad(x, ((0, 0),) * (x.ndim - 2) + (pad, (0, 0))).astype(dt)
+    t = x.shape[-2]
+    w = w.astype(dt)
+    out = sum(
+        jnp.einsum(
+            "...td,df->...tf",
+            jax.lax.slice_in_dim(xp, j, j + t, axis=-2),
+            w[j],
+        )
+        for j in range(k)
+    )
+    return out + b.astype(dt)
+
+
+def _ref_impl(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, *,
+              causal_q, causal_kv, is_mask, heads, dtype_name):
+    dt = _dt(dtype_name)
+    q = _tconv_ref(mq, wq, bq, causal_q, dt)
+    k = _tconv_ref(mk, wk, bk, causal_kv, dt)
+    v = _tconv_ref(vsrc, wv, bv, causal_kv, dt)
+    b, n, t_q, d = q.shape
+    t_k = k.shape[-2]
+    head_dim = d // heads
+    q = q.reshape(b, n, t_q, heads, head_dim)
+    k = k.reshape(b, n, t_k, heads, head_dim)
+    v = v.reshape(b, n, t_k, heads, head_dim)
+    scores = jnp.einsum(
+        "bnqhd,bnkhd->bnhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(head_dim)
+    if is_mask:
+        scores = scores + jnp.triu(
+            jnp.full((t_q, t_q), jnp.finfo(scores.dtype).min), k=1
+        )
+    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+    x = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(b, n, t_q, d)
+    return _tconv_ref(x, wo, bo, False, dt)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _tconv_tile(x, w, b, causal, dt):
+    """[G, T, D] tile conv via K shifted GEMMs on [G*T, D] (all in VMEM)."""
+    g, t, d = x.shape
+    k = w.shape[0]
+    pad = _pad_cfg(k, causal)
+    xp = jnp.pad(x.astype(dt), ((0, 0), pad, (0, 0)))
+    acc = None
+    for j in range(k):
+        xj = jax.lax.slice_in_dim(xp, j, j + t, axis=1).reshape(g * t, d)
+        pj = jnp.dot(xj, w[j].astype(dt), preferred_element_type=jnp.float32)
+        acc = pj if acc is None else acc + pj
+    return (acc.astype(dt) + b.astype(dt)).reshape(g, t, d)
+
+
+def _attention_tile(q, k, v, *, heads, is_mask, dt):
+    """Per-node MHA on a [G, T, D] tile; head loop is static (dh lanes are
+    narrow but the FLOPs here are negligible — the GEMM weight is in the
+    convs)."""
+    g, t_q, d = q.shape
+    t_k = k.shape[1]
+    head_dim = d // heads
+    inv = 1.0 / math.sqrt(head_dim)
+    mask = None
+    if is_mask:
+        mask = jnp.triu(jnp.full((t_q, t_q), jnp.finfo(jnp.float32).min), k=1)
+    outs = []
+    dn = (((2,), (2,)), ((0,), (0,)))  # contract dh, batch over G
+    dn_pv = (((2,), (1,)), ((0,), (0,)))  # attn [G,Tq,Tk] x v [G,Tk,dh]
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh, kh, vh = q[:, :, sl], k[:, :, sl], v[:, :, sl]
+        s = jax.lax.dot_general(
+            qh, kh, dn, preferred_element_type=jnp.float32
+        ) * inv
+        if mask is not None:
+            s = s + mask
+        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        outs.append(
+            jax.lax.dot_general(p, vh, dn_pv, preferred_element_type=jnp.float32)
+            .astype(dt)
+        )
+    return jnp.concatenate(outs, axis=-1)  # [G, Tq, D]
+
+
+def _fwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                wv_ref, bv_ref, wo_ref, bo_ref, out_ref, *,
+                causal_q, causal_kv, is_mask, heads, dtype_name):
+    dt = _dt(dtype_name)
+    q = _tconv_tile(mq_ref[0], wq_ref[...], bq_ref[...], causal_q, dt)
+    k = _tconv_tile(mk_ref[0], wk_ref[...], bk_ref[...], causal_kv, dt)
+    v = _tconv_tile(vs_ref[0], wv_ref[...], bv_ref[...], causal_kv, dt)
+    x = _attention_tile(q, k, v, heads=heads, is_mask=is_mask, dt=dt)
+    y = _tconv_tile(x, wo_ref[...], bo_ref[...], False, dt)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _tconv_bwd_input(g, w, causal, dt):
+    """d(conv)/d(input): correlation with index-reversed, transposed taps.
+
+    out[t] = sum_j x[t + j - off] W[j]  =>  dx[s] = sum_j g[s - j + off] W[j]^T
+    which is the same shifted-GEMM form with pad reversed and W[j] -> W[K-1-j]^T
+    relabeled."""
+    k = w.shape[0]
+    pad = _pad_cfg(k, causal)
+    rev_pad = (pad[1], pad[0])
+    n_g, t, d = g.shape
+    gp = jnp.pad(g.astype(dt), ((0, 0), rev_pad, (0, 0)))
+    acc = None
+    for j in range(k):
+        gj = jax.lax.slice_in_dim(gp, j, j + t, axis=1).reshape(n_g * t, d)
+        wj = w[k - 1 - j].astype(dt).T
+        pj = jnp.dot(gj, wj, preferred_element_type=jnp.float32)
+        acc = pj if acc is None else acc + pj
+    return acc.reshape(n_g, t, d)
+
+
+def _conv_weight_grads(x, g, k, causal, dt):
+    """Per-tile dW [K, D, D] and db [D] for out = conv(x)."""
+    pad = _pad_cfg(k, causal)
+    n_g, t, d_in = x.shape
+    xp = jnp.pad(x.astype(dt), ((0, 0), pad, (0, 0)))
+    g2 = g.reshape(n_g * t, -1).astype(dt)
+    dws = []
+    for j in range(k):
+        xj = jax.lax.slice_in_dim(xp, j, j + t, axis=1).reshape(n_g * t, d_in)
+        dws.append(
+            jax.lax.dot_general(
+                xj, g2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    dw = jnp.stack(dws, axis=0)  # [K, D_in, D_out]
+    db = jnp.sum(g2.astype(jnp.float32), axis=0)
+    return dw, db
+
+
+def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+                wv_ref, bv_ref, wo_ref, bo_ref, g_ref,
+                dmq_ref, dmk_ref, dvs_ref, dwq_ref, dbq_ref, dwk_ref,
+                dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref, *,
+                causal_q, causal_kv, is_mask, heads, dtype_name):
+    from jax.experimental import pallas as pl
+
+    dt = _dt(dtype_name)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for r in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+                  dwo_ref, dbo_ref):
+            r[...] = jnp.zeros_like(r)
+
+    mq, mk, vs = mq_ref[0], mk_ref[0], vs_ref[0]
+    g_out = g_ref[0].astype(jnp.float32)
+    k_taps = wq_ref.shape[0]
+
+    # --- recompute forward (flash-style) ---
+    q = _tconv_tile(mq, wq_ref[...], bq_ref[...], causal_q, dt)
+    k = _tconv_tile(mk, wk_ref[...], bk_ref[...], causal_kv, dt)
+    v = _tconv_tile(vs, wv_ref[...], bv_ref[...], causal_kv, dt)
+    g_n, t_q, d = q.shape
+    t_k = k.shape[1]
+    head_dim = d // heads
+    inv = 1.0 / math.sqrt(head_dim)
+    mask = None
+    if is_mask:
+        mask = jnp.triu(jnp.full((t_q, t_q), jnp.finfo(jnp.float32).min), k=1)
+
+    dn_qk = (((2,), (2,)), ((0,), (0,)))
+    dn_pv = (((2,), (1,)), ((0,), (0,)))
+    dn_ptg = (((1,), (1,)), ((0,), (0,)))  # p^T @ g per batch
+    x_parts, p_list = [], []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, :, sl].astype(jnp.float32)
+        kh = k[:, :, sl].astype(jnp.float32)
+        vh = v[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(qh, kh, dn_qk,
+                                preferred_element_type=jnp.float32) * inv
+        if mask is not None:
+            s = s + mask
+        p = jax.nn.softmax(s, axis=-1)
+        p_list.append(p)  # [G, Tq, Tk] f32 x heads: fits VMEM comfortably
+        x_parts.append(
+            jax.lax.dot_general(p.astype(dt), vh.astype(dt), dn_pv,
+                                preferred_element_type=jnp.float32)
+        )
+    x_attn = jnp.concatenate(
+        [xp.astype(dt) for xp in x_parts], axis=-1
+    )  # [G, Tq, D]
+
+    # --- out conv ---
+    dwo, dbo = _conv_weight_grads(x_attn, g_out, k_taps, False, dt)
+    dwo_ref[...] += dwo.astype(dwo_ref.dtype)
+    dbo_ref[...] += dbo.astype(dbo_ref.dtype)
+    dx_attn = _tconv_bwd_input(g_out, wo_ref[...], False, dt)  # [G, Tq, D]
+
+    # --- attention bwd per head (p saved from the forward recompute) ---
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        qh = q[:, :, sl].astype(jnp.float32)
+        kh = k[:, :, sl].astype(jnp.float32)
+        vh = v[:, :, sl].astype(jnp.float32)
+        gh = dx_attn[:, :, sl]
+        p = p_list[h]
+        dp = jax.lax.dot_general(  # g [G,Tq,dh] x v [G,Tk,dh] -> [G,Tq,Tk]
+            gh, vh, dn_qk, preferred_element_type=jnp.float32
+        )
+        dv_parts.append(jax.lax.dot_general(  # p^T g over Tq
+            p, gh, dn_ptg, preferred_element_type=jnp.float32
+        ))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_parts.append(jax.lax.dot_general(  # ds [G,Tq,Tk] x k [G,Tk,dh]
+            ds, kh, dn_pv, preferred_element_type=jnp.float32
+        ) * inv)
+        dk_parts.append(jax.lax.dot_general(  # ds^T over Tq x q [G,Tq,dh]
+            ds, qh, dn_ptg, preferred_element_type=jnp.float32
+        ) * inv)
+    dq_full = jnp.concatenate(dq_parts, axis=-1)
+    dk_full = jnp.concatenate(dk_parts, axis=-1)
+    dv_full = jnp.concatenate(dv_parts, axis=-1)
+
+    # --- input convs ---
+    dwq, dbq = _conv_weight_grads(mq, dq_full, k_taps, causal_q, dt)
+    dwk, dbk = _conv_weight_grads(mk, dk_full, k_taps, causal_kv, dt)
+    dwv, dbv = _conv_weight_grads(vs, dv_full, k_taps, causal_kv, dt)
+    dwq_ref[...] += dwq.astype(dwq_ref.dtype)
+    dbq_ref[...] += dbq.astype(dbq_ref.dtype)
+    dwk_ref[...] += dwk.astype(dwk_ref.dtype)
+    dbk_ref[...] += dbk.astype(dbk_ref.dtype)
+    dwv_ref[...] += dwv.astype(dwv_ref.dtype)
+    dbv_ref[...] += dbv.astype(dbv_ref.dtype)
+    dmq_ref[0] = _tconv_bwd_input(dq_full, wq_ref[...], causal_q, dt).astype(
+        dmq_ref.dtype
+    )
+    dmk_ref[0] = _tconv_bwd_input(dk_full, wk_ref[...], causal_kv, dt).astype(
+        dmk_ref.dtype
+    )
+    dvs_ref[0] = _tconv_bwd_input(dv_full, wv_ref[...], causal_kv, dt).astype(
+        dvs_ref.dtype
+    )
+
+
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+_TILE_N = 16
+_TILE_CAP = int(os.environ.get("PXT_ATTN_TILE_CAP", "40"))
+
+
+def _pick_tile(n: int) -> int:
+    """Largest node-tile <= cap that divides N exactly (no pad/slice copies
+    around the kernel — e.g. PEMS08's N=170 -> 34); falls back to _TILE_N
+    with zero-padding for awkward (e.g. prime) N. Bigger tiles mean fewer
+    grid cells and taller conv GEMMs; VMEM stays well under budget at
+    [40, 12, 128] f32 tiles. Cap overridable via PXT_ATTN_TILE_CAP."""
+    for d in range(min(n, _TILE_CAP), 7, -1):
+        if n % d == 0:
+            return d
+    return _TILE_N
+
+
+def _padded(x, n_pad):
+    n = x.shape[1]
+    if n == n_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
+
+
+def _call_fwd(mq, mk, vs, weights, statics, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, t_q, d = mq.shape
+    t_k = mk.shape[2]
+    tile = _pick_tile(n)
+    n_pad = -(-n // tile) * tile
+    mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
+    dt = _dt(statics["dtype_name"])
+    kern = functools.partial(_fwd_kernel, **statics)
+
+    def tile_spec(t_len):
+        return pl.BlockSpec((1, tile, t_len, d), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, j: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    wq, bq, wk, bk, wv, bv, wo, bo = weights
+    out = pl.pallas_call(
+        kern,
+        grid=(b, n_pad // tile),
+        in_specs=[
+            tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
+            const_spec(wq.shape), const_spec(bq.shape),
+            const_spec(wk.shape), const_spec(bk.shape),
+            const_spec(wv.shape), const_spec(bv.shape),
+            const_spec(wo.shape), const_spec(bo.shape),
+        ],
+        out_specs=tile_spec(t_q),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, t_q, d), dt),
+        interpret=interpret,
+    )(mq_p, mk_p, vs_p, wq, bq, wk, bk, wv, bv, wo, bo)
+    return out[:, :n] if n_pad != n else out
+
+
+def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, t_q, d = mq.shape
+    t_k = mk.shape[2]
+    tile = _pick_tile(n)
+    n_pad = -(-n // tile) * tile
+    mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
+    g_p = _padded(g, n_pad)
+    kern = functools.partial(_bwd_kernel, **statics)
+    wq, bq, wk, bk, wv, bv, wo, bo = weights
+
+    def tile_spec(t_len):
+        return pl.BlockSpec((1, tile, t_len, d), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, j: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                for w in (wq, bq, wk, bk, wv, bv, wo, bo)]
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, n_pad // tile),
+        in_specs=[
+            tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
+            const_spec(wq.shape), const_spec(bq.shape),
+            const_spec(wk.shape), const_spec(bk.shape),
+            const_spec(wv.shape), const_spec(bv.shape),
+            const_spec(wo.shape), const_spec(bo.shape),
+            tile_spec(t_q),
+        ],
+        out_specs=[
+            tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
+            const_spec(wq.shape), const_spec(bq.shape),
+            const_spec(wk.shape), const_spec(bk.shape),
+            const_spec(wv.shape), const_spec(bv.shape),
+            const_spec(wo.shape), const_spec(bo.shape),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, t_q, d), mq.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, t_k, d), mk.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, t_k, d), vs.dtype),
+            *w_shapes,
+        ],
+        interpret=interpret,
+    )(mq_p, mk_p, vs_p, wq, bq, wk, bk, wv, bv, wo, bo, g_p)
+    dmq, dmk, dvs = outs[0][:, :n], outs[1][:, :n], outs[2][:, :n]
+    return (dmq, dmk, dvs) + tuple(outs[3:])
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16, 17))
+def fused_temporal_attention(
+    mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
+    causal_q: bool, causal_kv: bool, is_mask: bool, heads: int,
+    dtype_name: str = "float32", use_pallas: bool = False,
+    interpret: bool = False,
+):
+    """Fused conv->MHA->conv temporal-context attention over [B, N, T, D].
+
+    ``mq``/``mk`` are the PRE-MIXED query/key inputs (the row-stochastic
+    top-k mix commutes with the conv — hoist it outside), ``vsrc`` the raw
+    value input; weights are the four temporal convs' ``[K, D, D]`` kernels
+    and ``[D]`` biases. Gradients flow to all array arguments.
+    """
+    args = dict(causal_q=causal_q, causal_kv=causal_kv, is_mask=is_mask,
+                heads=heads, dtype_name=dtype_name)
+    if not use_pallas:
+        return _ref_impl(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, **args)
+    return _call_fwd(mq, mk, vsrc, (wq, bq, wk, bk, wv, bv, wo, bo), args,
+                     interpret)
+
+
+def _vjp_fwd(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
+             causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas,
+             interpret):
+    out = fused_temporal_attention(
+        mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
+        causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas, interpret,
+    )
+    return out, (mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo)
+
+
+def _vjp_bwd(causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas,
+             interpret, res, g):
+    mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo = res
+    args = dict(causal_q=causal_q, causal_kv=causal_kv, is_mask=is_mask,
+                heads=heads, dtype_name=dtype_name)
+    if not use_pallas:
+        _, vjp = jax.vjp(
+            lambda *arrs: _ref_impl(*arrs, **args),
+            mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
+        )
+        return vjp(g)
+    outs = _call_bwd(mq, mk, vsrc, (wq, bq, wk, bk, wv, bv, wo, bo), g, args,
+                     interpret)
+    dmq, dmk, dvs, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo = outs
+    cast = lambda a, ref: a.astype(jnp.asarray(ref).dtype)
+    return (dmq, dmk, dvs, cast(dwq, wq), cast(dbq, bq), cast(dwk, wk),
+            cast(dbk, bk), cast(dwv, wv), cast(dbv, bv), cast(dwo, wo),
+            cast(dbo, bo))
+
+
+fused_temporal_attention.defvjp(_vjp_fwd, _vjp_bwd)

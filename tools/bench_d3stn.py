@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--conv_impl", default="conv")
     ap.add_argument("--remat", type=int, default=0)
+    ap.add_argument("--fuse_qkv", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -70,6 +71,7 @@ def main():
         compute_dtype=args.dtype,
         conv_impl=args.conv_impl,
         remat=bool(args.remat),
+        fuse_qkv=bool(args.fuse_qkv),
     )
     rng = np.random.RandomState(0)
     adj = (rng.rand(cfg.num_nodes, cfg.num_nodes) < 0.05).astype(np.float32)
@@ -147,6 +149,7 @@ def main():
     print(json.dumps({
         "bs": args.bs, "dtype": args.dtype, "his": args.his,
         "conv_impl": args.conv_impl, "remat": bool(args.remat),
+        "fuse_qkv": bool(args.fuse_qkv),
         "ms_per_step": round(ms, 2),
         "samples_per_sec": round(args.bs / (ms / 1e3), 1),
         "backend": jax.default_backend(),
