@@ -310,16 +310,19 @@ _TILE_N = 16
 _TILE_CAP = int(os.environ.get("PXT_ATTN_TILE_CAP", "40"))
 
 
-def _pick_tile(n: int) -> int:
+def _pick_tile(n: int, cap: int = None) -> int:
     """Largest node-tile <= cap that divides N exactly (no pad/slice copies
     around the kernel — e.g. PEMS08's N=170 -> 34); falls back to _TILE_N
     with zero-padding for awkward (e.g. prime) N. Bigger tiles mean fewer
-    grid cells and taller conv GEMMs; VMEM stays well under budget at
-    [40, 12, 128] f32 tiles. Cap overridable via PXT_ATTN_TILE_CAP."""
-    for d in range(min(n, _TILE_CAP), 7, -1):
+    grid cells and taller conv GEMMs. VMEM bound: the BACKWARD kernel at
+    tile 34 measures 16.0M scoped VMEM in f32 (fits exactly) and +348K in
+    bf16 (cast temporaries) — so the bf16 backward uses a halved cap (17
+    for N=170). Cap overridable via PXT_ATTN_TILE_CAP."""
+    cap = _TILE_CAP if cap is None else cap
+    for d in range(min(n, cap), 7, -1):
         if n % d == 0:
             return d
-    return _TILE_N
+    return min(_TILE_N, cap)
 
 
 def _padded(x, n_pad):
@@ -374,7 +377,8 @@ def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
 
     b, n, t_q, d = mq.shape
     t_k = mk.shape[2]
-    tile = _pick_tile(n)
+    bf16 = statics["dtype_name"] == "bfloat16"
+    tile = _pick_tile(n, min(_TILE_CAP, 17) if bf16 else None)
     n_pad = -(-n // tile) * tile
     mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
     g_p = _padded(g, n_pad)

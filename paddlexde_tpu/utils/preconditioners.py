@@ -25,6 +25,7 @@ __all__ = [
     "dirichlet_heat_preconditioner",
     "periodic_heat_preconditioner",
     "neumann_heat_preconditioner",
+    "jacobi_preconditioner",
 ]
 
 
@@ -120,5 +121,52 @@ def neumann_heat_preconditioner(n, dx, dt, nu=1.0, dtype=jnp.float32):
             axis=-1,
         )
         return jnp.fft.ifft(x_full, axis=-1).real[..., :n].astype(v.dtype)
+
+    return apply
+
+
+def jacobi_preconditioner(operator, y_like, *, probes=None, key=0, floor=1e-12):
+    """General fallback: diagonal (Jacobi) inverse of an arbitrary linear
+    operator ``v -> A v`` (typically ``A = I - c*dt*J`` for the Krylov
+    steppers), for problems with no exploitable structure.
+
+    ``probes=None`` extracts the EXACT diagonal with D basis matvecs (one
+    vmapped batch — fine up to D ~ a few thousand); ``probes=k`` uses the
+    Hutchinson diagonal estimator ``diag(A) ~ mean_z [z (.) A z]`` with k
+    Rademacher probes (exact for diagonal A with a single probe; accurate for
+    diagonally dominant A). Entries with ``|d| < floor`` fall back to 1 (the
+    identity) so a zero estimate can never blow up the solve.
+
+    The right tool when the stiffness is a per-component rate spread (chemical
+    networks, broad relaxation spectra); for operators whose stiffness lives
+    in off-diagonal coupling (diffusion), use the spectral inverses above.
+    """
+    import jax
+
+    y = jnp.asarray(y_like)
+    d = int(np.prod(y.shape))
+    flat = lambda v: jnp.reshape(v, (-1,))
+
+    if probes is not None and int(probes) < 1:
+        raise ValueError(
+            f"probes={probes}: need at least one Hutchinson probe (the "
+            "mean over zero probes is NaN and would silently poison the "
+            "preconditioned solve); use probes=None for the exact diagonal"
+        )
+    if probes is None:
+        eye = jnp.eye(d, dtype=y.dtype)
+        cols = jax.vmap(lambda e: flat(operator(jnp.reshape(e, y.shape))))(eye)
+        diag = jnp.diagonal(cols)
+    else:
+        if isinstance(key, int):
+            key = jax.random.key(key)
+        z = jax.random.rademacher(key, (int(probes), d), dtype=y.dtype)
+        az = jax.vmap(lambda zz: flat(operator(jnp.reshape(zz, y.shape))))(z)
+        diag = jnp.mean(z * az, axis=0)
+
+    safe = jnp.where(jnp.abs(diag) < floor, jnp.ones_like(diag), diag)
+
+    def apply(v):
+        return jnp.reshape(flat(v) / safe.astype(v.dtype), jnp.shape(v))
 
     return apply

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from paddlexde_tpu import odeint
 
@@ -312,3 +313,73 @@ def test_neumann_heat_preconditioner():
     # roundoff accumulated over 5 Newton solves
     mass = np.asarray(jnp.mean(sol, axis=-1))
     np.testing.assert_allclose(mass, mass[0], rtol=1e-5)
+
+
+def test_jacobi_preconditioner_rate_spread():
+    """General fallback (no structure assumed): per-component rate spread
+    1..1e7 with weak off-diagonal coupling. At dt*||J|| = 1e6 (f32), plain
+    GMRES is far outside its envelope; the probed-diagonal Jacobi M makes
+    backward Euler land on the closed-form-accurate relaxation. Hutchinson
+    (probes=k) and exact-diagonal modes must agree for this diagonally
+    dominant operator."""
+    import jax
+
+    from paddlexde_tpu.solver.implicit import make_implicit_euler_krylov_step
+    from paddlexde_tpu.utils.preconditioners import jacobi_preconditioner
+    from paddlexde_tpu.xde.term import ode_term
+
+    D = 256
+    rng = np.random.RandomState(0)
+    rates = jnp.asarray(
+        10.0 ** rng.uniform(0, 7, D).astype(np.float32), jnp.float32
+    )
+    coup = jnp.asarray(rng.randn(D, D).astype(np.float32)) * 0.05
+    coup = coup - jnp.diag(jnp.diag(coup))
+
+    def f(t, y):
+        return -rates * y + coup @ y
+
+    y0 = jnp.ones((D,), jnp.float32)
+    dt = jnp.float32(0.1)  # dt * max_rate = 1e6
+
+    op = lambda v: v - dt * jax.jvp(lambda y: f(0.0, y), (y0,), (v,))[1]
+    m_exact = jacobi_preconditioner(op, y0)
+    m_hutch = jacobi_preconditioner(op, y0, probes=8, key=3)
+
+    # both estimates act identically on this diagonally dominant operator
+    v = jnp.asarray(rng.randn(D).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(m_hutch(v)), np.asarray(m_exact(v)), rtol=0.2
+    )
+
+    term = ode_term(f)
+    # one backward-Euler step; reference by dense solve of (I - dt J) y1 = y0
+    jac = jax.jacfwd(lambda y: f(0.0, y))(y0)
+    a_mat = jnp.eye(D) - dt * jac
+    ref = jnp.linalg.solve(a_mat.astype(jnp.float64), y0.astype(jnp.float64))
+
+    def endpoint(precond):
+        step = make_implicit_euler_krylov_step(preconditioner=precond)
+        y1, _ = step(term, jnp.float32(0.0), dt, y0)
+        return np.asarray(y1)
+
+    err_plain = np.max(np.abs(endpoint(None) - np.asarray(ref)))
+    err_jac = np.max(np.abs(endpoint(m_exact) - np.asarray(ref)))
+    err_hutch = np.max(np.abs(endpoint(m_hutch) - np.asarray(ref)))
+    assert err_jac < 5e-4, (err_plain, err_jac)
+    assert err_hutch < 5e-3, (err_plain, err_hutch)
+    assert err_jac < err_plain * 0.01 or err_plain > 1.0, (err_plain, err_jac)
+
+
+def test_jacobi_preconditioner_guards():
+    """probes=0 would make the Hutchinson mean NaN and silently poison the
+    solve — must refuse; the zero-operator floor must fall back to identity."""
+    from paddlexde_tpu.utils.preconditioners import jacobi_preconditioner
+
+    y0 = jnp.ones((8,))
+    op = lambda v: 2.0 * v
+    with pytest.raises(ValueError, match="probes"):
+        jacobi_preconditioner(op, y0, probes=0)
+    z = jacobi_preconditioner(lambda v: jnp.zeros_like(v), y0)
+    out = z(jnp.ones((8,)))
+    np.testing.assert_allclose(np.asarray(out), np.ones(8))

@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--conv_impl", default="conv")
     ap.add_argument("--remat", type=int, default=0)
-    ap.add_argument("--fuse_qkv", type=int, default=1)
+    ap.add_argument("--fuse_qkv", type=int, default=0)  # measured slower; see config
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
