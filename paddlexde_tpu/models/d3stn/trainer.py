@@ -74,6 +74,22 @@ class Trainer:
                  mesh=None):
         self.cfg = cfg
         self.mesh = mesh
+        if mesh is not None:
+            # pallas_call has no GSPMD partitioning rule: under a mesh the
+            # compiler would replicate (or reject) the custom call instead of
+            # sharding its batch grid. Until the kernels are shard_map-wrapped,
+            # 'auto' resolves to the pure-XLA paths when training over a mesh;
+            # an explicit 'pallas' is respected (single-host debugging).
+            import dataclasses as _dc
+
+            overrides = {
+                k: "xla"
+                for k in ("attn_impl", "gcn_impl")
+                if getattr(cfg, k, "auto") == "auto"
+            }
+            if overrides:
+                cfg = _dc.replace(cfg, **overrides)
+                self.cfg = cfg
         # multi-host coordinates: each process feeds its own data shard and
         # eval/test metrics are aggregated across processes (the reference's
         # DistributedBatchSampler + all_gather_object roles)

@@ -116,8 +116,7 @@ def _attention_tile(q, k, v, *, heads, is_mask, dt):
     """Per-node MHA on a [G, T, D] tile; head loop is static (dh lanes are
     narrow but the FLOPs here are negligible — the GEMM weight is in the
     convs)."""
-    g, t_q, d = q.shape
-    t_k = k.shape[1]
+    t_q, d = q.shape[1], q.shape[2]
     head_dim = d // heads
     inv = 1.0 / math.sqrt(head_dim)
     mask = None
@@ -218,8 +217,7 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     q = _tconv_tile(mq, wq_ref[...], bq_ref[...], causal_q, dt)
     k = _tconv_tile(mk, wk_ref[...], bk_ref[...], causal_kv, dt)
     v = _tconv_tile(vs, wv_ref[...], bv_ref[...], causal_kv, dt)
-    g_n, t_q, d = q.shape
-    t_k = k.shape[1]
+    t_q, d = q.shape[1], q.shape[2]
     head_dim = d // heads
     inv = 1.0 / math.sqrt(head_dim)
     mask = None

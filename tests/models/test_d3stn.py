@@ -490,3 +490,21 @@ def test_config_validates_impl_knobs():
                {"attn_impl": "flash"}, {"attention": "corr"}):
         with pytest.raises(ValueError, match=next(iter(kw))):
             tiny_cfg(**kw)
+
+
+def test_trainer_under_mesh_forces_xla_impls():
+    """pallas_call has no GSPMD partitioning rule, so Trainer(mesh=...) must
+    resolve 'auto' impls to the pure-XLA paths (explicit choices respected)."""
+    from paddlexde_tpu.parallel import make_mesh
+
+    data = synthetic_traffic_npz(num_nodes=N_NODES, seq_len=288 * 3)
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    tr = Trainer(tiny_cfg(), data=data, adj_matrix=adj, sc_matrix=sc,
+                 mesh=make_mesh({"data": 8}))
+    assert tr.cfg.attn_impl == "xla" and tr.cfg.gcn_impl == "xla"
+    tr2 = Trainer(tiny_cfg(attn_impl="pallas"), data=data, adj_matrix=adj,
+                  sc_matrix=sc, mesh=make_mesh({"data": 8}))
+    assert tr2.cfg.attn_impl == "pallas"  # explicit choice respected
+    tr3 = Trainer(tiny_cfg(), data=data, adj_matrix=adj, sc_matrix=sc)
+    assert tr3.cfg.attn_impl == "auto"  # no mesh: unchanged
