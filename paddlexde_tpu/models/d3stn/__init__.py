@@ -8,6 +8,7 @@ from .graph import (  # noqa: F401
 )
 from .metrics import MAE, MAPE, MSE, RMSE, smis  # noqa: F401
 from .model import D3STN, decoder_index  # noqa: F401
+from .predictor import Predictor
 from .trainer import Trainer, init_lag_anchors  # noqa: F401
 from .train_utils import (  # noqa: F401
     EarlyStopping,

@@ -508,3 +508,31 @@ def test_trainer_under_mesh_forces_xla_impls():
     assert tr2.cfg.attn_impl == "pallas"  # explicit choice respected
     tr3 = Trainer(tiny_cfg(), data=data, adj_matrix=adj, sc_matrix=sc)
     assert tr3.cfg.attn_impl == "auto"  # no mesh: unchanged
+
+
+def test_predictor_matches_trainer(tmp_path):
+    """Predictor.from_checkpoint == the trainer's pred step on the same
+    checkpoint: identical model-space outputs, scaler-inverse applied, and
+    the ragged-batch zero-pad path returns only the real rows."""
+    from paddlexde_tpu.models.d3stn import Predictor
+
+    cfg = tiny_cfg(tmp_path, train_epochs=1, finetune_epochs=0)
+    data = synthetic_traffic_npz(num_nodes=N_NODES, seq_len=288 * 3)
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    tr = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc)
+    tr.train()
+    tr.save()
+
+    pred = Predictor.from_checkpoint(
+        cfg, tr.save_path, adj, sc, scaler=tr.test_dataset.scaler, batch_size=4
+    ).warmup()
+    src, _ = next(tr.test_dataset.batches(7))  # ragged (7 = 4 + 3)
+    src = np.array(src)
+    got = pred(src)
+    assert got.shape == (7, N_NODES, cfg.tgt_len)
+    want = np.asarray(tr._pred_step(tr.state, jnp.asarray(src)))[..., 0]
+    want = tr.test_dataset.scaler.inverse_transform(want[..., None])[..., 0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="does not match"):
+        pred(src[:, :, : cfg.his_len - 1])
