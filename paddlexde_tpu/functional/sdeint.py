@@ -38,6 +38,7 @@ __all__ = [
     "make_heun_stratonovich_term",
     "make_general_euler_term",
     "make_general_milstein_term",
+    "make_general_sra1_term",
 ]
 
 
@@ -116,6 +117,45 @@ def make_sra1_term(drift, diffusion, bm) -> XDETerm:
         )
 
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_general_sra1_term(drift, diffusion, bm) -> XDETerm:
+    """SRA1 for GENERAL (matrix) ADDITIVE noise — strong order 1.5.
+
+    Same Rössler SRA1 update as :func:`make_sra1_term` with ``G(t) ->
+    [..., D, M]`` against an M-dimensional Brownian motion (``bm`` size
+    ``y.shape[:-1] + (M,)``); additive-noise columns enter independently, so
+    the scalar scheme applies per column and contracts with einsum:
+
+        H2 = y + 3/4 h f(t0, y) + 3/2 G(t0) @ (I10/h)
+        y1 = y + h (f(t0,y)/3 + 2 f(t0+3/4h, H2)/3)
+               + G(t0) @ (W - I10/h) + G(t1) @ (I10/h)
+
+    y-dependence of G is NOT corrected (the additive contract, as in the
+    diagonal scheme). Strong order pinned by a measured self-convergence
+    test on the same Brownian path; for zero drift the update telescopes to
+    the exact ``y0 + G W(T)``.
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u = bm(t, t1, return_U=True)  # [..., M] each
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(dt), dt)
+        i10_h = u / jnp.asarray(safe_dt, u.dtype)
+        k1 = drift(t, y)
+        g0 = diffusion(t, y)  # [..., D, M]
+        # precision=HIGHEST: TPU matmuls default to bf16 passes — a ~4e-3
+        # relative error that would swamp the scheme's strong order
+        mv = lambda g, z: jnp.einsum("...dm,...m->...d", g, z,
+                                     precision=jax.lax.Precision.HIGHEST)
+        h2_in = y + 0.75 * jnp.asarray(dt, y.dtype) * k1 + 1.5 * mv(g0, i10_h)
+        k2 = drift(t + 0.75 * dt, h2_in)
+        g1 = diffusion(t1, y)
+        noise = mv(g0, w - i10_h) + mv(g1, i10_h)
+        f_comb = k1 / 3.0 + 2.0 * k2 / 3.0
+        return (f_comb, noise)
+
+    return XDETerm(move=move, fuse=_general_fuse, additive=True, kind="sde")
 
 
 def make_heun_stratonovich_term(drift, diffusion, bm) -> XDETerm:
@@ -299,7 +339,8 @@ def make_general_euler_term(drift, diffusion, bm) -> XDETerm:
         d_w = bm(t, t + dt)  # [..., M]
         f_val = drift(t, y)
         g_val = diffusion(t, y)  # [..., D, M]
-        g_dw = jnp.einsum("...dm,...m->...d", g_val, d_w)
+        g_dw = jnp.einsum("...dm,...m->...d", g_val, d_w,
+                          precision=jax.lax.Precision.HIGHEST)
         return (f_val, g_dw)
 
     return XDETerm(move=move, fuse=_general_fuse, additive=False, kind="sde")
@@ -343,8 +384,10 @@ def make_general_milstein_term(drift, diffusion, bm, *, use_area: bool = True) -
         i_mat = 0.5 * (d_w[..., :, None] * d_w[..., None, :] - h * eye)
         if a_mat is not None:
             i_mat = i_mat + a_mat
-        corr = jnp.einsum("j...dk,...jk->...d", dg_all, i_mat)
-        g_dw = jnp.einsum("...dm,...m->...d", g_val, d_w) + corr
+        corr = jnp.einsum("j...dk,...jk->...d", dg_all, i_mat,
+                          precision=jax.lax.Precision.HIGHEST)
+        g_dw = jnp.einsum("...dm,...m->...d", g_val, d_w,
+                          precision=jax.lax.Precision.HIGHEST) + corr
         return (f_val, g_dw)
 
     return XDETerm(move=move, fuse=_general_fuse, additive=False, kind="sde")
@@ -399,7 +442,7 @@ def _reversed_general_ito_fns(drift, diffusion, bm):
 
         tangents = jnp.moveaxis(g_val, -1, 0)  # [M, ..., D]
         dg_all = jax.vmap(dcol)(tangents)  # [M, ..., D, M]
-        corr = jnp.einsum("j...dj->...d", dg_all)
+        corr = jnp.einsum("j...dj->...d", dg_all)  # trace: no matmul pass
         return -f_val + corr
 
     return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
@@ -495,13 +538,15 @@ def sdeint(
     is_sriw1 = solver_name == "sriw1"
     is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
     is_general_euler = solver_name in ("euler_general", "general_euler")
+    is_general_sra1 = solver_name in ("sra1_general", "general_sra1")
     is_general_milstein = solver_name in ("milstein_general", "general_milstein")
     is_comm_milstein = solver_name in (
         "milstein_commutative", "commutative_milstein"
     )
-    is_general = is_general_euler or is_general_milstein or is_comm_milstein
+    is_general = (is_general_euler or is_general_milstein or is_comm_milstein
+                  or is_general_sra1)
 
-    need_levy = is_sra1 or is_sriw1
+    need_levy = is_sra1 or is_sriw1 or is_general_sra1
     if bm is None:
         t_lo, t_hi = _span_bounds(t_span)
         if need_levy and levy_area_approximation == "none":
@@ -571,10 +616,13 @@ def sdeint(
         span = -t_span if _is_decreasing(t_span) else -t_span[::-1]
         if is_general:
             # reversed system: drift gets the matrix correction
-            # Σ_j (∂G_{·j}/∂y)·G_{·j}; ReverseBrownian supplies ΔW̃=-ΔW, Ã=-A
+            # Σ_j (∂G_{·j}/∂y)·G_{·j} (zero for additive G); ReverseBrownian
+            # supplies ΔW̃=-ΔW, Ĩ10~=U-h·ΔW, Ã=-A
             rev = _reversed_general_ito_fns(drift, diffusion, bm)
             if is_general_euler:
                 term = make_general_euler_term(*rev)
+            elif is_general_sra1:
+                term = make_general_sra1_term(*rev)
             else:
                 term = make_general_milstein_term(
                     *rev, use_area=is_general_milstein
@@ -630,6 +678,9 @@ def sdeint(
         solver = "euler"
     elif is_general_euler:
         term = make_general_euler_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_general_sra1:
+        term = make_general_sra1_term(drift, diffusion, bm)
         solver = "euler"
     elif is_general_milstein:
         term = make_general_milstein_term(drift, diffusion, bm, use_area=True)

@@ -33,6 +33,7 @@ from .sdeint import (
     _reversed_stratonovich_fns,
     make_general_euler_term,
     make_general_milstein_term,
+    make_general_sra1_term,
     make_heun_stratonovich_term,
     make_milstein_term,
     make_sde_term,
@@ -50,14 +51,16 @@ _TERM_BUILDERS = {
     "stratonovich_heun": make_heun_stratonovich_term,
     "euler_general": make_general_euler_term,
     "milstein_general": make_general_milstein_term,
+    "sra1_general": make_general_sra1_term,
     "milstein_commutative": lambda d, g, bm: make_general_milstein_term(
         d, g, bm, use_area=False
     ),
 }
 
-_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative"}
+_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general"}
 _SCHEME_ALIASES = {
     "stratonovich_heun": "heun_stratonovich",
+    "general_sra1": "sra1_general",
     "general_euler": "euler_general",
     "general_milstein": "milstein_general",
     "commutative_milstein": "milstein_commutative",
@@ -118,7 +121,7 @@ def sdeint_adjoint(
                 f"sdeint_adjoint got solver={getattr(spec, 'name', solver)!r}: "
                 "use 'euler' (Euler-Maruyama) or an SDE scheme (milstein/sra1/"
                 "sriw1/heun_stratonovich/euler_general/milstein_general/"
-                "milstein_commutative)"
+                "milstein_commutative/sra1_general)"
             )
         step_fn, _ = FIXED_STEP_FNS[spec.name]
     else:
@@ -153,7 +156,9 @@ def sdeint_adjoint(
             "sdeint_adjoint's diagonal-noise contract requires a single-array "
             f"state (got a pytree with {len(leaves)} leaves)"
         )
-    if scheme in ("sra1", "sriw1") and levy_area_approximation == "none" and bm is None:
+    if scheme in ("sra1", "sriw1", "sra1_general") and (
+        levy_area_approximation == "none" and bm is None
+    ):
         levy_area_approximation = "space-time"
     if scheme == "milstein_general" and bm is None and levy_area_approximation in (
         "none", "space-time"

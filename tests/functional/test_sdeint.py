@@ -652,7 +652,7 @@ def test_sdeint_adjoint_step_size_matches_fine_grid():
 
 
 @pytest.mark.parametrize("scheme", ["euler_general", "milstein_commutative",
-                                    "milstein_general"])
+                                    "milstein_general", "sra1_general"])
 def test_sdeint_adjoint_general_noise_exact(scheme):
     """Replay adjoint for the MATRIX-noise schemes: gradients equal direct
     backprop through sdeint's scan on the same Brownian path (incl. the
@@ -766,3 +766,71 @@ def test_general_noise_reverse_adjoint_grads():
     g_adj = jax.grad(make_loss(sdeint_adjoint))(theta0)
     for k in theta0:
         np.testing.assert_allclose(g_adj[k], g_direct[k], rtol=1e-8, err_msg=k)
+
+
+def test_general_sra1_additive_strong_order():
+    """sra1_general: matrix ADDITIVE noise at strong order ~1.5. On an OU
+    system dy = -A y dt + G dW (G constant [D, M]): (a) zero-drift constant-G
+    consistency is EXACT (y0 + G W(T) regardless of grid); (b) measured
+    self-convergence slope ~2 on the same path (the scheme's own fine grid as
+    reference, the same protocol as the diagonal SRA1 test), with errors far
+    below euler_general's at the same coarse grid."""
+    rng = np.random.RandomState(3)
+    d_dim, m_dim, paths = 3, 2, 256
+    a_mat = jnp.asarray(np.diag([0.5, 1.0, 1.5]) + 0.1 * rng.randn(d_dim, d_dim),
+                        jnp.float64)
+    g_mat_const = jnp.asarray(rng.randn(d_dim, m_dim), jnp.float64)
+    y0 = jnp.ones((paths, d_dim), jnp.float64)
+    key = jax.random.key(11)
+
+    def bm():
+        return BrownianInterval(0.0, 1.0, size=(paths, m_dim), key=key,
+                                dtype=jnp.float64,
+                                levy_area_approximation="space-time")
+
+    # (a) zero drift, constant G: exact for any grid
+    g_fn = lambda t, y: jnp.broadcast_to(g_mat_const, (paths, d_dim, m_dim))
+    b = bm()
+    sol = sdeint(lambda t, y: jnp.zeros_like(y), g_fn, y0,
+                 jnp.linspace(0.0, 1.0, 9), "sra1_general", bm=b, time_axis=0)
+    exact = y0 + b(0.0, 1.0) @ g_mat_const.T
+    np.testing.assert_allclose(np.asarray(sol[-1]), np.asarray(exact),
+                               rtol=1e-9)
+
+    # (b) OU drift: self-convergence slope
+    f = lambda t, y: -jnp.einsum("de,...e->...d", a_mat, y)
+
+    def endpoint(method, n):
+        return sdeint(f, g_fn, y0, jnp.linspace(0.0, 1.0, n), method, bm=bm(),
+                      time_axis=0)[-1]
+
+    ref = endpoint("sra1_general", 1025)
+    errs = {n: float(jnp.mean(jnp.abs(endpoint("sra1_general", n) - ref)))
+            for n in (9, 33)}
+    order = np.log(errs[9] / errs[33]) / np.log(4.0)
+    assert order > 1.3, (errs, order)
+    err_em = float(jnp.mean(jnp.abs(endpoint("euler_general", 33) - ref)))
+    assert errs[33] < err_em * 0.05, (errs[33], err_em)
+
+
+def test_general_sra1_reverse_retraces():
+    """Reverse-time sra1_general (additive: the matrix reversal correction
+    vanishes; ReverseBrownian supplies the reversed (W, I10)): solving back
+    from the forward endpoint recovers y0 to the scheme's own accuracy."""
+    rng = np.random.RandomState(5)
+    d_dim, m_dim, paths = 2, 2, 128
+    g_mat_const = jnp.asarray(rng.randn(d_dim, m_dim), jnp.float64) * 0.3
+    g_fn = lambda t, y: jnp.broadcast_to(g_mat_const, (paths, d_dim, m_dim))
+    f = lambda t, y: -0.8 * y
+    y0 = jnp.ones((paths, d_dim), jnp.float64)
+    key = jax.random.key(21)
+    n = 129
+    bm1 = BrownianInterval(0.0, 1.0, size=(paths, m_dim), key=key,
+                           dtype=jnp.float64,
+                           levy_area_approximation="space-time")
+    fwd = sdeint(f, g_fn, y0, jnp.linspace(0.0, 1.0, n), "sra1_general",
+                 bm=bm1, time_axis=0)
+    back = sdeint(f, g_fn, fwd[-1], jnp.linspace(1.0, 0.0, n), "sra1_general",
+                  bm=bm1, time_axis=0)
+    err = float(jnp.mean(jnp.abs(back[-1] - y0)))
+    assert err < 5e-3, err
