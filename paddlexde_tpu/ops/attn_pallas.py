@@ -112,16 +112,36 @@ def _tconv_tile(x, w, b, causal, dt):
     return (acc.astype(dt) + b.astype(dt)).reshape(g, t, d)
 
 
+_MIDDLE = os.environ.get("PXT_ATTN_MIDDLE", "blockdiag")  # "blockdiag" | "loop"
+# blockdiag measured: module fwd+bwd 8.1 vs 10.9 ms; FULL STEP bs 32
+# 119.8 -> 98.9 ms, bs 64 203.2 -> 169.0 ms (378.7 samples/s)
+
+
 def _attention_tile(q, k, v, *, heads, is_mask, dt):
-    """Per-node MHA on a [G, T, D] tile; head loop is static (dh lanes are
-    narrow but the FLOPs here are negligible — the GEMM weight is in the
-    convs)."""
-    t_q, d = q.shape[1], q.shape[2]
+    """Per-node MHA on a [G, T, D] tile.
+
+    Two formulations (numerically equal, knob PXT_ATTN_MIDDLE):
+    - "loop": static per-head loop of narrow dots (lane slices of dh=16).
+      Measured: the loop is ~70% of the kernel (heads=1 fwd 1.5 ms vs
+      heads=8 3.8 ms at PEMS08 scale).
+    - "blockdiag": no per-head loop — block-structured operands and three
+      batched [*, 128]-shaped matmuls (see _blockdiag_state). Mosaic rejects
+      the natural head-batched alternatives (two batch dims in tpu.matmul;
+      lane-split reshapes [*,128]->[*,H,16]), so heads live along matmul
+      COLUMNS instead.
+    """
+    g, t_q, d = q.shape
+    t_k = k.shape[1]
     head_dim = d // heads
     inv = 1.0 / math.sqrt(head_dim)
     mask = None
     if is_mask:
         mask = jnp.triu(jnp.full((t_q, t_q), jnp.finfo(jnp.float32).min), k=1)
+    if _MIDDLE == "blockdiag":
+        x, _ = _blockdiag_state(
+            q, k, v, heads=heads, head_dim=head_dim, inv=inv, mask=mask, dt=dt
+        )
+        return x
     outs = []
     dn = (((2,), (2,)), ((0,), (0,)))  # contract dh, batch over G
     dn_pv = (((2,), (1,)), ((0,), (0,)))  # attn [G,Tq,Tk] x v [G,Tk,dh]
@@ -193,6 +213,96 @@ def _conv_weight_grads(x, g, k, causal, dt):
     return dw, db
 
 
+def _blockdiag_state(q, k, v, *, heads, head_dim, inv, mask, dt):
+    """Forward attention middle in block-diagonal form; returns
+    (x_attn [G, Tq, D] dt, residual state for the backward)."""
+    g, t_q, d = q.shape
+    t_k = k.shape[1]
+    cols = heads * t_k
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2) // head_dim
+    kt = jnp.swapaxes(k.astype(jnp.float32), 1, 2)  # [G, D, Tk]
+    sub_head = jnp.swapaxes(lane_head, 1, 2)  # [1, D, 1]
+    k_bd = jnp.concatenate(
+        [jnp.where(sub_head == h, kt, 0.0) for h in range(heads)], axis=2
+    )  # [G, D, cols]
+    s = jax.lax.dot_general(
+        q.astype(jnp.float32), k_bd, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * inv
+    if mask is not None:
+        s = s + jnp.tile(mask, (1, heads))
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    rid = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 0) // t_k
+    cid = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 1) // t_k
+    block_sum = (rid == cid).astype(jnp.float32)
+    denom = jax.lax.dot_general(
+        e, block_sum, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    p = e / denom  # [G, Tq, cols] f32
+    v_bd = jnp.concatenate(
+        [jnp.where(lane_head == h, v.astype(jnp.float32), 0.0)
+         for h in range(heads)],
+        axis=1,
+    )  # [G, cols, D]
+    x_attn = jax.lax.dot_general(
+        p.astype(dt), v_bd.astype(dt), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(dt)
+    return x_attn, (p, k_bd, v_bd, block_sum, lane_head, sub_head)
+
+
+def _blockdiag_bwd(state, q, v, dx_attn, *, heads, head_dim, inv):
+    """Backward of the block-diagonal attention middle: four batched matmuls
+    plus mask/recombine VPU work (no per-head loop). Returns f32
+    (dq_full, dk_full, dv_full) [G, T, D]."""
+    p, k_bd, v_bd, block_sum, lane_head, sub_head = state
+    g_n, t_q, d = q.shape
+    t_k = v.shape[1]
+    gq = dx_attn  # [G, Tq, D] f32
+    d_vbd = jax.lax.dot_general(  # p^T @ g over Tq -> [G, cols, D]
+        p, gq, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dv_full = sum(
+        jnp.where(
+            lane_head == h,
+            jax.lax.slice_in_dim(d_vbd, h * t_k, (h + 1) * t_k, axis=1),
+            0.0,
+        )
+        for h in range(heads)
+    )  # [G, Tk, D]
+    dp = jax.lax.dot_general(  # g @ v_bd^T over D -> [G, Tq, cols]
+        gq, v_bd, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (
+        dp - jax.lax.dot_general(
+            dp * p, block_sum, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ) * inv
+    dq_full = jax.lax.dot_general(  # ds @ k_bd^T over cols -> [G, Tq, D]
+        ds, k_bd, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    d_kbd = jax.lax.dot_general(  # q^T @ ds over Tq -> [G, D, cols]
+        q.astype(jnp.float32), ds, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    dk_t = sum(
+        jnp.where(
+            sub_head == h,
+            jax.lax.slice_in_dim(d_kbd, h * t_k, (h + 1) * t_k, axis=2),
+            0.0,
+        )
+        for h in range(heads)
+    )  # [G, D, Tk]
+    dk_full = jnp.swapaxes(dk_t, 1, 2)
+    return dq_full, dk_full, dv_full
+
+
 def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, wo_ref, bo_ref, g_ref,
                 dmq_ref, dmk_ref, dvs_ref, dwq_ref, dbq_ref, dwk_ref,
@@ -224,21 +334,55 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     if is_mask:
         mask = jnp.triu(jnp.full((t_q, t_q), jnp.finfo(jnp.float32).min), k=1)
 
+    if _MIDDLE == "blockdiag":
+        x_attn, st = _blockdiag_state(
+            q, k, v, heads=heads, head_dim=head_dim, inv=inv, mask=mask, dt=dt
+        )
+        dwo, dbo = _conv_weight_grads(x_attn, g_out, k_taps, False, dt)
+        dwo_ref[...] += dwo.astype(dwo_ref.dtype)
+        dbo_ref[...] += dbo.astype(dbo_ref.dtype)
+        dx_attn = _tconv_bwd_input(g_out, wo_ref[...], False, dt)
+        dq_full, dk_full, dv_full = _blockdiag_bwd(
+            st, q, v, dx_attn.astype(jnp.float32), heads=heads,
+            head_dim=head_dim, inv=inv,
+        )
+        dwq, dbq = _conv_weight_grads(mq, dq_full, k_taps, causal_q, dt)
+        dwk, dbk = _conv_weight_grads(mk, dk_full, k_taps, causal_kv, dt)
+        dwv, dbv = _conv_weight_grads(vs, dv_full, k_taps, causal_kv, dt)
+        dwq_ref[...] += dwq.astype(dwq_ref.dtype)
+        dbq_ref[...] += dbq.astype(dbq_ref.dtype)
+        dwk_ref[...] += dwk.astype(dwk_ref.dtype)
+        dbk_ref[...] += dbk.astype(dbk_ref.dtype)
+        dwv_ref[...] += dwv.astype(dwv_ref.dtype)
+        dbv_ref[...] += dbv.astype(dbv_ref.dtype)
+        dmq_ref[0] = _tconv_bwd_input(dq_full, wq_ref[...], causal_q, dt).astype(dmq_ref.dtype)
+        dmk_ref[0] = _tconv_bwd_input(dk_full, wk_ref[...], causal_kv, dt).astype(dmk_ref.dtype)
+        dvs_ref[0] = _tconv_bwd_input(dv_full, wv_ref[...], causal_kv, dt).astype(dvs_ref.dtype)
+        return
+
     dn_qk = (((2,), (2,)), ((0,), (0,)))
     dn_pv = (((2,), (1,)), ((0,), (0,)))
     dn_ptg = (((1,), (1,)), ((0,), (0,)))  # p^T @ g per batch
-    x_parts, p_list = [], []
-    for h in range(heads):
+
+    def head_softmax(h):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         qh = q[:, :, sl].astype(jnp.float32)
         kh = k[:, :, sl].astype(jnp.float32)
-        vh = v[:, :, sl].astype(jnp.float32)
         s = jax.lax.dot_general(qh, kh, dn_qk,
                                 preferred_element_type=jnp.float32) * inv
         if mask is not None:
             s = s + mask
-        p = jax.nn.softmax(s, axis=-1)
-        p_list.append(p)  # [G, Tq, Tk] f32 x heads: fits VMEM comfortably
+        return jax.nn.softmax(s, axis=-1)
+
+    # store the per-head softmax maps for the grad loop (8 x [G, Tq, Tk] f32
+    # ~ 0.5M at tile 17 — recomputing them instead measured +11 ms on the
+    # full bs-32 step and did NOT shrink Mosaic's scoped-VMEM stack anyway)
+    x_parts, p_list = [], []
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        vh = v[:, :, sl].astype(jnp.float32)
+        p = head_softmax(h)
+        p_list.append(p)
         x_parts.append(
             jax.lax.dot_general(p.astype(dt), vh.astype(dt), dn_pv,
                                 preferred_element_type=jnp.float32)
@@ -253,7 +397,7 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     dbo_ref[...] += dbo.astype(dbo_ref.dtype)
     dx_attn = _tconv_bwd_input(g_out, wo_ref[...], False, dt)  # [G, Tq, D]
 
-    # --- attention bwd per head (p saved from the forward recompute) ---
+    # --- attention bwd per head (p saved above) ---
     dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -305,17 +449,19 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 # ---------------------------------------------------------------------------
 
 _TILE_N = 16
-_TILE_CAP = int(os.environ.get("PXT_ATTN_TILE_CAP", "40"))
+_TILE_CAP = int(os.environ.get("PXT_ATTN_TILE_CAP", "17"))
 
 
 def _pick_tile(n: int, cap: int = None) -> int:
     """Largest node-tile <= cap that divides N exactly (no pad/slice copies
     around the kernel — e.g. PEMS08's N=170 -> 34); falls back to _TILE_N
-    with zero-padding for awkward (e.g. prime) N. Bigger tiles mean fewer
-    grid cells and taller conv GEMMs. VMEM bound: the BACKWARD kernel at
-    tile 34 measures 16.0M scoped VMEM in f32 (fits exactly) and +348K in
-    bf16 (cast temporaries) — so the bf16 backward uses a halved cap (17
-    for N=170). Cap overridable via PXT_ATTN_TILE_CAP."""
+    with zero-padding for awkward (e.g. prime) N. Default cap 17: tile 34
+    measured slightly faster on one bs-64 program (199 vs 205-215 ms full
+    step) but its BACKWARD sits at 16.0-16.3M scoped VMEM against the 16M
+    limit and fails to compile on other program shapes (observed both ways;
+    recomputing the per-head softmax did not change Mosaic's stack size).
+    17 compiles everywhere measured and gives the best stable bs-32 number
+    (117 ms). Cap overridable via PXT_ATTN_TILE_CAP for experiments."""
     cap = _TILE_CAP if cap is None else cap
     for d in range(min(n, cap), 7, -1):
         if n % d == 0:
@@ -375,8 +521,7 @@ def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
 
     b, n, t_q, d = mq.shape
     t_k = mk.shape[2]
-    bf16 = statics["dtype_name"] == "bfloat16"
-    tile = _pick_tile(n, min(_TILE_CAP, 17) if bf16 else None)
+    tile = _pick_tile(n)
     n_pad = -(-n // tile) * tile
     mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
     g_p = _padded(g, n_pad)

@@ -18,6 +18,7 @@ def main():
     ap.add_argument("--nodes", type=int, default=170)
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--ref", action="store_true", help="time the XLA path too")
+    ap.add_argument("--heads", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -34,7 +35,7 @@ def main():
         _pick_tile, fused_temporal_attention,
     )
 
-    B, N, T, D, H, K = args.bs, args.nodes, 12, 128, 8, 3
+    B, N, T, D, H, K = args.bs, args.nodes, 12, 128, args.heads, 3
     rng = np.random.RandomState(0)
     arrs = [jnp.asarray(rng.randn(B, N, T, D).astype(np.float32) * 0.1)
             for _ in range(3)]
@@ -88,7 +89,7 @@ def main():
         fetch(f_grad(*inputs))
         g_ms = (time.perf_counter() - t0) / args.reps * 1e3
         print(json.dumps({
-            "label": label, "tile": _pick_tile(N), "bs": B,
+            "label": label, "tile": _pick_tile(N), "bs": B, "heads": H,
             "fwd_ms": round(fwd_ms, 3),
             "fwd_bwd_ms": round(g_ms, 3),
             "backend": jax.default_backend(),
