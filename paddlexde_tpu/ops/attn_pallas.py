@@ -130,8 +130,7 @@ def _attention_tile(q, k, v, *, heads, is_mask, dt):
       lane-split reshapes [*,128]->[*,H,16]), so heads live along matmul
       COLUMNS instead.
     """
-    g, t_q, d = q.shape
-    t_k = k.shape[1]
+    t_q, d = q.shape[1], q.shape[2]
     head_dim = d // heads
     inv = 1.0 / math.sqrt(head_dim)
     mask = None
@@ -216,7 +215,7 @@ def _conv_weight_grads(x, g, k, causal, dt):
 def _blockdiag_state(q, k, v, *, heads, head_dim, inv, mask, dt):
     """Forward attention middle in block-diagonal form; returns
     (x_attn [G, Tq, D] dt, residual state for the backward)."""
-    g, t_q, d = q.shape
+    d = q.shape[2]
     t_k = k.shape[1]
     cols = heads * t_k
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2) // head_dim
@@ -258,7 +257,6 @@ def _blockdiag_bwd(state, q, v, dx_attn, *, heads, head_dim, inv):
     plus mask/recombine VPU work (no per-head loop). Returns f32
     (dq_full, dk_full, dv_full) [G, T, D]."""
     p, k_bd, v_bd, block_sum, lane_head, sub_head = state
-    g_n, t_q, d = q.shape
     t_k = v.shape[1]
     gq = dx_attn  # [G, Tq, D] f32
     d_vbd = jax.lax.dot_general(  # p^T @ g over Tq -> [G, cols, D]
