@@ -62,6 +62,12 @@ class D3STNConfig:
     # are ~2/3 of the step under XLA); "xla" | "pallas" force a path
     remat: bool = False  # jax.checkpoint each encoder/decoder layer: trades
     # recompute for peak-memory/spill (the step is remat/spill-bound at scale)
+    spmd: bool = False  # wrap the Pallas kernels in their custom_partitioning
+    # SPMD rule (ops/partition.py) so a multi-device mesh shards the batch
+    # through them. Trainer(mesh=...) sets this automatically; default off
+    # because the wrapper's custom-call boundary costs ~5% on a single chip
+    # (measured 100.6 -> 105.8 ms, PEMS08 bs 32). Hand-rolled sharded jits
+    # over the kernels must set it or the partitioner will replicate them.
 
     # train
     learning_rate: float = 1e-3

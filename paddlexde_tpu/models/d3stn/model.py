@@ -232,7 +232,10 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
         kk_, kb = _ConvParamBank(d_model, ks, name="key_conv")(key.shape[-1])
         vk_, vb = _ConvParamBank(d_model, ks, name="value_conv")(value.shape[-1])
 
-        fuse = getattr(cfg, "fuse_qkv", True) and impl == "conv"
+        # default False matches D3STNConfig (fuse_qkv measured slower, kept
+        # as an experiment knob) — a duck-typed config without the field must
+        # not silently take the slower path
+        fuse = getattr(cfg, "fuse_qkv", False) and impl == "conv"
         mix_m = (
             _topk_mix_matrix(self.sc_matrix, cfg.top_k).astype(dt)
             if cfg.attention == "Corr"
@@ -253,6 +256,18 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
 
         attn_impl = getattr(cfg, "attn_impl", "auto")
         dropout_active = cfg.dropout > 0 and not deterministic
+        if attn_impl == "pallas" and dropout_active:
+            # an explicit 'pallas' request must not silently benchmark the
+            # XLA path: the kernel has no in-kernel PRNG, so dropout forces
+            # the fallback — say so (once per trace)
+            import warnings
+
+            warnings.warn(
+                "attn_impl='pallas' requested but dropout is active: the "
+                "fused attention kernel has no dropout support, falling back "
+                "to the XLA path for this (training) call.",
+                stacklevel=2,
+            )
         use_attn_kernel = impl == "conv" and not dropout_active and (
             _attn_tpu() if attn_impl == "auto" else attn_impl == "pallas"
         )
@@ -266,6 +281,7 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
                 mq, mk, value, qk_[0], qb, kk_[0], kb, vk_[0], vb, ok_[0], ob,
                 self.query_causal, self.key_causal, bool(is_mask), heads,
                 cfg.compute_dtype, True, not _attn_tpu(),
+                getattr(cfg, "spmd", True),
             )
 
         if fuse and query is key and key is value and (
@@ -369,6 +385,15 @@ class SpatialAttentionGCN(nn.Module):
         dropout_active = cfg.dropout > 0 and not deterministic
         from ...ops.gcn_pallas import pallas_available
 
+        if impl == "pallas" and dropout_active:
+            import warnings
+
+            warnings.warn(
+                "gcn_impl='pallas' requested but dropout is active: the fused "
+                "GCN kernel has no dropout support, falling back to the XLA "
+                "path for this (training) call.",
+                stacklevel=2,
+            )
         if impl == "auto":
             use_kernel = pallas_available() and not dropout_active
         else:
@@ -384,7 +409,7 @@ class SpatialAttentionGCN(nn.Module):
 
             x_gcn = gcn_spatial_mix(
                 x, gate.astype(jnp.float32), scale2, cfg.compute_dtype, True,
-                not pallas_available(),
+                not pallas_available(), getattr(cfg, "spmd", True),
             )
         else:
             # all contractions run from the native [B, N, T, D] layout — the

@@ -74,22 +74,17 @@ class Trainer:
                  mesh=None):
         self.cfg = cfg
         self.mesh = mesh
-        if mesh is not None:
-            # pallas_call has no GSPMD partitioning rule: under a mesh the
-            # compiler would replicate (or reject) the custom call instead of
-            # sharding its batch grid. Until the kernels are shard_map-wrapped,
-            # 'auto' resolves to the pure-XLA paths when training over a mesh;
-            # an explicit 'pallas' is respected (single-host debugging).
+        if mesh is not None and not cfg.spmd:
+            # Pallas kernels stay ON under a mesh: ops/partition.py gives them
+            # the GSPMD/Shardy partitioning rule pallas_call lacks (batch/node
+            # dims shard, weight grads psum) — the fast path never downgrades
+            # under DP, matching the reference's DataParallel contract
+            # (train_dde.py:201-202). spmd=True routes the kernels through
+            # that rule; no-mesh runs skip the wrapper (~5% cheaper).
             import dataclasses as _dc
 
-            overrides = {
-                k: "xla"
-                for k in ("attn_impl", "gcn_impl")
-                if getattr(cfg, k, "auto") == "auto"
-            }
-            if overrides:
-                cfg = _dc.replace(cfg, **overrides)
-                self.cfg = cfg
+            cfg = _dc.replace(cfg, spmd=True)
+            self.cfg = cfg
         # multi-host coordinates: each process feeds its own data shard and
         # eval/test metrics are aggregated across processes (the reference's
         # DistributedBatchSampler + all_gather_object roles)
@@ -274,6 +269,23 @@ class Trainer:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             n_data = self.mesh.shape["data"]
+            if self.process_count > 1:
+                # each process holds only ITS rows of the global batch: a
+                # plain device_put would treat the local [B, ...] array as
+                # the global one and silently drop the other processes' rows
+                # (round-2 ADVICE) — assemble the global array from the
+                # process-local shards (global batch = B * process_count)
+                local_dev = max(n_data // self.process_count, 1)
+                if np.shape(arr)[0] % local_dev != 0:
+                    raise ValueError(
+                        "ragged batch under a multi-process mesh: the train "
+                        "loop uses drop_last=True and eval/test run process-"
+                        "locally (_eval_placement), so this is unreachable "
+                        "unless batches() sharding changed"
+                    )
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, P("data")), np.asarray(arr)
+                )
             if np.shape(arr)[0] % n_data != 0:
                 # ragged tail batch (eval/test with drop_last=False): a
                 # batch-sharded put would fail, so place it replicated — one
@@ -281,6 +293,17 @@ class Trainer:
                 return jax.device_put(arr, NamedSharding(self.mesh, P()))
             return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
         return jnp.asarray(arr)
+
+    def _eval_placement(self):
+        """(state, put) for eval/test. Single-process: the mesh state and the
+        mesh put. Multi-process: each process scores only its OWN data shard
+        (then ``process_concat`` aggregates), so the batch must NOT be placed
+        on the global mesh — run process-locally on replicated-state copies
+        (the state is fully replicated, so ``np.asarray`` is addressable)."""
+        if self.mesh is None or self.process_count == 1:
+            return self.state, self._device_put
+        state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), self.state)
+        return state, jnp.asarray
 
     @property
     def state(self):
@@ -396,8 +419,9 @@ class Trainer:
         reference's ``dist.all_gather_object``, ``train_dde.py:602-606``)."""
         from ...parallel import process_concat
 
+        state, put = self._eval_placement()
         losses = [
-            float(self._eval_step(self.state, self._device_put(src), self._device_put(tgt)))
+            float(self._eval_step(state, put(src), put(tgt)))
             for src, tgt in self.val_dataset.batches(
                 self.cfg.batch_size,
                 process_index=self.process_index,
@@ -415,13 +439,14 @@ class Trainer:
         the masked metrics (reference ``train_dde.py:635-649``)."""
         from ...parallel import process_concat
 
+        state, put = self._eval_placement()
         preds, trues = [], []
         for src, tgt in self.test_dataset.batches(
             self.cfg.batch_size,
             process_index=self.process_index,
             process_count=self.process_count,
         ):
-            p = self._pred_step(self.state, self._device_put(src))
+            p = self._pred_step(state, put(src))
             preds.append(np.asarray(p))
             # np.array (copy!): tgt is a view of the dataset's REUSED batch
             # buffer — an alias here would silently make every collected batch

@@ -568,16 +568,96 @@ def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
 
 
 # ---------------------------------------------------------------------------
+# SPMD partitioning (multi-device mesh)
+# ---------------------------------------------------------------------------
+# pallas_call has no GSPMD/Shardy partitioning rule, so under a mesh the
+# partitioner would replicate the whole batch onto every device. The kernel
+# grid is embarrassingly parallel over (batch, node-tile): give it the rule it
+# lacks — activations shard over their leading (B, N) dims and each shard runs
+# the unmodified kernel on its local block; conv weights are replicated and
+# their gradients (accumulated over the kernel's sequential grid) are psum'd
+# across the sharded axes. See ops/partition.py.
+
+_ACT_F = ("b n tq d", "b n tk d", "b n tk d")
+_REPL_ACT = ("tq", "tk", "d")
+
+
+def _w_factors(prefix):
+    """Einsum-rule factor strings for the 4 conv kernels + biases."""
+    dims, flat = [], []
+    for i in range(4):
+        dims += [f"{prefix}k{i} {prefix}i{i} {prefix}o{i}", f"{prefix}b{i}"]
+        flat += [f"{prefix}k{i}", f"{prefix}i{i}", f"{prefix}o{i}", f"{prefix}b{i}"]
+    return dims, tuple(flat)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(statics_key, interpret):
+    from .partition import shard_batched
+
+    statics = dict(zip(
+        ("causal_q", "causal_kv", "is_mask", "heads", "dtype_name"), statics_key
+    ))
+
+    def impl(mq, mk, vs, *weights):
+        return _call_fwd(mq, mk, vs, weights, statics, interpret)
+
+    w_dims, w_flat = _w_factors("w")
+    return shard_batched(
+        impl,
+        batched_args=(0, 1, 2),
+        batched_outs=(0,),
+        n_outs=1,
+        sharded_dims=2,
+        rule=", ".join(_ACT_F + tuple(w_dims)) + " -> b n tq d",
+        need_replication=_REPL_ACT + w_flat,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(statics_key, interpret):
+    from .partition import shard_batched
+
+    statics = dict(zip(
+        ("causal_q", "causal_kv", "is_mask", "heads", "dtype_name"), statics_key
+    ))
+
+    def impl(mq, mk, vs, wq, bq, wk, bk, wv, bv, wo, bo, g):
+        return _call_bwd(
+            mq, mk, vs, (wq, bq, wk, bk, wv, bv, wo, bo), g, statics, interpret
+        )
+
+    w_dims, w_flat = _w_factors("w")
+    g_dims, g_flat = _w_factors("g")
+    rule = (
+        ", ".join(_ACT_F + tuple(w_dims) + ("b n tq d",))
+        + " -> "
+        + ", ".join(_ACT_F + tuple(g_dims))
+    )
+    return shard_batched(
+        impl,
+        batched_args=(0, 1, 2, 11),
+        batched_outs=(0, 1, 2),
+        n_outs=11,
+        sharded_dims=2,
+        rule=rule,
+        need_replication=_REPL_ACT + w_flat + g_flat,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16, 17))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(11, 12, 13, 14, 15, 16, 17, 18)
+)
 def fused_temporal_attention(
     mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
     causal_q: bool, causal_kv: bool, is_mask: bool, heads: int,
     dtype_name: str = "float32", use_pallas: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, partitioned: bool = True,
 ):
     """Fused conv->MHA->conv temporal-context attention over [B, N, T, D].
 
@@ -585,27 +665,38 @@ def fused_temporal_attention(
     top-k mix commutes with the conv — hoist it outside), ``vsrc`` the raw
     value input; weights are the four temporal convs' ``[K, D, D]`` kernels
     and ``[D]`` biases. Gradients flow to all array arguments.
+
+    ``partitioned`` wraps the kernel in its SPMD rule (required for a
+    multi-device mesh to shard it; default on = safe). Single-device callers
+    can pass False to skip the custom-call boundary (~5% of a PEMS08 bs-32
+    step) — D3STN does via ``config.spmd``.
     """
     args = dict(causal_q=causal_q, causal_kv=causal_kv, is_mask=is_mask,
                 heads=heads, dtype_name=dtype_name)
     if not use_pallas:
         return _ref_impl(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, **args)
-    return _call_fwd(mq, mk, vsrc, (wq, bq, wk, bk, wv, bv, wo, bo), args,
-                     interpret)
+    if not partitioned:
+        return _call_fwd(mq, mk, vsrc, (wq, bq, wk, bk, wv, bv, wo, bo),
+                         args, interpret)
+    key = (causal_q, causal_kv, is_mask, heads, dtype_name)
+    return _partitioned_fwd(key, interpret)(
+        mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo
+    )
 
 
 def _vjp_fwd(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
              causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas,
-             interpret):
+             interpret, partitioned):
     out = fused_temporal_attention(
         mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
         causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas, interpret,
+        partitioned,
     )
     return out, (mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo)
 
 
 def _vjp_bwd(causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas,
-             interpret, res, g):
+             interpret, partitioned, res, g):
     mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo = res
     args = dict(causal_q=causal_q, causal_kv=causal_kv, is_mask=is_mask,
                 heads=heads, dtype_name=dtype_name)
@@ -615,8 +706,14 @@ def _vjp_bwd(causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas,
             mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
         )
         return vjp(g)
-    outs = _call_bwd(mq, mk, vsrc, (wq, bq, wk, bk, wv, bv, wo, bo), g, args,
-                     interpret)
+    if not partitioned:
+        outs = _call_bwd(mq, mk, vsrc, (wq, bq, wk, bk, wv, bv, wo, bo), g,
+                         args, interpret)
+    else:
+        key = (causal_q, causal_kv, is_mask, heads, dtype_name)
+        outs = _partitioned_bwd(key, interpret)(
+            mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, g
+        )
     dmq, dmk, dvs, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo = outs
     cast = lambda a, ref: a.astype(jnp.asarray(ref).dtype)
     return (dmq, dmk, dvs, cast(dwq, wq), cast(dbq, bq), cast(dwk, wk),

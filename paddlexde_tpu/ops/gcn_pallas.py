@@ -172,7 +172,49 @@ def _pallas_bwd(x, gate, g, scale1, scale2, dtype_name, interpret):
     return dx, dgate
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+# SPMD partitioning: the kernel grid is embarrassingly parallel over batch —
+# under a mesh the batch dim of x/g shards across devices and each shard runs
+# the unmodified kernel; N stays replicated (the N x N score couples all
+# nodes) and the dgate accumulator is psum'd. See ops/partition.py.
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(scale1, scale2, dtype_name, interpret):
+    from .partition import shard_batched
+
+    def impl(x, gate):
+        return _pallas_fwd(x, gate, scale1, scale2, dtype_name, interpret)
+
+    return shard_batched(
+        impl,
+        batched_args=(0,),
+        batched_outs=(0,),
+        n_outs=1,
+        sharded_dims=1,
+        rule="b n t d, n1 n2 -> b n t d",
+        need_replication=("n", "t", "d", "n1", "n2"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(scale1, scale2, dtype_name, interpret):
+    from .partition import shard_batched
+
+    def impl(x, gate, g):
+        return _pallas_bwd(x, gate, g, scale1, scale2, dtype_name, interpret)
+
+    return shard_batched(
+        impl,
+        batched_args=(0, 2),
+        batched_outs=(0,),
+        n_outs=2,
+        sharded_dims=1,
+        rule="b n t d, n1 n2, b n t d -> b n t d, n3 n4",
+        need_replication=("n", "t", "d", "n1", "n2", "n3", "n4"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def gcn_spatial_mix(
     x,
     gate,
@@ -180,6 +222,7 @@ def gcn_spatial_mix(
     dtype_name: str = "float32",
     use_pallas: bool = False,
     interpret: bool = False,
+    partitioned: bool = True,
 ):
     """Fused ``softmax(x x^T / sqrt(D)) * scale2 (.) gate @ x`` over the node
     axis of ``x [B, N, T, D]`` with ``gate [N, N]``.
@@ -188,19 +231,25 @@ def gcn_spatial_mix(
     gradients flow to ``x`` and ``gate`` (the gate cotangent carries alpha/
     beta gradients through the ``alpha*adj + beta*sc`` product outside).
     ``use_pallas=False`` runs the jnp reference (any backend).
+    ``partitioned`` wraps the kernel in its SPMD rule (required under a
+    multi-device mesh; skippable single-device — see ``config.spmd``).
     """
     if not use_pallas:
         return _ref_impl(x, gate, scale2, dtype_name)
     scale1 = 1.0 / math.sqrt(x.shape[-1])
-    return _pallas_fwd(x, gate, scale1, scale2, dtype_name, interpret)
+    if not partitioned:
+        return _pallas_fwd(x, gate, scale1, scale2, dtype_name, interpret)
+    return _partitioned_fwd(scale1, scale2, dtype_name, interpret)(x, gate)
 
 
-def _vjp_fwd(x, gate, scale2, dtype_name, use_pallas, interpret):
-    out = gcn_spatial_mix(x, gate, scale2, dtype_name, use_pallas, interpret)
+def _vjp_fwd(x, gate, scale2, dtype_name, use_pallas, interpret, partitioned):
+    out = gcn_spatial_mix(
+        x, gate, scale2, dtype_name, use_pallas, interpret, partitioned
+    )
     return out, (x, gate)
 
 
-def _vjp_bwd(scale2, dtype_name, use_pallas, interpret, res, g):
+def _vjp_bwd(scale2, dtype_name, use_pallas, interpret, partitioned, res, g):
     x, gate = res
     if not use_pallas:
         _, vjp = jax.vjp(
@@ -208,7 +257,10 @@ def _vjp_bwd(scale2, dtype_name, use_pallas, interpret, res, g):
         )
         return vjp(g)
     scale1 = 1.0 / math.sqrt(x.shape[-1])
-    dx, dgate = _pallas_bwd(x, gate, g, scale1, scale2, dtype_name, interpret)
+    if not partitioned:
+        dx, dgate = _pallas_bwd(x, gate, g, scale1, scale2, dtype_name, interpret)
+    else:
+        dx, dgate = _partitioned_bwd(scale1, scale2, dtype_name, interpret)(x, gate, g)
     return dx, dgate.astype(gate.dtype)
 
 

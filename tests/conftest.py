@@ -13,14 +13,44 @@ import os
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# PXT_TPU_TESTS=1: run the @pytest.mark.tpu subset on the REAL chip (Mosaic-
+# compiled kernels vs their jnp oracles — see tools/run_tpu_tests.sh). Keeps
+# the axon platform, f32 (no x64 on TPU), and the shared TPU compile cache.
+TPU_MODE = os.environ.get("PXT_TPU_TESTS", "0") == "1"
 
-# Numeric-accuracy tests run in float64 (the reference keeps timelike values in
-# float64 too); dedicated fp32 smoke tests override locally.
-jax.config.update("jax_enable_x64", True)
+if TPU_MODE:
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                              ".bench_cache")
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
-# Persistent compilation cache: repeated pytest runs skip recompilation.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    # Numeric-accuracy tests run in float64 (the reference keeps timelike
+    # values in float64 too); dedicated fp32 smoke tests override locally.
+    jax.config.update("jax_enable_x64", True)
+
+    # Persistent compilation cache: repeated pytest runs skip recompilation.
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if TPU_MODE:
+        skip = pytest.mark.skip(
+            reason="non-tpu test skipped under PXT_TPU_TESTS=1 (CPU suite "
+            "runs without the env var)"
+        )
+        for item in items:
+            if "tpu" not in item.keywords:
+                item.add_marker(skip)
+    else:
+        skip = pytest.mark.skip(
+            reason="needs the real chip: tools/run_tpu_tests.sh"
+        )
+        for item in items:
+            if "tpu" in item.keywords:
+                item.add_marker(skip)

@@ -492,9 +492,13 @@ def test_config_validates_impl_knobs():
             tiny_cfg(**kw)
 
 
-def test_trainer_under_mesh_forces_xla_impls():
-    """pallas_call has no GSPMD partitioning rule, so Trainer(mesh=...) must
-    resolve 'auto' impls to the pure-XLA paths (explicit choices respected)."""
+def test_trainer_under_mesh_keeps_kernel_impls():
+    """Trainer(mesh=...) must NOT downgrade the kernel impls: ops/partition.py
+    gives the Pallas kernels the SPMD partitioning rule pallas_call lacks, so
+    'auto'/'pallas' stay as configured under a mesh (the reference's fast path
+    never downgrades under DataParallel either, train_dde.py:201-202). The
+    kernel path under the 8-device mesh must match single-device numerics:
+    one pallas-forced train step (interpret kernels on CPU), loss compared."""
     from paddlexde_tpu.parallel import make_mesh
 
     data = synthetic_traffic_npz(num_nodes=N_NODES, seq_len=288 * 3)
@@ -502,12 +506,21 @@ def test_trainer_under_mesh_forces_xla_impls():
     adj, sc = make_graph(rng)
     tr = Trainer(tiny_cfg(), data=data, adj_matrix=adj, sc_matrix=sc,
                  mesh=make_mesh({"data": 8}))
-    assert tr.cfg.attn_impl == "xla" and tr.cfg.gcn_impl == "xla"
-    tr2 = Trainer(tiny_cfg(attn_impl="pallas"), data=data, adj_matrix=adj,
-                  sc_matrix=sc, mesh=make_mesh({"data": 8}))
-    assert tr2.cfg.attn_impl == "pallas"  # explicit choice respected
-    tr3 = Trainer(tiny_cfg(), data=data, adj_matrix=adj, sc_matrix=sc)
-    assert tr3.cfg.attn_impl == "auto"  # no mesh: unchanged
+    assert tr.cfg.attn_impl == "auto" and tr.cfg.gcn_impl == "auto"
+
+    loss = {}
+    for name, mesh in (("none", None), ("mesh8", make_mesh({"data": 8}))):
+        cfg = tiny_cfg(attn_impl="pallas", gcn_impl="pallas", batch_size=8)
+        t = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc, mesh=mesh)
+        src, tgt = next(t.train_dataset.batches(8))
+        out = t._train_step(
+            t.state, t.opt_state, t._device_put(np.array(src)),
+            t._device_put(np.array(tgt)), jnp.asarray(0.01, jnp.float32),
+            jnp.asarray(1e-3, jnp.float32), jnp.asarray(1e-4, jnp.float32),
+            jax.random.key(0),
+        )
+        loss[name] = float(out[2])
+    np.testing.assert_allclose(loss["mesh8"], loss["none"], rtol=1e-6)
 
 
 def test_predictor_matches_trainer(tmp_path):
