@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--remat", type=int, default=0)
     ap.add_argument("--fuse_qkv", type=int, default=0)  # measured slower; see config
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--chain", type=int, default=0,
+                    help="also measure the device-side marginal step time by "
+                    "chaining this many steps in one program (0 = off)")
     args = ap.parse_args()
 
     import jax
@@ -146,6 +149,43 @@ def main():
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     ms = float(np.median(ts) * 1e3)
+
+    extra = {}
+    if args.chain:
+        # DEVICE-SIDE step time: the per-call number above includes this
+        # box's ~30 ms tunnel-RPC dispatch floor (tools/probe_rpc_floor.py —
+        # a trivial y*2 jit call costs the same); chain R steps in ONE
+        # program (state threaded, same batch) and take the marginal.
+        def make_chain(r):
+            @jax.jit
+            def chain(state, opt_state, src, tgt):
+                def body(i, carry):
+                    st, op = carry
+                    st, op, _ = train_step(st, op, src, tgt)
+                    return (st, op)
+
+                st, op = jax.lax.fori_loop(0, r, body, (state, opt_state))
+                return st["enc_idx"]
+
+            def run():
+                float(jnp.sum(chain(state, opt_state, src, tgt)))
+
+            run()  # compile
+            ts = []
+            for _ in range(max(args.reps // 2, 3)):
+                t0 = time.perf_counter()
+                run()
+                ts.append(time.perf_counter() - t0)
+            return float(np.median(ts) * 1e3)
+
+        t1, tr = make_chain(1), make_chain(args.chain)
+        marginal = (tr - t1) / (args.chain - 1)
+        extra = {
+            "device_ms_per_step": round(marginal, 2),
+            "device_samples_per_sec": round(args.bs / (marginal / 1e3), 1),
+            "dispatch_floor_ms": round(t1 - marginal, 1),
+        }
+
     print(json.dumps({
         "bs": args.bs, "dtype": args.dtype, "his": args.his,
         "conv_impl": args.conv_impl, "remat": bool(args.remat),
@@ -153,6 +193,7 @@ def main():
         "ms_per_step": round(ms, 2),
         "samples_per_sec": round(args.bs / (ms / 1e3), 1),
         "backend": jax.default_backend(),
+        **extra,
         **cost,
     }))
 
