@@ -339,7 +339,6 @@ class Trainer:
             epoch_key = jax.random.fold_in(jax.random.key(self.cfg.seed), epoch)
             tr_s = time()
             n_batches = 0
-            epoch_loss = 0.0
             batch_iter = prefetch(
                 self.train_dataset.batches(
                     cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
@@ -354,6 +353,7 @@ class Trainer:
                     (self._device_put(np.array(b[0])), self._device_put(np.array(b[1])))
                 ),
             )
+            losses = []
             for src, tgt in batch_iter:
                 state, opt_state, loss, align = self._train_step(
                     state, opt_state, src, tgt,
@@ -362,8 +362,15 @@ class Trainer:
                     jnp.asarray(lr_lags, jnp.float32),
                     jax.random.fold_in(epoch_key, n_batches),
                 )
-                epoch_loss += float(loss)
+                # keep the loss ON DEVICE: a float() here would block the
+                # host on step N before dispatching N+1, serializing every
+                # step behind the dispatch round-trip (~30 ms on the dev
+                # tunnel — measured, tools/probe_rpc_floor.py). Deferring
+                # the fetch lets the async dispatch queue pipeline compute
+                # with host-side batch prep; one sync at epoch end.
+                losses.append(loss)
                 n_batches += 1
+            epoch_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             self._set_state(state)
             self.opt_state = opt_state
             self.logger.info(

@@ -1026,3 +1026,52 @@ def test_foster2_adjoint_exact_vs_direct():
     g_adj = jax.grad(make_loss(sdeint_adjoint))(theta0)
     np.testing.assert_allclose(g_adj["th"], g_direct["th"], rtol=1e-9)
     np.testing.assert_allclose(g_adj["sig"], g_direct["sig"], rtol=1e-9)
+
+
+def test_sriw1_time_dependent_multiplicative_order():
+    """SRIW1 keeps strong 1.5 for sigma(t)*y noise (the time-AND-state-
+    dependent case; guards the endpoint-weighting bug class found in SRA1 —
+    SRIW1's stage structure handles t-dependence correctly). Reference:
+    closed-form GBM with time-varying sigma on the same path, the
+    stochastic integral from the tree's (w, u, k) expansion."""
+    y0 = jnp.ones((256,))
+    key = jax.random.key(13)
+
+    def mk():
+        return BrownianInterval(0.0, 1.0, size=(256,), key=key,
+                                dtype=jnp.float64,
+                                levy_area_approximation="space-time-time")
+
+    two_pi = 2 * jnp.pi
+    sig = lambda t: 0.5 * (1.0 + 0.6 * jnp.sin(two_pi * t))
+    dsig = lambda t: 0.5 * 0.6 * two_pi * jnp.cos(two_pi * t)
+    d2sig = lambda t: -0.5 * 0.6 * two_pi**2 * jnp.sin(two_pi * t)
+    mu = -0.5
+    f = lambda t, y: mu * y
+    g = lambda t, y: sig(t) * y
+
+    bm = mk()
+    ts_ref = np.linspace(0.0, 1.0, 2049)
+    dt = ts_ref[1] - ts_ref[0]
+
+    def step(acc, t):
+        w, u, k = bm(t, t + dt, return_U=True, return_K=True)
+        i_s2 = dt * dt * w - 2 * (dt * u - k)
+        return acc + sig(t) * w + dsig(t) * (dt * w - u) + 0.5 * d2sig(t) * i_s2, None
+
+    int_sdw, _ = jax.lax.scan(step, jnp.zeros((256,), jnp.float64),
+                              jnp.asarray(ts_ref[:-1]))
+    # ∫ sigma(t)^2 dt analytically: 0.25*(1 + 0.18) over one full period
+    int_s2 = 0.25 * (1.0 + 0.5 * 0.36)
+    exact = y0 * jnp.exp(mu * 1.0 - 0.5 * int_s2 + int_sdw)
+
+    def err(method, n):
+        sol = sdeint(f, g, y0, jnp.linspace(0.0, 1.0, n), method, bm=mk(),
+                     time_axis=0)
+        return float(jnp.mean(jnp.abs(sol[-1] - exact)))
+
+    em_c = err("euler", 33)
+    sr_c, sr_f = err("sriw1", 33), err("sriw1", 129)
+    order = np.log(sr_c / sr_f) / np.log(4.0)
+    assert sr_c < em_c * 0.2, (sr_c, em_c)
+    assert order > 1.3, (order, sr_c, sr_f)
