@@ -291,7 +291,19 @@ class Trainer:
                 # batch-sharded put would fail, so place it replicated — one
                 # extra program shape, correctness unchanged
                 return jax.device_put(arr, NamedSharding(self.mesh, P()))
-            return jax.device_put(arr, NamedSharding(self.mesh, P("data")))
+            # 2D data x space mesh: additionally shard the sensor axis N —
+            # spatial parallelism for large graphs. The attention kernel
+            # shards its node dim natively (ops/partition.py); the GCN's
+            # N x N coupling gets GSPMD collectives (XLA path) or an
+            # all-gather around the kernel (pallas path) — both correct,
+            # equality pinned by tests.
+            spec = (
+                P("data", "space")
+                if "space" in self.mesh.axis_names
+                and np.shape(arr)[1] % self.mesh.shape["space"] == 0
+                else P("data")
+            )
+            return jax.device_put(arr, NamedSharding(self.mesh, spec))
         return jnp.asarray(arr)
 
     def _eval_placement(self):

@@ -509,18 +509,25 @@ def test_trainer_under_mesh_keeps_kernel_impls():
     assert tr.cfg.attn_impl == "auto" and tr.cfg.gcn_impl == "auto"
 
     loss = {}
-    for name, mesh in (("none", None), ("mesh8", make_mesh({"data": 8}))):
+    for name, mesh in (("none", None), ("mesh8", make_mesh({"data": 8})),
+                       ("mesh4x2", make_mesh({"data": 4, "space": 2}))):
         cfg = tiny_cfg(attn_impl="pallas", gcn_impl="pallas", batch_size=8)
         t = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc, mesh=mesh)
         src, tgt = next(t.train_dataset.batches(8))
+        batch = t._device_put(np.array(src)), t._device_put(np.array(tgt))
+        if name == "mesh4x2":
+            # 2D data x space: the sensor axis must actually shard
+            from jax.sharding import PartitionSpec as P
+
+            assert batch[0].sharding.spec == P("data", "space")
         out = t._train_step(
-            t.state, t.opt_state, t._device_put(np.array(src)),
-            t._device_put(np.array(tgt)), jnp.asarray(0.01, jnp.float32),
+            t.state, t.opt_state, *batch, jnp.asarray(0.01, jnp.float32),
             jnp.asarray(1e-3, jnp.float32), jnp.asarray(1e-4, jnp.float32),
             jax.random.key(0),
         )
         loss[name] = float(out[2])
     np.testing.assert_allclose(loss["mesh8"], loss["none"], rtol=1e-6)
+    np.testing.assert_allclose(loss["mesh4x2"], loss["none"], rtol=1e-6)
 
 
 def test_predictor_matches_trainer(tmp_path):
