@@ -176,7 +176,17 @@ def main():
     # persistent compilation cache: cold TPU compiles for this bench take
     # ~15 min through the remote compiler; with the cache warm (populated by
     # any prior run on this machine) the bench finishes in ~2 min
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+    # PER-HOST subdirectory: the repo persists across rounds on different
+    # machines and XLA:CPU AOT artifacts (host-side programs cached alongside
+    # the TPU executables) SIGILL when loaded under a different CPU feature
+    # profile — a cold cache on a new host is a 15-min compile, a poisoned
+    # one is a crashed bench.
+    import platform
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        platform.node() or "host",
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

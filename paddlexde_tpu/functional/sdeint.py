@@ -24,6 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..brownian.api import BrownianInterval, ReverseBrownian
 from ..xde.term import XDETerm
@@ -313,9 +314,7 @@ def make_sriw1_term(drift, diffusion, bm) -> XDETerm:
 # cubic-path coefficient map: (a, b, c) of q(θ)=aθ³+bθ²+cθ from the moment
 # constraints q(1)=ŵ, ∫₀¹q=û, ∫₀¹(1-θ)q=k̂ (scaled w, u/h, k/h²); constant
 # 3x3 inverse computed once in f64
-import numpy as _np
-
-_CUBIC_MINV = _np.linalg.inv(_np.array(
+_CUBIC_MINV = np.linalg.inv(np.array(
     [[1.0, 1.0, 1.0],
      [1.0 / 4.0, 1.0 / 3.0, 1.0 / 2.0],
      [1.0 / 20.0, 1.0 / 12.0, 1.0 / 6.0]]

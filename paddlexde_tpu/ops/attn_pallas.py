@@ -448,6 +448,10 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
 _TILE_N = 16
 _TILE_CAP = int(os.environ.get("PXT_ATTN_TILE_CAP", "17"))
+# forward-only cap (the fwd kernel has VMEM headroom the bwd lacks — only
+# the BACKWARD straddles the 16M scoped limit at tile 34); default ties to
+# the shared cap, override to experiment, e.g. PXT_ATTN_TILE_CAP_FWD=34
+_TILE_CAP_FWD = int(os.environ.get("PXT_ATTN_TILE_CAP_FWD", str(_TILE_CAP)))
 
 
 def _pick_tile(n: int, cap: int = None) -> int:
@@ -480,7 +484,7 @@ def _call_fwd(mq, mk, vs, weights, statics, interpret):
 
     b, n, t_q, d = mq.shape
     t_k = mk.shape[2]
-    tile = _pick_tile(n)
+    tile = _pick_tile(n, _TILE_CAP_FWD)
     n_pad = -(-n // tile) * tile
     mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
     dt = _dt(statics["dtype_name"])

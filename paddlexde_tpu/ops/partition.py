@@ -23,6 +23,7 @@ device / outside jit.
 from __future__ import annotations
 
 import os
+import re
 
 import jax
 from jax.experimental.custom_partitioning import custom_partitioning
@@ -75,8 +76,6 @@ def shard_batched(
 
     # Shardy assigns factor indices by first appearance in the rule and
     # requires the special-factor (need-replication) set sorted by that index
-    import re
-
     order = {}
     for tok in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", rule):
         order.setdefault(tok, len(order))

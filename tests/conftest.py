@@ -30,7 +30,17 @@ else:
     jax.config.update("jax_enable_x64", True)
 
     # Persistent compilation cache: repeated pytest runs skip recompilation.
-    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    # PER-HOST subdirectory: the repo persists across rounds on different
+    # machines, and XLA:CPU AOT artifacts compiled under another host's
+    # feature profile SIGILL/abort on load (observed as flaky mid-suite
+    # "Fatal Python error: Aborted" — the cpu_aot_loader machine-feature
+    # warnings are the tell). Keying the cache by nodename keeps reuse
+    # within a host and isolation across hosts.
+    import platform
+
+    _cache_dir = os.path.join(
+        os.path.dirname(__file__), ".jax_cache", platform.node() or "host"
+    )
 
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
