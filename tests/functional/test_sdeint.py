@@ -263,14 +263,16 @@ def test_heun_stratonovich_gbm():
     assert err_strat < err_ito * 0.5  # clearly Stratonovich, not Ito
 
 
-@pytest.mark.parametrize("scheme", ["milstein", "heun_stratonovich", "sra1", "sriw1"])
+@pytest.mark.parametrize(
+    "scheme", ["milstein", "heun_stratonovich", "sra1", "sriw1", "foster2"]
+)
 def test_sdeint_adjoint_schemes_exact(scheme):
     """Discrete-exact adjoint for the extended SDE schemes too."""
     from paddlexde_tpu import sdeint_adjoint
 
     y0 = jnp.ones((16,))
     ts = jnp.linspace(0.0, 0.5, 9)
-    if scheme == "sra1":
+    if scheme in ("sra1", "foster2"):  # additive-noise contract
         diff = lambda theta: (lambda t, y: theta["sig"] * jnp.ones_like(y))
     else:
         diff = lambda theta: (lambda t, y: theta["sig"] * y)
