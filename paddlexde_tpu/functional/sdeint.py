@@ -435,7 +435,9 @@ def make_foster2_general_term(drift, diffusion, bm, substeps: int = 1) -> XDETer
         del dt
         return jax.tree.map(jnp.add, y, dy)
 
-    return XDETerm(move=move, fuse=fuse, additive=True, kind="sde")
+    # additive=False: fuse is y + dy (the increment already integrates the
+    # step); the additive=True contract means fuse == y + dt*dy
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
 def _span_bounds(t_span):
@@ -651,8 +653,10 @@ def sdeint(
         t_span: output times (also the integration grid, reference semantics).
         solver: 'euler' (Euler–Maruyama) or a dedicated SDE scheme: milstein
             (diagonal, strong 1.0), sra1 (additive, 1.5), sriw1 (diagonal,
-            1.5), heun_stratonovich (Stratonovich), euler_general /
-            milstein_general / milstein_commutative (matrix noise).
+            1.5), foster2 (additive, ~2.0 — cubic polynomial path on the
+            tree's (W, I10, K) triple), heun_stratonovich (Stratonovich),
+            euler_general / milstein_general / milstein_commutative /
+            sra1_general / foster2_general (matrix noise).
         reverse: integrate from ``t_span[-1]`` backwards, retracing the same
             Brownian path.
         bm: an explicit Brownian motion (``BrownianInterval``-like); built from
@@ -760,7 +764,8 @@ def sdeint(
                 f"sdeint got solver={spec.name!r}: multi-stage deterministic RK "
                 "steppers mis-weight the Brownian increment (understated noise "
                 "variance). Use 'euler' (Euler-Maruyama) or a dedicated SDE "
-                "scheme: milstein / sra1 / sriw1 / heun_stratonovich."
+                "scheme: milstein / sra1 / sriw1 / foster2 / "
+                "heun_stratonovich (+ the *_general matrix-noise variants)."
             )
 
     decreasing = reverse or _is_decreasing(t_span)

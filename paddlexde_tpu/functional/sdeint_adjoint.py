@@ -96,7 +96,7 @@ def sdeint_adjoint(
     """Like :func:`sdeint` but with O(T_out)-memory, discrete-exact gradients.
 
     Accepts 'euler' or any dedicated SDE scheme (milstein / sra1 / sriw1 /
-    heun_stratonovich / euler_general / milstein_general /
+    foster2 / heun_stratonovich / euler_general / milstein_general /
     milstein_commutative — the general-noise schemes take a matrix diffusion
     ``G(t, y) -> [..., D, M]`` and ``noise_dim=M``, as in :func:`sdeint`).
 
@@ -126,8 +126,9 @@ def sdeint_adjoint(
             raise ValueError(
                 f"sdeint_adjoint got solver={getattr(spec, 'name', solver)!r}: "
                 "use 'euler' (Euler-Maruyama) or an SDE scheme (milstein/sra1/"
-                "sriw1/heun_stratonovich/euler_general/milstein_general/"
-                "milstein_commutative/sra1_general)"
+                "sriw1/foster2/heun_stratonovich/euler_general/"
+                "milstein_general/milstein_commutative/sra1_general/"
+                "foster2_general)"
             )
         step_fn, _ = FIXED_STEP_FNS[spec.name]
     else:

@@ -38,6 +38,20 @@ def _cdtype(cfg):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _warn_kernel_dropout(knob: str):
+    """An explicit 'pallas' request overridden by active dropout must be
+    loud: the kernels have no in-kernel PRNG, so the XLA path runs instead
+    (once per trace)."""
+    import warnings
+
+    warnings.warn(
+        f"{knob}='pallas' requested but dropout is active: the fused kernel "
+        "has no dropout support, falling back to the XLA path for this "
+        "(training) call.",
+        stacklevel=3,
+    )
+
+
 def _topk_mixer(matrix: jnp.ndarray, k: int):
     """(indices [N,K], softmax weights [N,K]) of each node's top-k scores."""
     vals, indx = jax.lax.top_k(matrix, k)
@@ -256,18 +270,13 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
 
         attn_impl = getattr(cfg, "attn_impl", "auto")
         dropout_active = cfg.dropout > 0 and not deterministic
-        if attn_impl == "pallas" and dropout_active:
+        if attn_impl == "pallas" and dropout_active and impl == "conv":
             # an explicit 'pallas' request must not silently benchmark the
             # XLA path: the kernel has no in-kernel PRNG, so dropout forces
-            # the fallback — say so (once per trace)
-            import warnings
-
-            warnings.warn(
-                "attn_impl='pallas' requested but dropout is active: the "
-                "fused attention kernel has no dropout support, falling back "
-                "to the XLA path for this (training) call.",
-                stacklevel=2,
-            )
+            # the fallback — say so (once per trace). Only when impl=='conv':
+            # with a non-conv context impl the kernel is off regardless of
+            # dropout and the message would mislead.
+            _warn_kernel_dropout("attn_impl")
         use_attn_kernel = impl == "conv" and not dropout_active and (
             _attn_tpu() if attn_impl == "auto" else attn_impl == "pallas"
         )
@@ -386,14 +395,7 @@ class SpatialAttentionGCN(nn.Module):
         from ...ops.gcn_pallas import pallas_available
 
         if impl == "pallas" and dropout_active:
-            import warnings
-
-            warnings.warn(
-                "gcn_impl='pallas' requested but dropout is active: the fused "
-                "GCN kernel has no dropout support, falling back to the XLA "
-                "path for this (training) call.",
-                stacklevel=2,
-            )
+            _warn_kernel_dropout("gcn_impl")
         if impl == "auto":
             use_kernel = pallas_available() and not dropout_active
         else:

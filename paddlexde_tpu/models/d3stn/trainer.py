@@ -109,6 +109,7 @@ class Trainer:
         self.kl_loss_weight = 0.0
         self.finetune = False
         self.metrics_history = []
+        self._eval_state_cache = None
 
         self._build_data(data)
         self._build_model(adj_matrix, sc_matrix)
@@ -311,17 +312,24 @@ class Trainer:
         mesh put. Multi-process: each process scores only its OWN data shard
         (then ``process_concat`` aggregates), so the batch must NOT be placed
         on the global mesh — run process-locally on replicated-state copies
-        (the state is fully replicated, so ``np.asarray`` is addressable)."""
+        (the state is fully replicated, so ``np.asarray`` is addressable).
+        The local copy is cached and invalidated on state updates
+        (``_set_state``/``load``) — rebuilding it per eval call would round-
+        trip every parameter device->host->device each epoch."""
         if self.mesh is None or self.process_count == 1:
             return self.state, self._device_put
-        state = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), self.state)
-        return state, jnp.asarray
+        if self._eval_state_cache is None:
+            self._eval_state_cache = jax.tree.map(
+                lambda x: jnp.asarray(np.asarray(x)), self.state
+            )
+        return self._eval_state_cache, jnp.asarray
 
     @property
     def state(self):
         return {"net": self.params, "enc_idx": self.encoder_idx, "dec_idx": self.decoder_idx}
 
     def _set_state(self, state):
+        self._eval_state_cache = None
         self.params = state["net"]
         self.encoder_idx = state["enc_idx"]
         self.decoder_idx = state["dec_idx"]
@@ -546,6 +554,7 @@ class Trainer:
         pf, ef, df = self._ckpt_files(epoch)
         if not os.path.exists(pf):
             raise FileNotFoundError(pf)
+        self._eval_state_cache = None
         with open(pf, "rb") as f:
             self.params = jax.tree.map(jnp.asarray, pickle.load(f))
         self.encoder_idx = jnp.asarray(np.load(ef + ".npy"))

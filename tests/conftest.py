@@ -19,8 +19,13 @@ import jax
 TPU_MODE = os.environ.get("PXT_TPU_TESTS", "0") == "1"
 
 if TPU_MODE:
+    # per-host subdir, same reasoning as the CPU branch below: the root
+    # .bench_cache also collects XLA:CPU host-side artifacts which SIGILL
+    # when loaded under another host's feature profile
+    import platform as _platform
+
     _cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                              ".bench_cache")
+                              ".bench_cache", _platform.node() or "host")
 else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)

@@ -141,8 +141,9 @@ def test_attn_tile_ladder():
     (mq, mk, vs), ws = _attn_args(seed=3)
 
     def run(cap, with_bwd):
-        old = attn_pallas._TILE_CAP
-        attn_pallas._TILE_CAP = cap
+        # both caps: _call_fwd reads _TILE_CAP_FWD, _call_bwd reads _TILE_CAP
+        old = attn_pallas._TILE_CAP, attn_pallas._TILE_CAP_FWD
+        attn_pallas._TILE_CAP = attn_pallas._TILE_CAP_FWD = cap
         try:
             f = lambda *a: jnp.sum(
                 attn_pallas.fused_temporal_attention(
@@ -155,7 +156,7 @@ def test_attn_tile_ladder():
                 g = jax.jit(jax.grad(f, argnums=(0,)))(mq, mk, vs, *ws)
                 jax.block_until_ready(g)
         finally:
-            attn_pallas._TILE_CAP = old
+            attn_pallas._TILE_CAP, attn_pallas._TILE_CAP_FWD = old
 
     run(17, with_bwd=True)  # must always compile
     run(34, with_bwd=False)  # fwd fits comfortably

@@ -24,7 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_cache")
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _cache import bench_cache_dir
+    cache = bench_cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -51,8 +54,11 @@ def main():
         # latency and any async-dispatch pipelining cannot distort it.
         def block(a0, *rest):
             def body(_, x):
+                # partitioned=False: measure the raw kernel, the
+                # single-chip production path (config.spmd default)
                 y = fused_temporal_attention(x, *rest, True, True, True, H,
-                                             "float32", use_pallas, False)
+                                             "float32", use_pallas, False,
+                                             False)
                 return x + 1e-30 * y
 
             return jax.lax.fori_loop(0, args.reps, body, a0)
@@ -63,7 +69,8 @@ def main():
                     return jnp.sum(
                         fused_temporal_attention(xx, *rest[:2], *ws_, True,
                                                  True, True, H, "float32",
-                                                 use_pallas, False) ** 2
+                                                 use_pallas, False,
+                                                 False) ** 2
                     )
 
                 g = jax.grad(loss, argnums=(0,) + tuple(range(1, 9)))(

@@ -34,8 +34,15 @@ def main():
                     help="also measure the device-side marginal step time by "
                     "chaining this many steps in one program (0 = off)")
     args = ap.parse_args()
+    if args.chain == 1:
+        ap.error("--chain needs >= 2 (the marginal divides by chain-1)")
 
     import jax
+
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _cache import enable as _enable_cache
+    _enable_cache(jax)
 
     if args.cpu:
         try:

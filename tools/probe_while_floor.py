@@ -30,7 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.bench_cache")
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _cache import enable as _enable_cache
+    _enable_cache(jax)
     print("backend:", jax.default_backend(), jax.devices())
 
     N_ITER = 512  # iterations per measured unit

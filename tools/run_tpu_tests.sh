@@ -3,8 +3,9 @@
 #
 # These tests compare the Mosaic-COMPILED Pallas kernels against their jnp
 # oracles (the CPU suite only covers interpret mode). First-ever run pays
-# ~15 min of remote compiles; results land in the shared .bench_cache so
-# subsequent runs take ~2-5 min. One TPU process at a time on this box.
+# ~15 min of remote compiles; results land in the per-host
+# .bench_cache/<hostname>/ so subsequent runs on the same host take
+# ~2-5 min. One TPU process at a time on this box.
 #
 # Usage: bash tools/run_tpu_tests.sh [extra pytest args]
 set -e

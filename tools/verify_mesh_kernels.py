@@ -21,7 +21,10 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.bench_cache")
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _cache import enable as _enable_cache
+    _enable_cache(jax)
     import jax.numpy as jnp
 
     from paddlexde_tpu.models.d3stn import Trainer, synthetic_traffic_npz
