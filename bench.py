@@ -176,16 +176,24 @@ def main():
     # persistent compilation cache: cold TPU compiles for this bench take
     # ~15 min through the remote compiler; with the cache warm (populated by
     # any prior run on this machine) the bench finishes in ~2 min
-    # PER-HOST subdirectory: the repo persists across rounds on different
-    # machines and XLA:CPU AOT artifacts (host-side programs cached alongside
-    # the TPU executables) SIGILL when loaded under a different CPU feature
-    # profile — a cold cache on a new host is a 15-min compile, a poisoned
-    # one is a crashed bench.
+    # PER-HOST subdirectory (nodename + CPU-feature hash): the repo persists
+    # across rounds on different machines — which can SHARE a nodename while
+    # exposing different CPU features — and XLA:CPU AOT artifacts (host-side
+    # programs cached alongside the TPU executables) SIGILL when loaded
+    # under a different CPU feature profile — a cold cache on a new host is
+    # a 15-min compile, a poisoned one is a crashed bench.
+    import hashlib
     import platform
 
+    try:
+        with open("/proc/cpuinfo") as f:
+            _flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        _flags = platform.processor() or ""
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
-        platform.node() or "host",
+        f"{platform.node() or 'host'}-"
+        f"{hashlib.md5(_flags.encode()).hexdigest()[:8]}",
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -36,6 +36,9 @@ __all__ = [
     "make_milstein_term",
     "make_sra1_term",
     "make_sriw1_term",
+    "make_taylor15_term",
+    "make_weak2_term",
+    "make_weak2_general_term",
     "make_heun_stratonovich_term",
     "make_general_euler_term",
     "make_general_milstein_term",
@@ -311,6 +314,281 @@ def make_sriw1_term(drift, diffusion, bm) -> XDETerm:
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
+def make_taylor15_term(drift, diffusion, bm) -> XDETerm:
+    """Explicit strong order-1.5 Itô–Taylor scheme for SCALAR noise
+    (Kloeden–Platen 10.4.1): ``dy = f(t, y) dt + g(t, y) dW`` with a SINGLE
+    Brownian motion driving a vector state through an arbitrary (fully
+    coupled, non-diagonal) multiplicative diffusion ``g(t, y) -> y.shape``.
+
+    The strong-1.5 ladder above Milstein for multiplicative noise: sriw1
+    needs the diagonal contract, sra1/foster2 need additive noise — this
+    scheme has NO structural restriction on g beyond m=1. For one noise
+    channel every iterated integral the order-1.5 expansion needs is exact:
+
+        I(1,1) = (ΔW² − h)/2          I(1,1,1) = (ΔW³ − 3hΔW)/6
+        I(1,0) = ΔZ (the tree's joint-descent space-time integral, exact)
+        I(0,1) = hΔW − ΔZ
+
+    so unlike the m>1 case there is no Lévy-area approximation in the error
+    budget. The Taylor update
+
+        y1 = y + f h + g ΔW + L¹g·I(1,1) + L¹f·ΔZ + ½L⁰f·h²
+               + L⁰g·(hΔW − ΔZ) + L¹L¹g·I(1,1,1)
+
+    needs the differential operators L⁰ = ∂t + f·∂y + ½g²∂²y and L¹ = g·∂y
+    applied to f and g — the classical reason derivative-free SRK schemes
+    exist. Under JAX they are three nested ``jvp``s (exact forward-mode
+    derivatives, no finite differencing, works for any traced f/g), which is
+    why this repo can ship the Taylor scheme directly where torch-based
+    libraries (and the reference, whose sdeint is Euler-only —
+    ``paddlexde/functional/sdeint.py:9-37``) cannot. Strong order ≈1.5 is
+    pinned by tests against closed forms on the same path: scalar GBM,
+    time-dependent coefficients (exercising the ∂t terms via (W, U) closed
+    forms), and a 2-D COMMUTING-PAIR linear system ``dy = (aI+bB)y dt +
+    By dW`` with non-diagonal B (matrix-exponential closed form) that no
+    other scheme in the zoo handles above order 1.0.
+
+    Contract: single-array state ``[..., D]``; ``bm`` has size
+    ``y.shape[:-1] + (1,)`` (one Brownian channel, broadcast over D) with
+    ``levy_area_approximation='space-time'``.
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, dz = bm(t, t1, return_U=True)  # [..., 1]; dz = I(1,0), exact
+        h = jnp.asarray(dt, y.dtype)
+        t_arr = jnp.asarray(t)
+
+        f0 = drift(t, y)
+        g0 = diffusion(t, y)
+
+        # L¹φ = (∂φ/∂y)·g0 — one directional jvp
+        l1f = jax.jvp(lambda y_: drift(t, y_), (y,), (g0,))[1]
+        l1g = jax.jvp(lambda y_: diffusion(t, y_), (y,), (g0,))[1]
+
+        # L¹L¹g: L¹ applied to the FUNCTION y -> (∂g/∂y)(y)·g(y)
+        def l1g_fn(y_):
+            return jax.jvp(
+                lambda yy: diffusion(t, yy), (y_,), (diffusion(t, y_),)
+            )[1]
+
+        l1l1g = jax.jvp(l1g_fn, (y,), (g0,))[1]
+
+        # L⁰φ = ∂t φ + (∂φ/∂y)·f0 + ½ Σᵢⱼ g0ᵢ g0ⱼ ∂²φ/∂yᵢ∂yⱼ
+        def l0(phi):
+            dt_phi = jax.jvp(
+                lambda s: phi(s, y), (t_arr,), (jnp.ones_like(t_arr),)
+            )[1]
+            dy_phi = jax.jvp(lambda y_: phi(t, y_), (y,), (f0,))[1]
+            hvv = jax.jvp(
+                lambda y_: jax.jvp(lambda yy: phi(t, yy), (y_,), (g0,))[1],
+                (y,), (g0,),
+            )[1]
+            return dt_phi + dy_phi + 0.5 * hvv
+
+        l0f = l0(drift)
+        l0g = l0(diffusion)
+
+        i11 = 0.5 * (w * w - h)
+        i111 = (w ** 3 - 3.0 * h * w) / 6.0
+        incr = (
+            h * f0 + g0 * w
+            + l1g * i11
+            + l1f * dz + 0.5 * (h * h) * l0f
+            + l0g * (h * w - dz)
+            + l1l1g * i111
+        )
+        return incr
+
+    def fuse(dy, dt, y):
+        del dt  # the increment already integrates the full step
+        return jax.tree.map(jnp.add, y, dy)
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_weak2_term(drift, diffusion, bm) -> XDETerm:
+    """Platen's explicit WEAK order-2.0 scheme (derivative-free, Kloeden–
+    Platen 14.2.1/14.2.2 specialized to the diagonal contract): converges at
+    O(h²) in distribution — ``|E[φ(Y_T^h)] − E[φ(Y_T)]| = O(h²)`` for smooth
+    φ — where every strong scheme driven by the same increments is weak
+    order ≤ 1.0 at EM cost. The right tool when only expectations matter
+    (option pricing, moment estimation, MC averages): pathwise accuracy is
+    NOT improved (strong order stays low) and is not the goal.
+
+    Diagonal contract (same as :func:`make_milstein_term`): ``g(t, y)`` has
+    ``y``'s shape and ``∂g_i/∂y_j`` is diagonal. Under that contract the
+    multi-dimensional cross-support terms of KP 14.2.2 vanish identically
+    (``b^j(Ū±_r) = b^j`` for r≠j) and the scheme is elementwise:
+
+        Ȳ  = y + a h + g ΔW              (drift support)
+        R± = y + a h ± g √h              (diffusion supports)
+        y1 = y + ½(a(t1,Ȳ) + a) h
+               + ¼[(g(t1,R+) + g(t1,R−) + 2g) ΔW
+                   + (g(t1,R+) − g(t1,R−)) ((ΔW)² − h)/√h]
+
+    Support times follow the time-augmented-state reduction of the
+    autonomous scheme (t has zero noise, so Ȳ/R± carry time t+h). Gaussian
+    increments from the tree satisfy the weak moment conditions (KP allows
+    the cheaper three-point ΔŴ; the true ΔW keeps the scheme coupled to
+    ``bm`` and replayable). No Lévy areas are needed. Weak order ≈2.0 is
+    pinned by coupled-to-exact weak-error measurement on GBM (the reference
+    has no weak schemes at all — its sdeint is broken EM,
+    ``paddlexde/functional/sdeint.py:9-37``).
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        d_w = bm(t, t1)
+        a0 = drift(t, y)
+        g0 = diffusion(t, y)
+
+        def cast(yl):
+            h = jnp.asarray(dt, yl.dtype)
+            safe = jnp.where(h == 0, jnp.ones_like(h), h)
+            sqrt_h = jnp.where(h == 0, jnp.zeros_like(h), jnp.sqrt(safe))
+            inv_sqrt = jnp.where(h == 0, jnp.zeros_like(h), 1.0 / jnp.sqrt(safe))
+            return h, sqrt_h, inv_sqrt
+
+        ybar = jax.tree.map(
+            lambda yl, al, gl, wl: yl + cast(yl)[0] * al + gl * wl,
+            y, a0, g0, d_w,
+        )
+        r_p = jax.tree.map(
+            lambda yl, al, gl: yl + cast(yl)[0] * al + cast(yl)[1] * gl,
+            y, a0, g0,
+        )
+        r_m = jax.tree.map(
+            lambda yl, al, gl: yl + cast(yl)[0] * al - cast(yl)[1] * gl,
+            y, a0, g0,
+        )
+        a1 = drift(t1, ybar)
+        g_p = diffusion(t1, r_p)
+        g_m = diffusion(t1, r_m)
+        noise = jax.tree.map(
+            lambda gp, gm, gl, wl: 0.25 * (
+                (gp + gm + 2.0 * gl) * wl
+                + (gp - gm) * (wl * wl - cast(gl)[0]) * cast(gl)[2]
+            ),
+            g_p, g_m, g0, d_w,
+        )
+        f_comb = jax.tree.map(lambda a, b: 0.5 * (a + b), a0, a1)
+        return (f_comb, noise)
+
+    def fuse(dy, dt, y):
+        f_val, noise = dy
+        return jax.tree.map(
+            lambda yl, fl, nl: yl + jnp.asarray(dt, yl.dtype) * fl + nl,
+            y, f_val, noise,
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_weak2_general_term(drift, diffusion, bm, *, v_key=None) -> XDETerm:
+    """Platen's explicit weak order-2.0 scheme for GENERAL (matrix) noise
+    (Kloeden–Platen 14.2.2): state ``y [..., D]``, diffusion ``G(t, y) ->
+    [..., D, M]``, M-dimensional Brownian motion. Derivative-free weak 2.0
+    with NO commutativity condition and NO Lévy areas — the cross-channel
+    double integrals are replaced, in distribution, by ``(ΔW_j ΔW_r +
+    V_{r,j})/2`` with antisymmetric two-point variables ``V_{r,j} = ±h``
+    (i.i.d. for r<j, ``V_{j,r} = −V_{r,j}``). Supports:
+
+        Ȳ    = y + a h + G ΔW
+        R̄±_j = y + a h ± b_j √h      (b_j = G[..., :, j], evaluated at t+h)
+        Ū±_r = y ± b_r √h            (evaluated at t)
+
+        y1 = y + ½(a(t1,Ȳ) + a) h
+           + ¼ Σ_j [(b_j(R̄+_j) + b_j(R̄−_j) + 2 b_j) ΔW_j
+                    + (b_j(R̄+_j) − b_j(R̄−_j)) ((ΔW_j)² − h)/√h]
+           + ¼ Σ_j Σ_{r≠j} [(b_j(Ū+_r) + b_j(Ū−_r) − 2 b_j) ΔW_j
+                    + (b_j(Ū+_r) − b_j(Ū−_r)) (ΔW_j ΔW_r + V_{r,j})/√h]
+
+    4M+1 diffusion evaluations per step (two vmapped G calls of M supports
+    each, plus Ȳ/base) — the derivative-free price of weak 2.0 for
+    arbitrary noise. ``V`` is sampled from a counter-based key derived from
+    the Brownian tree's key and the step's left endpoint (independent of W,
+    deterministic per (path, step) — replay-adjoint safe). Weak order ≈2.0
+    is pinned by a measured weak-convergence test against moment-ODE
+    oracles on a NON-COMMUTING 2-noise linear SDE.
+    """
+    base = getattr(bm, "base_brownian", bm)
+    if v_key is None:
+        v_key = getattr(base, "_key", None)
+    v_key = (jax.random.key(0x57EA2) if v_key is None
+             else jax.random.fold_in(v_key, 0x57EA2))
+
+    def move(t, dt, y):
+        t1 = t + dt
+        d_w = bm(t, t1)  # [..., M]
+        h = jnp.asarray(dt, y.dtype)
+        safe = jnp.where(h == 0, jnp.ones_like(h), h)
+        sqrt_h = jnp.where(h == 0, jnp.zeros_like(h), jnp.sqrt(safe))
+        inv_sqrt = jnp.where(h == 0, jnp.zeros_like(h), 1.0 / jnp.sqrt(safe))
+        hi = jax.lax.Precision.HIGHEST
+
+        a0 = drift(t, y)
+        g0 = diffusion(t, y)  # [..., D, M]
+        m = g0.shape[-1]
+        eye = jnp.eye(m, dtype=y.dtype)
+
+        g_dw = jnp.einsum("...dm,...m->...d", g0, d_w, precision=hi)
+        yah = y + h * a0
+        ybar = yah + g_dw
+        a1 = drift(t1, ybar)
+
+        cols = jnp.moveaxis(g0, -1, 0)  # [M, ..., D]
+        sup_r = jnp.concatenate(
+            [yah[None] + sqrt_h * cols, yah[None] - sqrt_h * cols], axis=0
+        )
+        sup_u = jnp.concatenate(
+            [y[None] + sqrt_h * cols, y[None] - sqrt_h * cols], axis=0
+        )
+        g_r = jax.vmap(lambda ys: diffusion(t1, ys))(sup_r)  # [2M, ..., D, M]
+        g_u = jax.vmap(lambda ys: diffusion(t, ys))(sup_u)
+        g_rp, g_rm = g_r[:m], g_r[m:]
+        g_up, g_um = g_u[:m], g_u[m:]
+
+        # b_j evaluated at ITS OWN support R̄±_j: diagonal over
+        # (support index, noise column) via one-hot contraction
+        diag = lambda g: jnp.einsum("r...dj,rj->...dj", g, eye, precision=hi)
+        b_rp, b_rm = diag(g_rp), diag(g_rm)
+        term1 = 0.25 * (
+            jnp.einsum("...dj,...j->...d", b_rp + b_rm + 2.0 * g0, d_w,
+                       precision=hi)
+            + jnp.einsum("...dj,...j->...d", b_rp - b_rm,
+                         d_w * d_w - h, precision=hi) * inv_sqrt
+        )
+
+        # cross-channel supports: Σ_{r≠j} — full sum minus the r=j diagonal
+        s_mat = g_up + g_um - 2.0 * g0[None]  # [M(r), ..., D, M(j)]
+        d_mat = g_up - g_um
+        s_sum = jnp.sum(s_mat, axis=0) - diag(s_mat)
+        cross_w = jnp.einsum("...dj,...j->...d", s_sum, d_w, precision=hi)
+
+        # V_{r,j}: antisymmetric two-point ±h, i.i.d. per (path, step, r<j),
+        # counter-based key = tree key ⊕ step left endpoint (f32 bits)
+        step_key = jax.random.fold_in(
+            v_key,
+            jax.lax.bitcast_convert_type(
+                jnp.asarray(t, jnp.float32), jnp.int32
+            ),
+        )
+        rad = jax.random.rademacher(
+            step_key, d_w.shape[:-1] + (m, m), dtype=y.dtype
+        )
+        v_mat = jnp.triu(rad, 1) * h
+        v_mat = v_mat - jnp.swapaxes(v_mat, -1, -2)
+        coeff = (d_w[..., :, None] * d_w[..., None, :] + v_mat) * (1.0 - eye)
+        cross_v = jnp.einsum("r...dj,...rj->...d", d_mat, coeff,
+                             precision=hi) * inv_sqrt
+        noise = term1 + 0.25 * (cross_w + cross_v)
+        f_comb = 0.5 * (a0 + a1)
+        return (f_comb, noise)
+
+    return XDETerm(move=move, fuse=_general_fuse, additive=False, kind="sde")
+
+
 # cubic-path coefficient map: (a, b, c) of q(θ)=aθ³+bθ²+cθ from the moment
 # constraints q(1)=ŵ, ∫₀¹q=û, ∫₀¹(1-θ)q=k̂ (scaled w, u/h, k/h²); constant
 # 3x3 inverse computed once in f64
@@ -556,6 +834,25 @@ def _reversed_ito_fns(drift, diffusion, bm):
     return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
 
 
+def _reversed_scalar_ito_fns(drift, diffusion, bm):
+    """Time-reversal substitution (s = -t) for a SCALAR-noise Itô SDE with a
+    general (non-diagonal) diffusion ``g(t, y) -> y.shape``.
+
+    The reversal drift correction is the m=1 case of the general matrix
+    form: ``+(∂g/∂y)·g`` as a DIRECTIONAL derivative (one jvp along g) —
+    NOT the elementwise jvp-with-ones of ``_reversed_ito_fns``, which is
+    only exact for diagonal Jacobians."""
+
+    def drift_rev(s, y):
+        t = -s
+        f_val = drift(t, y)
+        g_val = diffusion(t, y)
+        corr = jax.jvp(lambda y_: diffusion(t, y_), (y,), (g_val,))[1]
+        return jax.tree.map(lambda f, c: -f + c, f_val, corr)
+
+    return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
+
+
 def _reversed_general_ito_fns(drift, diffusion, bm):
     """Time-reversal substitution (s = -t) for a GENERAL (matrix) noise Itô
     SDE ``dy = f dt + G dW`` with ``G(t, y) -> [..., D, M]``.
@@ -653,10 +950,15 @@ def sdeint(
         t_span: output times (also the integration grid, reference semantics).
         solver: 'euler' (Euler–Maruyama) or a dedicated SDE scheme: milstein
             (diagonal, strong 1.0), sra1 (additive, 1.5), sriw1 (diagonal,
-            1.5), foster2 (additive, ~2.0 — cubic polynomial path on the
-            tree's (W, I10, K) triple), heun_stratonovich (Stratonovich),
+            1.5), taylor15 (SCALAR noise — one Brownian channel, arbitrary
+            non-diagonal multiplicative g — strong 1.5 via the autodiff
+            Itô–Taylor expansion), foster2 (additive, ~2.0 — cubic
+            polynomial path on the tree's (W, I10, K) triple), weak2
+            (Platen's derivative-free WEAK order-2.0 scheme — O(h²) in
+            distribution for expectations/moments; pathwise accuracy is
+            not the goal), heun_stratonovich (Stratonovich),
             euler_general / milstein_general / milstein_commutative /
-            sra1_general / foster2_general (matrix noise).
+            sra1_general / foster2_general / weak2_general (matrix noise).
         reverse: integrate from ``t_span[-1]`` backwards, retracing the same
             Brownian path.
         bm: an explicit Brownian motion (``BrownianInterval``-like); built from
@@ -681,6 +983,9 @@ def sdeint(
     is_sriw1 = solver_name == "sriw1"
     is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
     is_foster2 = solver_name in ("foster2", "foster")
+    is_taylor15 = solver_name in ("taylor15", "ito_taylor15")
+    is_weak2 = solver_name in ("weak2", "platen_weak2", "weak2_platen")
+    is_general_weak2 = solver_name in ("weak2_general", "general_weak2")
     is_general_euler = solver_name in ("euler_general", "general_euler")
     is_general_sra1 = solver_name in ("sra1_general", "general_sra1")
     is_general_foster2 = solver_name in ("foster2_general", "general_foster2")
@@ -689,9 +994,9 @@ def sdeint(
         "milstein_commutative", "commutative_milstein"
     )
     is_general = (is_general_euler or is_general_milstein or is_comm_milstein
-                  or is_general_sra1 or is_general_foster2)
+                  or is_general_sra1 or is_general_foster2 or is_general_weak2)
 
-    need_levy = is_sra1 or is_sriw1 or is_general_sra1
+    need_levy = is_sra1 or is_sriw1 or is_general_sra1 or is_taylor15
     need_k = is_foster2 or is_general_foster2
     if bm is None:
         t_lo, t_hi = _span_bounds(t_span)
@@ -709,6 +1014,10 @@ def sdeint(
                     "explicit bm"
                 )
             size = leaves[0].shape[:-1] + (noise_dim,)
+        elif is_taylor15:
+            # scalar noise: ONE Brownian channel broadcast over the state's
+            # last axis
+            size = leaves[0].shape[:-1] + (1,)
         else:
             size = leaves[0].shape
         bm = BrownianInterval(
@@ -747,7 +1056,7 @@ def sdeint(
             )
 
     if not (is_milstein or is_sra1 or is_sriw1 or is_heun_strat or is_general
-            or is_foster2):
+            or is_foster2 or is_taylor15 or is_weak2):
         from ..solver.registry import resolve_solver
 
         spec = resolve_solver(solver)
@@ -778,6 +1087,11 @@ def sdeint(
             rev = _reversed_general_ito_fns(drift, diffusion, bm)
             if is_general_euler:
                 term = make_general_euler_term(*rev)
+            elif is_general_weak2:
+                # the reversed system is an ordinary Itô SDE; the weak
+                # scheme applies unchanged (reverse accuracy is weak-order,
+                # not a pathwise retrace)
+                term = make_weak2_general_term(*rev)
             elif is_general_sra1:
                 term = make_general_sra1_term(*rev)
             elif is_general_foster2:
@@ -815,6 +1129,20 @@ def sdeint(
             # against the closed-form reversed GBM on the same path.
             term = make_sriw1_term(*_reversed_ito_fns(drift, diffusion, bm))
             solver = "euler"
+        elif is_taylor15:
+            # scalar noise: reversed drift gets the DIRECTIONAL correction
+            # (∂g/∂y)·g (m=1 case of the matrix form); the reversed system
+            # is an ordinary Itô SDE, so the Taylor scheme applies unchanged
+            # with ReverseBrownian's exact (ΔW̃, Ĩ10)
+            term = make_taylor15_term(
+                *_reversed_scalar_ito_fns(drift, diffusion, bm)
+            )
+            solver = "euler"
+        elif is_weak2:
+            # diagonal contract: elementwise reversal correction; the
+            # reversed system is an Itô SDE, weak2 applies unchanged
+            term = make_weak2_term(*_reversed_ito_fns(drift, diffusion, bm))
+            solver = "euler"
         elif is_heun_strat:
             term = make_heun_stratonovich_term(
                 *_reversed_stratonovich_fns(drift, diffusion, bm)
@@ -842,6 +1170,15 @@ def sdeint(
         solver = "euler"
     elif is_foster2:
         term = make_foster2_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_taylor15:
+        term = make_taylor15_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_weak2:
+        term = make_weak2_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_general_weak2:
+        term = make_weak2_general_term(drift, diffusion, bm)
         solver = "euler"
     elif is_general_foster2:
         term = make_foster2_general_term(drift, diffusion, bm)

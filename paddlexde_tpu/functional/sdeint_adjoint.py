@@ -29,6 +29,7 @@ from ..solver.registry import resolve_solver
 from .sdeint import (
     _reversed_general_ito_fns,
     _reversed_ito_fns,
+    _reversed_scalar_ito_fns,
     _span_bounds,
     _reversed_stratonovich_fns,
     make_general_euler_term,
@@ -41,6 +42,9 @@ from .sdeint import (
     make_foster2_term,
     make_sra1_term,
     make_sriw1_term,
+    make_taylor15_term,
+    make_weak2_general_term,
+    make_weak2_term,
 )
 from .solve import _is_decreasing, format_solution
 
@@ -59,9 +63,12 @@ _TERM_BUILDERS = {
     ),
     "foster2": make_foster2_term,
     "foster2_general": make_foster2_general_term,
+    "taylor15": make_taylor15_term,
+    "weak2": make_weak2_term,
+    "weak2_general": make_weak2_general_term,
 }
 
-_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general", "foster2_general"}
+_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general", "foster2_general", "weak2_general"}
 _SCHEME_ALIASES = {
     "stratonovich_heun": "heun_stratonovich",
     "general_sra1": "sra1_general",
@@ -70,6 +77,10 @@ _SCHEME_ALIASES = {
     "commutative_milstein": "milstein_commutative",
     "foster": "foster2",
     "general_foster2": "foster2_general",
+    "ito_taylor15": "taylor15",
+    "platen_weak2": "weak2",
+    "weak2_platen": "weak2",
+    "general_weak2": "weak2_general",
 }
 
 __all__ = ["sdeint_adjoint"]
@@ -96,9 +107,10 @@ def sdeint_adjoint(
     """Like :func:`sdeint` but with O(T_out)-memory, discrete-exact gradients.
 
     Accepts 'euler' or any dedicated SDE scheme (milstein / sra1 / sriw1 /
-    foster2 / heun_stratonovich / euler_general / milstein_general /
-    milstein_commutative — the general-noise schemes take a matrix diffusion
-    ``G(t, y) -> [..., D, M]`` and ``noise_dim=M``, as in :func:`sdeint`).
+    taylor15 / foster2 / weak2 / heun_stratonovich / euler_general /
+    milstein_general / milstein_commutative / weak2_general — the
+    general-noise schemes take a matrix diffusion ``G(t, y) -> [..., D, M]``
+    and ``noise_dim=M``, as in :func:`sdeint`).
 
     ``options={"step_size": h}`` runs a finer internal grid: each output
     interval ``[t_i, t_{i+1}]`` is cut into ``ceil(max_interval / h)`` equal
@@ -163,7 +175,7 @@ def sdeint_adjoint(
             "sdeint_adjoint's diagonal-noise contract requires a single-array "
             f"state (got a pytree with {len(leaves)} leaves)"
         )
-    if scheme in ("sra1", "sriw1", "sra1_general") and (
+    if scheme in ("sra1", "sriw1", "sra1_general", "taylor15") and (
         levy_area_approximation == "none" and bm is None
     ):
         levy_area_approximation = "space-time"
@@ -185,6 +197,8 @@ def sdeint_adjoint(
                     "explicit bm"
                 )
             size = leaves[0].shape[:-1] + (noise_dim,)
+        elif scheme == "taylor15":
+            size = leaves[0].shape[:-1] + (1,)  # one scalar noise channel
         else:
             size = leaves[0].shape
         bm = BrownianInterval(
@@ -220,6 +234,10 @@ def sdeint_adjoint(
             drift, diffusion, bm = _reversed_general_ito_fns(drift, diffusion, bm)
         elif scheme in ("heun_stratonovich", "stratonovich_heun"):
             drift, diffusion, bm = _reversed_stratonovich_fns(drift, diffusion, bm)
+        elif scheme == "taylor15":
+            # scalar noise: directional (∂g/∂y)·g correction, not the
+            # elementwise diagonal form
+            drift, diffusion, bm = _reversed_scalar_ito_fns(drift, diffusion, bm)
         else:
             drift, diffusion, bm = _reversed_ito_fns(drift, diffusion, bm)
         if _is_decreasing(t_span):

@@ -117,6 +117,24 @@ _MIDDLE = os.environ.get("PXT_ATTN_MIDDLE", "blockdiag")  # "blockdiag" | "loop"
 # 119.8 -> 98.9 ms, bs 64 203.2 -> 169.0 ms (378.7 samples/s)
 
 
+def _tile_in(ref, bt):
+    """Read a [bt, tile, T, D] block as a [bt*tile, T, D] tile (the kernel
+    math is per-(batch, node) independent, so batch rows fold into the node
+    dim — leading-dim collapse only, which Mosaic supports)."""
+    if bt == 1:
+        return ref[0]
+    s = ref.shape
+    return ref[...].reshape(bt * s[1], s[2], s[3])
+
+
+def _tile_out(ref, y, bt):
+    if bt == 1:
+        ref[0] = y.astype(ref.dtype)
+    else:
+        s = ref.shape
+        ref[...] = y.reshape(s).astype(ref.dtype)
+
+
 def _attention_tile(q, k, v, *, heads, is_mask, dt):
     """Per-node MHA on a [G, T, D] tile.
 
@@ -162,14 +180,14 @@ def _attention_tile(q, k, v, *, heads, is_mask, dt):
 
 def _fwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, wo_ref, bo_ref, out_ref, *,
-                causal_q, causal_kv, is_mask, heads, dtype_name):
+                causal_q, causal_kv, is_mask, heads, dtype_name, bt=1):
     dt = _dt(dtype_name)
-    q = _tconv_tile(mq_ref[0], wq_ref[...], bq_ref[...], causal_q, dt)
-    k = _tconv_tile(mk_ref[0], wk_ref[...], bk_ref[...], causal_kv, dt)
-    v = _tconv_tile(vs_ref[0], wv_ref[...], bv_ref[...], causal_kv, dt)
+    q = _tconv_tile(_tile_in(mq_ref, bt), wq_ref[...], bq_ref[...], causal_q, dt)
+    k = _tconv_tile(_tile_in(mk_ref, bt), wk_ref[...], bk_ref[...], causal_kv, dt)
+    v = _tconv_tile(_tile_in(vs_ref, bt), wv_ref[...], bv_ref[...], causal_kv, dt)
     x = _attention_tile(q, k, v, heads=heads, is_mask=is_mask, dt=dt)
     y = _tconv_tile(x, wo_ref[...], bo_ref[...], False, dt)
-    out_ref[0] = y.astype(out_ref.dtype)
+    _tile_out(out_ref, y, bt)
 
 
 def _tconv_bwd_input(g, w, causal, dt):
@@ -305,7 +323,7 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                 wv_ref, bv_ref, wo_ref, bo_ref, g_ref,
                 dmq_ref, dmk_ref, dvs_ref, dwq_ref, dbq_ref, dwk_ref,
                 dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref, *,
-                causal_q, causal_kv, is_mask, heads, dtype_name):
+                causal_q, causal_kv, is_mask, heads, dtype_name, bt=1):
     from jax.experimental import pallas as pl
 
     dt = _dt(dtype_name)
@@ -317,8 +335,8 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
                   dwo_ref, dbo_ref):
             r[...] = jnp.zeros_like(r)
 
-    mq, mk, vs = mq_ref[0], mk_ref[0], vs_ref[0]
-    g_out = g_ref[0].astype(jnp.float32)
+    mq, mk, vs = _tile_in(mq_ref, bt), _tile_in(mk_ref, bt), _tile_in(vs_ref, bt)
+    g_out = _tile_in(g_ref, bt).astype(jnp.float32)
     k_taps = wq_ref.shape[0]
 
     # --- recompute forward (flash-style) ---
@@ -353,9 +371,9 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         dbk_ref[...] += dbk.astype(dbk_ref.dtype)
         dwv_ref[...] += dwv.astype(dwv_ref.dtype)
         dbv_ref[...] += dbv.astype(dbv_ref.dtype)
-        dmq_ref[0] = _tconv_bwd_input(dq_full, wq_ref[...], causal_q, dt).astype(dmq_ref.dtype)
-        dmk_ref[0] = _tconv_bwd_input(dk_full, wk_ref[...], causal_kv, dt).astype(dmk_ref.dtype)
-        dvs_ref[0] = _tconv_bwd_input(dv_full, wv_ref[...], causal_kv, dt).astype(dvs_ref.dtype)
+        _tile_out(dmq_ref, _tconv_bwd_input(dq_full, wq_ref[...], causal_q, dt), bt)
+        _tile_out(dmk_ref, _tconv_bwd_input(dk_full, wk_ref[...], causal_kv, dt), bt)
+        _tile_out(dvs_ref, _tconv_bwd_input(dv_full, wv_ref[...], causal_kv, dt), bt)
         return
 
     dn_qk = (((2,), (2,)), ((0,), (0,)))
@@ -431,15 +449,9 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     dbk_ref[...] += dbk.astype(dbk_ref.dtype)
     dwv_ref[...] += dwv.astype(dwv_ref.dtype)
     dbv_ref[...] += dbv.astype(dbv_ref.dtype)
-    dmq_ref[0] = _tconv_bwd_input(dq_full, wq_ref[...], causal_q, dt).astype(
-        dmq_ref.dtype
-    )
-    dmk_ref[0] = _tconv_bwd_input(dk_full, wk_ref[...], causal_kv, dt).astype(
-        dmk_ref.dtype
-    )
-    dvs_ref[0] = _tconv_bwd_input(dv_full, wv_ref[...], causal_kv, dt).astype(
-        dvs_ref.dtype
-    )
+    _tile_out(dmq_ref, _tconv_bwd_input(dq_full, wq_ref[...], causal_q, dt), bt)
+    _tile_out(dmk_ref, _tconv_bwd_input(dk_full, wk_ref[...], causal_kv, dt), bt)
+    _tile_out(dvs_ref, _tconv_bwd_input(dv_full, wv_ref[...], causal_kv, dt), bt)
 
 
 # ---------------------------------------------------------------------------
@@ -452,6 +464,20 @@ _TILE_CAP = int(os.environ.get("PXT_ATTN_TILE_CAP", "17"))
 # the BACKWARD straddles the 16M scoped limit at tile 34); default ties to
 # the shared cap, override to experiment, e.g. PXT_ATTN_TILE_CAP_FWD=34
 _TILE_CAP_FWD = int(os.environ.get("PXT_ATTN_TILE_CAP_FWD", str(_TILE_CAP)))
+# batch rows folded into each kernel program's node dim (grid B/bt x N/tile):
+# bigger GEMM M-dim + fewer grid steps at the cost of bt x the tile VMEM
+_BATCH_BLOCK_FWD = int(os.environ.get("PXT_ATTN_BATCH_BLOCK_FWD",
+                                      os.environ.get("PXT_ATTN_BATCH_BLOCK", "1")))
+_BATCH_BLOCK_BWD = int(os.environ.get("PXT_ATTN_BATCH_BLOCK_BWD",
+                                      os.environ.get("PXT_ATTN_BATCH_BLOCK", "1")))
+
+
+def _pick_bt(b: int, cap: int) -> int:
+    """Largest divisor of the batch <= cap (no batch padding)."""
+    for d in range(min(b, cap), 1, -1):
+        if b % d == 0:
+            return d
+    return 1
 
 
 def _pick_tile(n: int, cap: int = None) -> int:
@@ -486,12 +512,13 @@ def _call_fwd(mq, mk, vs, weights, statics, interpret):
     t_k = mk.shape[2]
     tile = _pick_tile(n, _TILE_CAP_FWD)
     n_pad = -(-n // tile) * tile
+    bt = _pick_bt(b, _BATCH_BLOCK_FWD)
     mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
     dt = _dt(statics["dtype_name"])
-    kern = functools.partial(_fwd_kernel, **statics)
+    kern = functools.partial(_fwd_kernel, bt=bt, **statics)
 
     def tile_spec(t_len):
-        return pl.BlockSpec((1, tile, t_len, d), lambda i, j: (i, j, 0, 0),
+        return pl.BlockSpec((bt, tile, t_len, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
@@ -502,7 +529,7 @@ def _call_fwd(mq, mk, vs, weights, statics, interpret):
     wq, bq, wk, bk, wv, bv, wo, bo = weights
     out = pl.pallas_call(
         kern,
-        grid=(b, n_pad // tile),
+        grid=(b // bt, n_pad // tile),
         in_specs=[
             tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
             const_spec(wq.shape), const_spec(bq.shape),
@@ -525,13 +552,14 @@ def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
     t_k = mk.shape[2]
     tile = _pick_tile(n)
     n_pad = -(-n // tile) * tile
+    bt = _pick_bt(b, _BATCH_BLOCK_BWD)
     mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
     g_p = _padded(g, n_pad)
-    kern = functools.partial(_bwd_kernel, **statics)
+    kern = functools.partial(_bwd_kernel, bt=bt, **statics)
     wq, bq, wk, bk, wv, bv, wo, bo = weights
 
     def tile_spec(t_len):
-        return pl.BlockSpec((1, tile, t_len, d), lambda i, j: (i, j, 0, 0),
+        return pl.BlockSpec((bt, tile, t_len, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
@@ -543,7 +571,7 @@ def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
                 for w in (wq, bq, wk, bk, wv, bv, wo, bo)]
     outs = pl.pallas_call(
         kern,
-        grid=(b, n_pad // tile),
+        grid=(b // bt, n_pad // tile),
         in_specs=[
             tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
             const_spec(wq.shape), const_spec(bq.shape),

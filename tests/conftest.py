@@ -18,14 +18,31 @@ import jax
 # the axon platform, f32 (no x64 on TPU), and the shared TPU compile cache.
 TPU_MODE = os.environ.get("PXT_TPU_TESTS", "0") == "1"
 
+
+def _host_cache_key():
+    """Node name + CPU-feature hash. Nodename alone is NOT enough: distinct
+    machines across rounds can share a hostname while exposing different CPU
+    features, and XLA:CPU AOT artifacts compiled under another feature
+    profile SIGILL (or silently warn) on load — observed as cpu_aot_loader
+    machine-feature warnings despite per-node keying."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = platform.processor() or ""
+    tag = hashlib.md5(flags.encode()).hexdigest()[:8]
+    return f"{platform.node() or 'host'}-{tag}"
+
+
 if TPU_MODE:
     # per-host subdir, same reasoning as the CPU branch below: the root
     # .bench_cache also collects XLA:CPU host-side artifacts which SIGILL
     # when loaded under another host's feature profile
-    import platform as _platform
-
     _cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                              ".bench_cache", _platform.node() or "host")
+                              ".bench_cache", _host_cache_key())
 else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
@@ -35,16 +52,14 @@ else:
     jax.config.update("jax_enable_x64", True)
 
     # Persistent compilation cache: repeated pytest runs skip recompilation.
-    # PER-HOST subdirectory: the repo persists across rounds on different
+    # PER-HOST subdirectory (nodename + CPU-feature hash, see
+    # _host_cache_key): the repo persists across rounds on different
     # machines, and XLA:CPU AOT artifacts compiled under another host's
     # feature profile SIGILL/abort on load (observed as flaky mid-suite
     # "Fatal Python error: Aborted" — the cpu_aot_loader machine-feature
-    # warnings are the tell). Keying the cache by nodename keeps reuse
-    # within a host and isolation across hosts.
-    import platform
-
+    # warnings are the tell).
     _cache_dir = os.path.join(
-        os.path.dirname(__file__), ".jax_cache", platform.node() or "host"
+        os.path.dirname(__file__), ".jax_cache", _host_cache_key()
     )
 
 jax.config.update("jax_compilation_cache_dir", _cache_dir)

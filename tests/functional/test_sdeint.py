@@ -1077,3 +1077,394 @@ def test_sriw1_time_dependent_multiplicative_order():
     order = np.log(sr_c / sr_f) / np.log(4.0)
     assert sr_c < em_c * 0.2, (sr_c, em_c)
     assert order > 1.3, (order, sr_c, sr_f)
+
+
+# ---------------------------------------------------------------------------
+# taylor15: autodiff Itô–Taylor strong order 1.5 for SCALAR multiplicative
+# noise (round-3 addition; no reference counterpart — the reference's sdeint
+# is Euler-only, paddlexde/functional/sdeint.py:9-37)
+# ---------------------------------------------------------------------------
+
+
+def test_taylor15_gbm_strong_order():
+    """Strong order ~1.5 on the closed-form GBM driven by the same path;
+    must beat Milstein's order 1.0 in both slope and absolute error."""
+    mu, sigma, t1 = 1.2, 0.8, 1.0
+    n_paths = 256
+    key = jax.random.key(7)
+    bm = BrownianInterval(0.0, t1, size=(n_paths, 1), key=key,
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    y0 = jnp.ones((n_paths, 1), jnp.float64)
+    f = lambda t, y: mu * y
+    g = lambda t, y: sigma * y
+    w_t = bm(0.0, t1)
+    exact = jnp.exp((mu - 0.5 * sigma**2) * t1 + sigma * w_t)
+
+    def err(method, n):
+        ts = jnp.linspace(0.0, t1, n)
+        sol = sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)
+        return float(jnp.sqrt(jnp.mean((sol[-1] - exact) ** 2)))
+
+    ta_c, ta_f = err("taylor15", 17), err("taylor15", 65)
+    mi_f = err("milstein", 65)
+    order = np.log(ta_c / ta_f) / np.log(4.0)
+    # measured: slopes 1.3-1.7 settling at ~1.5; 23x below milstein at n=65
+    assert order > 1.3, (order, ta_c, ta_f)
+    assert ta_f < mi_f * 0.2, (ta_f, mi_f)
+
+
+def test_taylor15_noncommuting_with_diagonal_structure_guard():
+    """taylor15's defining capability: a NON-DIAGONAL multiplicative
+    diffusion (one Brownian channel driving a fully coupled 2-D system)
+    where the commuting-pair linear SDE has a matrix-exponential closed
+    form. No other scheme in the zoo exceeds order 1.0 here."""
+    a, b = 0.5, 0.3
+    B = jnp.array([[0.3, 0.5], [-0.5, 0.3]], jnp.float64)  # non-diagonal
+    A = a * jnp.eye(2) + b * B  # A, B commute => closed form applies
+    t1 = 1.0
+    n_paths = 256
+    bm = BrownianInterval(0.0, t1, size=(n_paths, 1), key=jax.random.key(3),
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    f = lambda t, y: y @ A.T
+    g = lambda t, y: y @ B.T
+
+    from jax.scipy.linalg import expm
+
+    w_t = bm(0.0, t1)[:, 0]
+    m_det = A - 0.5 * (B @ B)
+    exact = jax.vmap(lambda w: expm(m_det * t1 + B * w) @ y0[0])(w_t)
+
+    def err(method, n):
+        ts = jnp.linspace(0.0, t1, n)
+        sol = sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)
+        return float(jnp.sqrt(jnp.mean(jnp.sum((sol[-1] - exact) ** 2, -1))))
+
+    ta_c, ta_f = err("taylor15", 17), err("taylor15", 65)
+    em_f = err("euler", 65)
+    order = np.log(ta_c / ta_f) / np.log(4.0)
+    # measured: slopes 1.44-1.54; 106x below EM at n=65
+    assert order > 1.3, (order, ta_c, ta_f)
+    assert ta_f < em_f * 0.05, (ta_f, em_f)
+
+
+def test_taylor15_time_dependent_sigma_order():
+    """dy = μy dt + (s0+s1·t) y dW exercises the ∂t half of L⁰g (a missing
+    time-derivative term caps the scheme at order 1.0 — the SRA1 lesson).
+    Closed form via ∫σdW = σ(T)·W_T − s1·U(0,T) with the tree's exact U."""
+    mu, s0, s1, t1 = 0.7, 0.5, 0.9, 1.0
+    n_paths = 256
+    bm = BrownianInterval(0.0, t1, size=(n_paths, 1), key=jax.random.key(11),
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    w, u = bm(0.0, t1, return_U=True)
+    sig_t1 = s0 + s1 * t1
+    int_sig2 = s0 * s0 * t1 + s0 * s1 * t1 * t1 + s1 * s1 * t1**3 / 3.0
+    exact = jnp.exp(mu * t1 - 0.5 * int_sig2 + sig_t1 * w[:, 0] - s1 * u[:, 0])
+    y0 = jnp.ones((n_paths, 1), jnp.float64)
+    f = lambda t, y: mu * y
+    g = lambda t, y: (s0 + s1 * t) * y
+
+    def err(method, n):
+        ts = jnp.linspace(0.0, t1, n)
+        sol = sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)
+        return float(jnp.sqrt(jnp.mean((sol[-1][:, 0] - exact) ** 2)))
+
+    ta_c, ta_f = err("taylor15", 17), err("taylor15", 65)
+    mi_f = err("milstein", 65)
+    order = np.log(ta_c / ta_f) / np.log(4.0)
+    # measured: slopes 1.38-1.54; ~9x below milstein at n=65
+    assert order > 1.3, (order, ta_c, ta_f)
+    assert ta_f < mi_f * 0.25, (ta_f, mi_f)
+
+
+def test_taylor15_reverse_retraces():
+    """Reverse taylor15 uses the DIRECTIONAL (∂g/∂y)·g reversal correction
+    (the elementwise diagonal form is wrong for coupled g); retracing the
+    non-diagonal commuting system must come back to y0 at order-1.5 error,
+    far tighter than reverse-EM."""
+    B = jnp.array([[0.3, 0.5], [-0.5, 0.3]], jnp.float64)
+    A = 0.5 * jnp.eye(2) + 0.3 * B
+    n_paths = 64
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 1), key=jax.random.key(5),
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    f = lambda t, y: y @ A.T
+    g = lambda t, y: y @ B.T
+    ts = jnp.linspace(0.0, 1.0, 65)
+    fwd = sdeint(f, g, y0, ts, "taylor15", bm=bm, time_axis=0)
+    back = sdeint(f, g, fwd[-1], ts[::-1], "taylor15", bm=bm, time_axis=0)
+    err = float(jnp.max(jnp.abs(back[-1] - y0)))
+    back_em = sdeint(f, g, fwd[-1], ts[::-1], "euler", bm=bm, time_axis=0)
+    err_em = float(jnp.max(jnp.abs(back_em[-1] - y0)))
+    assert err < 5e-3, err  # measured ~3e-4 at n=65
+    assert err < err_em * 0.1, (err, err_em)
+
+
+def test_taylor15_adjoint_exact_vs_direct():
+    """Replay adjoint through the Taylor scheme equals direct backprop
+    bit-near-exactly (same discrete path, same noise)."""
+    from paddlexde_tpu import sdeint_adjoint
+
+    B = jnp.array([[0.3, 0.5], [-0.5, 0.3]], jnp.float64)
+    A = 0.5 * jnp.eye(2) + 0.3 * B
+    n_paths = 16
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 1), key=jax.random.key(5),
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    g = lambda t, y: y @ B.T
+    ts = jnp.linspace(0.0, 1.0, 17)
+
+    def loss(solve, y0_, a_mat):
+        f = lambda t, y: y @ a_mat.T
+        return jnp.sum(solve(f, g, y0_, ts, "taylor15", bm=bm, time_axis=0)[-1] ** 2)
+
+    from paddlexde_tpu import sdeint as _sdeint
+
+    ga = jax.grad(lambda y, a: loss(sdeint_adjoint, y, a), argnums=(0, 1))(y0, A)
+    gd = jax.grad(lambda y, a: loss(_sdeint, y, a), argnums=(0, 1))(y0, A)
+    for x, y in zip(ga, gd):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_taylor15_constant_g_consistency():
+    """Constant g, zero drift: every correction term vanishes and the update
+    telescopes to exactly y0 + g·W(T)."""
+    n_paths = 32
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 1), key=jax.random.key(1),
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    gv = jnp.array([0.4, -0.7], jnp.float64)
+    y0 = jnp.zeros((n_paths, 2), jnp.float64)
+    sol = sdeint(lambda t, y: jnp.zeros_like(y),
+                 lambda t, y: jnp.broadcast_to(gv, y.shape), y0,
+                 jnp.linspace(0.0, 1.0, 9), "taylor15", bm=bm, time_axis=0)
+    exact = gv * bm(0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(sol[-1]), np.asarray(exact),
+                               atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# weak2 / weak2_general: Platen's explicit weak order-2.0 schemes (round-3
+# addition; the reference has no weak schemes — its sdeint is broken EM,
+# paddlexde/functional/sdeint.py:9-37). Weak order is MEASURED, never
+# trusted from transcription: coupled-to-exact estimators where a per-path
+# closed form exists, moment-ODE oracles + coupled-to-finest differencing
+# where it does not.
+# ---------------------------------------------------------------------------
+
+
+def test_weak2_gbm_weak_order():
+    """|E[φ(Y_T^h)] − E[φ(Y_T)]| on GBM via the COUPLED estimator
+    mean(φ(Y^h) − φ(Y^exact)) on the same paths — its MC noise is the std of
+    the pathwise difference (O(√h)·scale/√N), orders of magnitude below
+    σ_Y/√N, so weak order 2 is resolvable with 2^17 paths. EM is weak order
+    1.0; weak2 must show slope ≥ 1.5 and a fraction of EM's error."""
+    mu, sigma, t1 = 1.0, 0.6, 1.0
+    n_paths = 1 << 17
+    bm = BrownianInterval(0.0, t1, size=(n_paths,), key=jax.random.key(21),
+                          dtype=jnp.float64)
+    y0 = jnp.ones((n_paths,), jnp.float64)
+    f = lambda t, y: mu * y
+    g = lambda t, y: sigma * y
+    w_t = bm(0.0, t1)
+    exact = jnp.exp((mu - 0.5 * sigma**2) * t1 + sigma * w_t)
+
+    def weak_err(method, n, phi):
+        ts = jnp.linspace(0.0, t1, n)
+        y_t = sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)[-1]
+        return abs(float(jnp.mean(phi(y_t) - phi(exact))))
+
+    for phi in (lambda y: y, lambda y: y * y):
+        w_c = weak_err("weak2", 5, phi)
+        w_f = weak_err("weak2", 17, phi)
+        e_f = weak_err("euler", 17, phi)
+        order = np.log(w_c / w_f) / np.log(4.0)
+        assert order > 1.5, (order, w_c, w_f)
+        assert w_f < e_f * 0.2, (w_f, e_f)
+
+
+def test_weak2_time_dependent_coefficients():
+    """dy = μy dt + (s0+s1·t) y dW: the support-time prescription (drift at
+    (t1, Ȳ), diffusion supports at t1) is what carries time-dependent
+    coefficients at weak order 2 — mis-timed supports collapse to order 1.
+    Exact per-path solution via ∫σdW = σ(T)W_T − s1·U with the tree's exact
+    U (the taylor15 oracle)."""
+    mu, s0, s1, t1 = 0.7, 0.5, 0.9, 1.0
+    n_paths = 1 << 17
+    bm = BrownianInterval(0.0, t1, size=(n_paths,), key=jax.random.key(23),
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time")
+    w, u = bm(0.0, t1, return_U=True)
+    sig_t1 = s0 + s1 * t1
+    int_sig2 = s0 * s0 * t1 + s0 * s1 * t1 * t1 + s1 * s1 * t1**3 / 3.0
+    exact = jnp.exp(mu * t1 - 0.5 * int_sig2 + sig_t1 * w - s1 * u)
+    y0 = jnp.ones((n_paths,), jnp.float64)
+    f = lambda t, y: mu * y
+    g = lambda t, y: (s0 + s1 * t) * y
+
+    def weak_err(method, n):
+        ts = jnp.linspace(0.0, t1, n)
+        y_t = sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)[-1]
+        return abs(float(jnp.mean(y_t - exact)))
+
+    w_c, w_f = weak_err("weak2", 5), weak_err("weak2", 17)
+    e_f = weak_err("euler", 17)
+    order = np.log(w_c / w_f) / np.log(4.0)
+    assert order > 1.5, (order, w_c, w_f)
+    assert w_f < e_f * 0.2, (w_f, e_f)
+
+
+def test_weak2_general_noncommuting_moments():
+    """weak2_general on a NON-COMMUTING 2-noise linear SDE dY = AY dt +
+    B1 Y dW1 + B2 Y dW2. Two independent checks: (a) the h_f = 1/64 run's
+    first AND second MC moments match the moment-ODE oracle (dm/dt = Am,
+    dP/dt = AP+PA' + ΣB_k P B_k', fine RK4) — the scheme converges to the
+    RIGHT law, which coupled differencing alone cannot certify (a wrong V
+    distribution would converge fast to a wrong law); (b) coupled-to-finest
+    differences mean(φ(Y^h) − φ(Y^{h_f})) show weak slope ≥ 1.5 and beat
+    euler_general's."""
+    a_mat = jnp.array([[-0.5, 0.2], [-0.3, -0.4]], jnp.float64)
+    b1 = jnp.array([[0.2, 0.3], [0.0, 0.1]], jnp.float64)
+    b2 = jnp.array([[0.1, 0.0], [-0.2, 0.15]], jnp.float64)
+    assert float(jnp.max(jnp.abs(b1 @ b2 - b2 @ b1))) > 1e-3  # non-commuting
+    t1 = 1.0
+    n_paths = 1 << 17
+    bm = BrownianInterval(0.0, t1, size=(n_paths, 2), key=jax.random.key(29),
+                          dtype=jnp.float64)
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    f = lambda t, y: y @ a_mat.T
+
+    def g(t, y):
+        return jnp.stack([y @ b1.T, y @ b2.T], axis=-1)  # [..., D, M]
+
+    # moment-ODE oracle (fine RK4, deterministic)
+    def moment_rhs(state):
+        m, p = state
+        dp = a_mat @ p + p @ a_mat.T + b1 @ p @ b1.T + b2 @ p @ b2.T
+        return (a_mat @ m, dp)
+
+    m = jnp.array([1.0, 0.5], jnp.float64)
+    p = jnp.outer(m, m)
+    n_rk = 2000
+    h_rk = t1 / n_rk
+    for _ in range(n_rk):
+        k1 = moment_rhs((m, p))
+        k2 = moment_rhs((m + 0.5 * h_rk * k1[0], p + 0.5 * h_rk * k1[1]))
+        k3 = moment_rhs((m + 0.5 * h_rk * k2[0], p + 0.5 * h_rk * k2[1]))
+        k4 = moment_rhs((m + h_rk * k3[0], p + h_rk * k3[1]))
+        m = m + h_rk / 6.0 * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        p = p + h_rk / 6.0 * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+
+    def terminal(method, n):
+        ts = jnp.linspace(0.0, t1, n)
+        return sdeint(f, g, y0, ts, method, bm=bm, time_axis=0,
+                      noise_dim=2)[-1]
+
+    y_fine = terminal("weak2_general", 65)
+    mc_m = jnp.mean(y_fine, axis=0)
+    mc_p = (y_fine.T @ y_fine) / n_paths
+    # (a) right law: fine-grid moments match the ODE oracle within MC noise
+    np.testing.assert_allclose(np.asarray(mc_m), np.asarray(m), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(mc_p), np.asarray(p), atol=8e-3)
+
+    # (b) weak slope via coupled-to-finest differencing (same bm)
+    def coupled_err(method, n):
+        y_h = terminal(method, n)
+        ref = y_fine if method == "weak2_general" else terminal(method, 65)
+        d_m = jnp.mean(y_h - ref, axis=0)
+        d_p = ((y_h.T @ y_h) - (ref.T @ ref)) / n_paths
+        return float(jnp.maximum(jnp.max(jnp.abs(d_m)),
+                                 jnp.max(jnp.abs(d_p))))
+
+    w_c, w_f = coupled_err("weak2_general", 5), coupled_err("weak2_general", 17)
+    e_f = coupled_err("euler_general", 17)
+    order = np.log(w_c / w_f) / np.log(4.0)
+    assert order > 1.5, (order, w_c, w_f)
+    assert w_f < e_f * 0.35, (w_f, e_f)
+
+
+def test_weak2_general_constant_g_consistency():
+    """Constant matrix G, zero drift: every support collapses and the update
+    telescopes to exactly y0 + G·W(T)."""
+    n_paths = 32
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 3), key=jax.random.key(2),
+                          dtype=jnp.float64)
+    g_mat = jnp.array([[0.4, -0.7, 0.1], [0.2, 0.0, -0.3]], jnp.float64)
+    y0 = jnp.zeros((n_paths, 2), jnp.float64)
+    sol = sdeint(lambda t, y: jnp.zeros_like(y),
+                 lambda t, y: jnp.broadcast_to(g_mat, y.shape[:-1] + g_mat.shape),
+                 y0, jnp.linspace(0.0, 1.0, 9), "weak2_general", bm=bm,
+                 time_axis=0, noise_dim=3)
+    exact = bm(0.0, 1.0) @ g_mat.T
+    np.testing.assert_allclose(np.asarray(sol[-1]), np.asarray(exact),
+                               atol=1e-12)
+
+
+def test_weak2_adjoint_exact_vs_direct():
+    """Replay adjoint through weak2 (diagonal) and weak2_general equals
+    direct backprop on the same discrete path (incl. the V draws, which are
+    counter-based per (step, path) and thus replay-identical)."""
+    from paddlexde_tpu import sdeint_adjoint
+
+    n_paths = 16
+    ts = jnp.linspace(0.0, 1.0, 17)
+    bm_d = BrownianInterval(0.0, 1.0, size=(n_paths, 2),
+                            key=jax.random.key(7), dtype=jnp.float64)
+
+    def loss_diag(solve, y0_, mu):
+        f = lambda t, y: mu * y
+        g = lambda t, y: 0.5 * y
+        return jnp.sum(
+            solve(f, g, y0_, ts, "weak2", bm=bm_d, time_axis=0)[-1] ** 2
+        )
+
+    y0 = jnp.ones((n_paths, 2), jnp.float64)
+    mu = jnp.asarray(0.8, jnp.float64)
+    ga = jax.grad(lambda y, m: loss_diag(sdeint_adjoint, y, m), (0, 1))(y0, mu)
+    gd = jax.grad(lambda y, m: loss_diag(sdeint, y, m), (0, 1))(y0, mu)
+    for x, y in zip(ga, gd):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-10, atol=1e-12)
+
+    b1 = jnp.array([[0.2, 0.3], [0.0, 0.1]], jnp.float64)
+    b2 = jnp.array([[0.1, 0.0], [-0.2, 0.15]], jnp.float64)
+    bm_g = BrownianInterval(0.0, 1.0, size=(n_paths, 2),
+                            key=jax.random.key(9), dtype=jnp.float64)
+
+    def loss_gen(solve, y0_, a_diag):
+        f = lambda t, y: y * a_diag
+        g = lambda t, y: jnp.stack([y @ b1.T, y @ b2.T], axis=-1)
+        return jnp.sum(
+            solve(f, g, y0_, ts, "weak2_general", bm=bm_g, time_axis=0,
+                  noise_dim=2)[-1] ** 2
+        )
+
+    a_diag = jnp.array([-0.4, 0.2], jnp.float64)
+    ga = jax.grad(lambda y, a: loss_gen(sdeint_adjoint, y, a), (0, 1))(y0, a_diag)
+    gd = jax.grad(lambda y, a: loss_gen(sdeint, y, a), (0, 1))(y0, a_diag)
+    for x, y in zip(ga, gd):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_weak2_reverse_weak_consistency():
+    """reverse=True runs the Itô-reversed system with the same weak scheme;
+    the retrace is weak-order (not pathwise), so assert the reversed
+    terminal's MEAN matches E[y0] to the forward weak-error scale."""
+    mu, sigma = 0.8, 0.4
+    n_paths = 1 << 16
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths,), key=jax.random.key(31),
+                          dtype=jnp.float64)
+    y0 = jnp.ones((n_paths,), jnp.float64)
+    f = lambda t, y: mu * y
+    g = lambda t, y: sigma * y
+    ts = jnp.linspace(0.0, 1.0, 33)
+    fwd = sdeint(f, g, y0, ts, "weak2", bm=bm, time_axis=0)
+    back = sdeint(f, g, fwd[-1], ts[::-1], "weak2", bm=bm, time_axis=0)
+    assert abs(float(jnp.mean(back[-1])) - 1.0) < 5e-3

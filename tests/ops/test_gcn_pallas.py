@@ -144,3 +144,46 @@ def test_attention_kernel_matches_model():
         for a, b in zip(flat_p, flat_x):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-4)
+
+
+def test_attention_kernel_batch_block_equality():
+    """PXT_ATTN_BATCH_BLOCK (grid B/bt x N/tile, batch rows folded into the
+    GEMM M-dim) must be a pure scheduling knob: bt=2 fwd and grads equal
+    bt=1 exactly in interpret mode. Kept-knob regression (ROADMAP 11b —
+    measured neutral on-chip at default-legal shapes, default stays 1)."""
+    from paddlexde_tpu.ops import attn_pallas
+    from paddlexde_tpu.ops.attn_pallas import fused_temporal_attention
+
+    rng = np.random.RandomState(5)
+    B, N, T, D, K, H = 4, 10, 6, 32, 3, 4
+    acts = [jnp.asarray(rng.randn(B, N, T, D).astype(np.float32) * 0.3)
+            for _ in range(3)]
+    ws = [jnp.asarray((rng.randn(K, D, D) if i % 2 == 0 else rng.randn(D))
+                      .astype(np.float32) * 0.05) for i in range(8)]
+
+    def loss(*a):
+        return jnp.sum(jnp.sin(fused_temporal_attention(
+            *a, True, True, True, H, "float32", True, True, False)))
+
+    def run():
+        out = loss(*acts, *ws)
+        g = jax.grad(loss, argnums=tuple(range(11)))(*acts, *ws)
+        return out, g
+
+    old = (attn_pallas._BATCH_BLOCK_FWD, attn_pallas._BATCH_BLOCK_BWD)
+    try:
+        attn_pallas._BATCH_BLOCK_FWD = attn_pallas._BATCH_BLOCK_BWD = 1
+        out1, g1 = run()
+        attn_pallas._BATCH_BLOCK_FWD = attn_pallas._BATCH_BLOCK_BWD = 2
+        out2, g2 = run()
+    finally:
+        attn_pallas._BATCH_BLOCK_FWD, attn_pallas._BATCH_BLOCK_BWD = old
+
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # weight/bias grads are accumulated across grid steps: bt=2 sums the
+    # same terms in a different order (one 2x-M GEMM vs two accumulated
+    # ones), so f32 bit-equality is too strict there — activation grads
+    # stay per-element identical
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
