@@ -920,6 +920,41 @@ def make_sde_term(drift, diffusion, bm, *, reverse: bool = False) -> XDETerm:
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
+# options vocabulary of the adaptive engine (solver/sde_adaptive.py)
+_SDE_ADAPTIVE_KEYS = {
+    "first_step", "safety", "ifactor", "dfactor", "min_step", "max_step",
+    "max_num_steps", "norm", "error_order", "return_stats", "time_dtype",
+}
+
+# scheme -> LOCAL strong order (global strong order + 1/2): the default
+# exponent of the adaptive dt controller (err^(-1/order)); euler and
+# heun_stratonovich fall through to 1.0
+_SDE_LOCAL_ORDER = {
+    "milstein": 1.5, "milstein_general": 1.5, "general_milstein": 1.5,
+    "milstein_commutative": 1.5, "commutative_milstein": 1.5,
+    "weak2": 1.5, "platen_weak2": 1.5, "weak2_platen": 1.5,
+    "weak2_general": 1.5, "general_weak2": 1.5,
+    "sra1": 2.0, "sra1_general": 2.0, "general_sra1": 2.0,
+    "sriw1": 2.0, "taylor15": 2.0, "ito_taylor15": 2.0,
+    "foster2": 2.5, "foster": 2.5, "foster2_general": 2.5,
+    "general_foster2": 2.5,
+}
+
+
+def _solve_adaptive_sde(term, y0, span, solver_name, rtol, atol, options):
+    from ..solver.sde_adaptive import solve_sde_adaptive
+
+    opts = dict(options or {})
+    unknown = set(opts) - _SDE_ADAPTIVE_KEYS
+    if unknown:
+        raise ValueError(
+            f"sdeint(adaptive=True) got unknown option(s) {sorted(unknown)}; "
+            f"known: {sorted(_SDE_ADAPTIVE_KEYS)}"
+        )
+    opts.setdefault("error_order", _SDE_LOCAL_ORDER.get(solver_name, 1.0))
+    return solve_sde_adaptive(term, y0, span, rtol=rtol, atol=atol, **opts)
+
+
 def sdeint(
     drift,
     diffusion,
@@ -930,6 +965,7 @@ def sdeint(
     rtol=1e-7,
     atol=1e-9,
     reverse: bool = False,
+    adaptive: bool = False,
     options: Optional[dict] = None,
     bm=None,
     key=None,
@@ -961,6 +997,20 @@ def sdeint(
             sra1_general / foster2_general / weak2_general (matrix noise).
         reverse: integrate from ``t_span[-1]`` backwards, retracing the same
             Brownian path.
+        adaptive: error-controlled step sizes between the output times via
+            tree-consistent step doubling (``solver/sde_adaptive.py``): every
+            attempt compares one full step against two half steps ON THE SAME
+            Brownian path (the virtual tree's interval additivity makes the
+            comparison exact — no RSwM machinery), so dt tracks the scheme's
+            local error through stiffness/noise bursts. Works with every
+            scheme above; 3 scheme evaluations per attempt. Set rtol/atol to
+            SDE-appropriate values (~1e-2..1e-4; the 1e-7 default is the ODE
+            path's). ``options`` then accepts first_step / safety / ifactor /
+            dfactor / min_step / max_step / max_num_steps / norm /
+            error_order (controller exponent, defaults to the scheme's local
+            strong order) / return_stats. Gradients through the adaptive
+            while_loop are unsupported (JAX limitation, same as the adaptive
+            ODE engine) — use ``sdeint_adjoint`` on a fixed grid instead.
         bm: an explicit Brownian motion (``BrownianInterval``-like); built from
             ``key`` (or key 0) when omitted.
         key: PRNG key / int entropy for the default Brownian motion.
@@ -1150,13 +1200,21 @@ def sdeint(
             solver = "euler"
         else:
             term = make_sde_term(drift, diffusion, bm, reverse=True)
-        sol = integrate_term(
-            term, y0, span, solver, rtol=rtol, atol=atol, options=options,
-            time_axis=0,
-        )
+        stats = None
+        if adaptive:
+            out = _solve_adaptive_sde(
+                term, y0, span, solver_name, rtol, atol, options
+            )
+            sol, stats = out if isinstance(out, tuple) else (out, None)
+        else:
+            sol = integrate_term(
+                term, y0, span, solver, rtol=rtol, atol=atol, options=options,
+                time_axis=0,
+            )
         if not _is_decreasing(t_span):  # reverse flag with increasing span:
             sol = jax.tree.map(lambda a: a[::-1], sol)  # report in given order
-        return format_solution(sol, time_axis)
+        sol = format_solution(sol, time_axis)
+        return (sol, stats) if stats is not None else sol
 
     if is_milstein:
         term = make_milstein_term(drift, diffusion, bm)
@@ -1200,6 +1258,14 @@ def sdeint(
         solver = "euler"
     else:
         term = make_sde_term(drift, diffusion, bm)
+    if adaptive:
+        out = _solve_adaptive_sde(
+            term, y0, t_span, solver_name, rtol, atol, options
+        )
+        if isinstance(out, tuple):
+            sol, stats = out
+            return format_solution(sol, time_axis), stats
+        return format_solution(out, time_axis)
     return integrate_term(
         term, y0, t_span, solver, rtol=rtol, atol=atol, options=options,
         time_axis=time_axis,

@@ -26,7 +26,10 @@ import jax.numpy as jnp
 from ..brownian.api import BrownianInterval
 from ..solver.fixed import FIXED_STEP_FNS
 from ..solver.registry import resolve_solver
+from ..solver.sde_adaptive import solve_sde_adaptive
 from .sdeint import (
+    _SDE_ADAPTIVE_KEYS,
+    _SDE_LOCAL_ORDER,
     _reversed_general_ito_fns,
     _reversed_ito_fns,
     _reversed_scalar_ito_fns,
@@ -96,6 +99,7 @@ def sdeint_adjoint(
     rtol=1e-7,
     atol=1e-9,
     reverse: bool = False,
+    adaptive: bool = False,
     options: Optional[dict] = None,
     bm=None,
     key=None,
@@ -125,6 +129,28 @@ def sdeint_adjoint(
     reversed system forward in s = -t with the Itô reversal correction,
     exactly like :func:`sdeint`. ``adjoint_params`` is accepted for signature
     parity and ignored (closure_convert discovers parameters automatically).
+
+    ``adaptive=True`` makes the error-controlled path DIFFERENTIABLE — the
+    capability :func:`sdeint`'s ``adaptive`` flag documents as unsupported
+    (reverse-mode through ``lax.while_loop`` is a JAX limitation). Two-pass
+    design: (1) the adaptive engine (``solver/sde_adaptive.py``) discovers the
+    accepted step grid under ``stop_gradient`` (recording each accepted
+    attempt's midpoint AND endpoint, so the recorded grid reproduces the
+    two-half-step composition the engine keeps); (2) the replay adjoint runs
+    over that recorded grid — the forward value is BIT-EQUAL to
+    ``sdeint(..., adaptive=True)`` with the same options, and gradients are
+    the exact discrete gradients of the solution ON that grid (the grid
+    itself is treated as non-differentiable, the standard
+    discretize-then-optimize choice — controller decisions are piecewise
+    constant in the parameters, so their local derivative is zero anyway).
+    ``options`` then takes the adaptive vocabulary (first_step / safety /
+    ifactor / dfactor / min_step / max_step / max_num_steps / norm /
+    error_order) plus ``grid_buffer`` (default 64): the per-output-interval
+    recording capacity, 2 entries per accepted step. Size it generously —
+    an overflowing interval coarsens its tail to one forced step (flagged
+    GRID_OVERFLOW by the engine; here the replayed — coarser — solution is
+    still the value differentiated, so value and gradient stay consistent).
+    Memory is O(T_out * grid_buffer) times, O(T_out) states.
     """
     del adjoint_params
     solver_name = solver.lower() if isinstance(solver, str) else ""
@@ -146,6 +172,32 @@ def sdeint_adjoint(
     else:
         step_fn, _ = FIXED_STEP_FNS["euler"]  # scheme lives in the term's move/fuse
     is_general = scheme in _GENERAL_SCHEMES
+    adaptive_opts = None
+    grid_buffer = 0
+    if adaptive:
+        adaptive_opts = dict(options or {})
+        if "step_size" in adaptive_opts:
+            raise ValueError(
+                "adaptive=True and options={'step_size': ...} are mutually "
+                "exclusive (the adaptive engine chooses the internal grid)"
+            )
+        grid_buffer = int(adaptive_opts.pop("grid_buffer", 64))
+        if grid_buffer < 2:
+            raise ValueError(
+                "grid_buffer must be >= 2 (2 recorded sub-times per "
+                "accepted step)"
+            )
+        allowed = _SDE_ADAPTIVE_KEYS - {"return_stats", "time_dtype"}
+        unknown = set(adaptive_opts) - allowed
+        if unknown:
+            raise ValueError(
+                f"sdeint_adjoint(adaptive=True) got unknown option(s) "
+                f"{sorted(unknown)}; known: {sorted(allowed)} + ['grid_buffer']"
+            )
+        adaptive_opts.setdefault(
+            "error_order", _SDE_LOCAL_ORDER.get(solver_name, 1.0)
+        )
+        options = None  # the legacy (fixed-grid) option parsing below is moot
     if options and "grid_constructor" in options:
         raise NotImplementedError(
             "sdeint_adjoint supports options={'step_size': h} (uniform "
@@ -330,6 +382,109 @@ def sdeint_adjoint(
         return (adj_y, jnp.zeros_like(ts_), adj_d, adj_g)
 
     _solve.defvjp(_fwd, _bwd)
+
+    def one_grid_segment(y, t_a, t_b, row, d_consts, g_consts):
+        """Replay the recorded sub-times of one output interval.
+
+        ``row`` holds the engine's accepted sub-times in order, padded with
+        ``t_b``; padding (and any clobbered non-monotone entries after a
+        GRID_OVERFLOW) replays as a skipped zero-length step, and a final
+        forced step to ``t_b`` covers an overflowed tail — so the replayed
+        value is always a valid discrete solution on SOME refinement of the
+        recorded grid, and bit-equal to the adaptive engine's whenever the
+        buffer did not overflow."""
+        sub = jnp.concatenate([row, t_b[None]])
+
+        def body(carry, t_next):
+            yc, tc = carry
+            t_next = jnp.maximum(t_next, tc)
+            yn = jax.lax.cond(
+                t_next > tc,
+                lambda a: one_step(a[0], a[1], t_next, d_consts, g_consts),
+                lambda a: a[0],
+                (yc, tc),
+            )
+            return (yn, t_next), None
+
+        (y_out, _), _ = jax.lax.scan(body, (y, t_a), sub)
+        return y_out
+
+    @jax.custom_vjp
+    def _solve_adaptive(y0_, ts_, rows_, d_consts, g_consts):
+        def body(y, x):
+            t_pair, row = x
+            y1 = one_grid_segment(
+                y, t_pair[0], t_pair[1], row, d_consts, g_consts
+            )
+            return y1, y1
+
+        t_pairs = jnp.stack([ts_[:-1], ts_[1:]], axis=-1)
+        _, ys = jax.lax.scan(body, y0_, (t_pairs, rows_))
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), y0_, ys
+        )
+
+    def _fwd_adaptive(y0_, ts_, rows_, d_consts, g_consts):
+        sol = _solve_adaptive(y0_, ts_, rows_, d_consts, g_consts)
+        return sol, (sol, ts_, rows_, d_consts, g_consts)
+
+    def _bwd_adaptive(res, g_sol):
+        sol, ts_, rows_, d_consts, g_consts = res
+        n = ts_.shape[0]
+        take = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
+
+        def body(carry, i):
+            adj_y, adj_d, adj_g = carry
+            adj_y = jax.tree.map(jnp.add, adj_y, take(g_sol, i))
+            y_prev = take(sol, i - 1)
+            _, vjp = jax.vjp(
+                lambda y, dc, gc: one_grid_segment(
+                    y, ts_[i - 1], ts_[i], rows_[i - 1], dc, gc
+                ),
+                y_prev,
+                d_consts,
+                g_consts,
+            )
+            g_y, g_d, g_g = vjp(adj_y)
+            adj_d = jax.tree.map(jnp.add, adj_d, g_d)
+            adj_g = jax.tree.map(jnp.add, adj_g, g_g)
+            return (g_y, adj_d, adj_g), None
+
+        init = (
+            jax.tree.map(jnp.zeros_like, y0),
+            jax.tree.map(jnp.zeros_like, d_consts),
+            jax.tree.map(jnp.zeros_like, g_consts),
+        )
+        (adj_y, adj_d, adj_g), _ = jax.lax.scan(
+            body, init, jnp.arange(n - 1, 0, -1)
+        )
+        adj_y = jax.tree.map(jnp.add, adj_y, take(g_sol, 0))
+        return (adj_y, jnp.zeros_like(ts_), jnp.zeros_like(rows_), adj_d, adj_g)
+
+    _solve_adaptive.defvjp(_fwd_adaptive, _bwd_adaptive)
+
+    if adaptive:
+        # phase 1: grid discovery under stop_gradient — the while_loop never
+        # sees differentiated values, so the surrounding vjp treats it as a
+        # primal-only residual (reverse-mode through while_loop is the JAX
+        # limitation this two-pass design routes around)
+        sg = jax.lax.stop_gradient
+        term_sg = term_builder(
+            lambda t, y_: drift_c(t, y_, *sg(drift_consts)),
+            lambda t, y_: diff_c(t, y_, *sg(diff_consts)),
+            bm,
+        )
+        _, rows = solve_sde_adaptive(
+            term_sg, sg(y0), sg(t_span), rtol=rtol, atol=atol,
+            grid_buffer=grid_buffer, **adaptive_opts,
+        )
+        solution = _solve_adaptive(
+            y0, t_span, rows, drift_consts, diff_consts
+        )
+        if flip_output:
+            solution = jax.tree.map(lambda a: a[::-1], solution)
+        return format_solution(solution, time_axis)
+
     solution = _solve(y0, t_span, drift_consts, diff_consts)
     if flip_output:
         solution = jax.tree.map(lambda a: a[::-1], solution)
