@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from paddlexde_tpu import BrownianInterval, sdeint
+from paddlexde_tpu import BrownianInterval, sdeint, sdeint_weak_mc
 
 
 def black_scholes_call(s0, k, r, sigma, t):
@@ -78,6 +78,16 @@ def main():
             price = float(jnp.mean(payoff(s_t)))
             print(f"{solver:>6} {steps:3d} steps: price {price:.4f}  "
                   f"discretization bias {price - mc_exact:+.5f}")
+
+    # Talay-Tubaro Richardson extrapolation: one call runs the h and h/2
+    # grids on the SAME paths and combines per path (weak order p+1)
+    est = sdeint_weak_mc(
+        drift, diffusion, jnp.asarray(s0, dtype), t1, payoff,
+        solver="euler", n_paths=args.paths, n_steps=args.steps, bm=bm,
+    )
+    print(f" euler {args.steps:3d} steps + Richardson: price "
+          f"{float(est.mean):.4f}  bias {float(est.mean) - mc_exact:+.5f}  "
+          f"(stderr {float(est.stderr):.4f})")
 
 
 if __name__ == "__main__":

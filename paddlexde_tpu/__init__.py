@@ -30,6 +30,9 @@ from .functional import (  # noqa: F401
     odeint_event_grad,
     sdeint,
     sdeint_adjoint,
+    sdeint_event,
+    sdeint_weak_mc,
+    WeakEstimate,
 )
 from .solver import (  # noqa: F401
     AdamsBashforthMoulton,

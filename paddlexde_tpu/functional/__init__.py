@@ -5,4 +5,6 @@ from .odeint import odeint, odeint_per_element  # noqa: F401
 from .odeint_adjoint import odeint_adjoint  # noqa: F401
 from .sdeint import sdeint  # noqa: F401
 from .sdeint_adjoint import sdeint_adjoint  # noqa: F401
+from .sdeint_event import sdeint_event  # noqa: F401
+from .sdeint_weak import WeakEstimate, sdeint_weak_mc  # noqa: F401
 from .odeint_event import EventResult, odeint_event, odeint_event_grad  # noqa: F401

@@ -1,0 +1,131 @@
+"""sdeint_weak_mc: batched weak-expectation estimation + Talay–Tubaro
+extrapolation (``functional/sdeint_weak.py``; no counterpart in the
+reference).
+
+Measurement design: for GBM ``dy = μy dt + σy dW`` the EULER mean is exactly
+``E[Y^h_N] = y0 (1+μh)^N`` — the mean bias is DETERMINISTIC (independent of
+σ), so with a small σ the Monte-Carlo noise floor sits orders below the bias
+and the Richardson cancellation is directly measurable: coarse bias
+``e^μ − (1+μh)^N`` ~ h, extrapolated ``2(1+μh/2)^{2N} − (1+μh)^N − e^μ`` ~ h².
+"""
+
+import jax.numpy as jnp
+import pytest
+
+import paddlexde_tpu as pxt
+
+MU, SIGMA = 1.0, 0.05
+EXACT = float(jnp.exp(jnp.asarray(MU, jnp.float64)))  # E[Y_1], y0 = 1
+
+
+def _gbm():
+    f = lambda t, y: MU * y
+    g = lambda t, y: SIGMA * y
+    y0 = jnp.array([1.0], dtype=jnp.float64)
+    return f, g, y0
+
+
+def _euler_mean(n):
+    """Closed-form Euler mean (1 + mu/n)^n."""
+    return float((1.0 + MU / n) ** n)
+
+
+def test_euler_richardson_cancels_leading_bias():
+    f, g, y0 = _gbm()
+    est = pxt.sdeint_weak_mc(
+        f, g, y0, 1.0, solver="euler", n_paths=16384, n_steps=8, key=0,
+    )
+    coarse_bias = abs(float(est.mean_coarse[0]) - EXACT)  # ~0.153
+    extra_bias = abs(float(est.mean[0]) - EXACT)  # ~7e-3 + MC noise
+    # the estimator matches its own closed-form mean (MC noise only)
+    assert abs(float(est.mean_coarse[0]) - _euler_mean(8)) < 5e-3
+    assert abs(float(est.mean_fine[0]) - _euler_mean(16)) < 5e-3
+    assert extra_bias < coarse_bias / 8, (extra_bias, coarse_bias)
+    # stderr is honest: the true error is within ~4 sigma of it
+    assert extra_bias < abs(2 * _euler_mean(16) - _euler_mean(8) - EXACT) + 4 * float(est.stderr[0])
+
+
+def test_euler_richardson_order_two_slope():
+    """Extrapolated bias falls ~4x per halving (order 2); plain Euler ~2x
+    (order 1). Deterministic-bias design keeps MC noise far below both."""
+    f, g, y0 = _gbm()
+    biases_plain, biases_extra = [], []
+    for n in (4, 8):
+        est = pxt.sdeint_weak_mc(
+            f, g, y0, 1.0, solver="euler", n_paths=16384, n_steps=n, key=0,
+        )
+        biases_plain.append(abs(float(est.mean_coarse[0]) - EXACT))
+        biases_extra.append(abs(float(est.mean[0]) - EXACT))
+    slope_plain = float(jnp.log2(jnp.asarray(biases_plain[0] / biases_plain[1])))
+    slope_extra = float(jnp.log2(jnp.asarray(biases_extra[0] / biases_extra[1])))
+    assert 0.7 < slope_plain < 1.3, slope_plain
+    assert 1.6 < slope_extra < 2.6, slope_extra
+
+
+def test_weak2_extrapolation_improves_at_fixed_h():
+    f, g, y0 = _gbm()
+    est = pxt.sdeint_weak_mc(
+        f, g, y0, 1.0, solver="weak2", n_paths=16384, n_steps=8, key=1,
+    )
+    coarse_bias = abs(float(est.mean_coarse[0]) - EXACT)
+    extra_bias = abs(float(est.mean[0]) - EXACT)
+    # weak2's own bias is already ~1e-3 at h=1/8; the combination must not
+    # make it worse and typically lands near the MC floor
+    assert extra_bias < max(coarse_bias, 4 * float(est.stderr[0]))
+
+
+def test_vector_functional_and_per_path_y0():
+    f, g, y0 = _gbm()
+    y0_paths = jnp.ones((512, 1), dtype=jnp.float64)
+
+    def phi(y):  # [n, 1] -> [n, 2]: mean and second moment jointly
+        return jnp.concatenate([y, y * y], axis=-1)
+
+    est = pxt.sdeint_weak_mc(
+        f, g, y0_paths, 1.0, phi, solver="weak2", n_paths=512, n_steps=8,
+        key=2,
+    )
+    assert est.mean.shape == (2,)
+    assert est.stderr.shape == (2,)
+    assert abs(float(est.mean[0]) - EXACT) < 0.2
+    # E[Y^2] = exp(2 mu + sigma^2)
+    m2 = float(jnp.exp(jnp.asarray(2 * MU + SIGMA**2, jnp.float64)))
+    assert abs(float(est.mean[1]) - m2) < 0.5
+
+    with pytest.raises(ValueError, match="n_paths"):
+        pxt.sdeint_weak_mc(
+            f, g, jnp.ones((100, 1)), 1.0, solver="euler", n_paths=512,
+            n_steps=4,
+        )
+
+
+def test_general_noise_weak_mc():
+    """weak2_general under the MC driver (2 non-commuting-ish channels)."""
+    a, b1, b2 = 0.5, 0.04, 0.03
+    f = lambda t, y: a * y
+    G = lambda t, y: jnp.stack([b1 * y, b2 * y], axis=-1)
+    y0 = jnp.array([1.0], dtype=jnp.float64)
+    est = pxt.sdeint_weak_mc(
+        f, G, y0, 1.0, solver="weak2_general", n_paths=4096, n_steps=8,
+        key=3, noise_dim=2,
+    )
+    exact = float(jnp.exp(jnp.asarray(a, jnp.float64)))
+    assert abs(float(est.mean[0]) - exact) < 0.02
+
+
+def test_no_richardson_path():
+    f, g, y0 = _gbm()
+    est = pxt.sdeint_weak_mc(
+        f, g, y0, 1.0, solver="euler", n_paths=2048, n_steps=8, key=0,
+        richardson=False,
+    )
+    assert est.mean_fine is None
+    assert abs(float(est.mean[0]) - _euler_mean(8)) < 2e-2
+
+
+def test_unknown_solver_weak_order():
+    f, g, y0 = _gbm()
+    with pytest.raises(ValueError, match="weak order"):
+        pxt.sdeint_weak_mc(
+            f, g, y0, 1.0, solver="not_a_scheme", n_paths=64, n_steps=4,
+        )
