@@ -176,24 +176,35 @@ def main():
     # persistent compilation cache: cold TPU compiles for this bench take
     # ~15 min through the remote compiler; with the cache warm (populated by
     # any prior run on this machine) the bench finishes in ~2 min
-    # PER-HOST subdirectory (nodename + CPU-feature hash): the repo persists
-    # across rounds on different machines — which can SHARE a nodename while
-    # exposing different CPU features — and XLA:CPU AOT artifacts (host-side
-    # programs cached alongside the TPU executables) SIGILL when loaded
-    # under a different CPU feature profile — a cold cache on a new host is
-    # a 15-min compile, a poisoned one is a crashed bench.
+    # PER-HOST subdirectory (nodename + CPU-IDENTITY hash): the repo
+    # persists across rounds on different machines which can share a
+    # nodename AND a cpuinfo flags line (VM masquerade) while running
+    # different microarchitectures — XLA detects the real uarch via CPUID,
+    # so foreign XLA:CPU AOT artifacts (host-side programs cached alongside
+    # the TPU executables) SIGILL/segfault on load. vendor/family/model/
+    # stepping discriminate uarch even under masquerade; a cold cache on a
+    # new host is a 15-min compile, a poisoned one is a crashed bench.
+    # Keep in sync with tools/_cache.py and tests/conftest.py.
     import hashlib
     import platform
 
+    _FIELDS = ("vendor_id", "cpu family", "model", "model name", "stepping",
+               "flags")
     try:
+        _ident = []
         with open("/proc/cpuinfo") as f:
-            _flags = next((ln for ln in f if ln.startswith("flags")), "")
+            for _ln in f:
+                if not _ln.strip():
+                    break  # first CPU block only
+                if _ln.split(":")[0].strip() in _FIELDS:
+                    _ident.append(_ln.strip())
+        _ident_s = "\n".join(_ident)
     except OSError:
-        _flags = platform.processor() or ""
+        _ident_s = platform.processor() or ""
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
         f"{platform.node() or 'host'}-"
-        f"{hashlib.md5(_flags.encode()).hexdigest()[:8]}",
+        f"{hashlib.md5(_ident_s.encode()).hexdigest()[:8]}",
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

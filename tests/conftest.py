@@ -12,6 +12,7 @@ jax.config.update, which works any time before first backend use.
 import os
 
 import jax
+import pytest
 
 # PXT_TPU_TESTS=1: run the @pytest.mark.tpu subset on the REAL chip (Mosaic-
 # compiled kernels vs their jnp oracles — see tools/run_tpu_tests.sh). Keeps
@@ -20,20 +21,31 @@ TPU_MODE = os.environ.get("PXT_TPU_TESTS", "0") == "1"
 
 
 def _host_cache_key():
-    """Node name + CPU-feature hash. Nodename alone is NOT enough: distinct
-    machines across rounds can share a hostname while exposing different CPU
-    features, and XLA:CPU AOT artifacts compiled under another feature
-    profile SIGILL (or silently warn) on load — observed as cpu_aot_loader
-    machine-feature warnings despite per-node keying."""
+    """Node name + CPU-IDENTITY hash (vendor/family/model/stepping/model
+    name/flags). Nodename alone is NOT enough (distinct machines share
+    "vm"), and the flags line alone is ALSO not enough: VM hosts masquerade
+    identical flag lines while running different microarchitectures, and
+    XLA detects the real uarch via CPUID (e.g. +prefer-no-scatter tuning) —
+    observed as a cross-machine hash collision whose foreign XLA:CPU AOT
+    artifacts SEGFAULTED mid-suite (cpu_aot_loader machine-feature warnings
+    are the tell). Keep in sync with tools/_cache.py and bench.py."""
     import hashlib
     import platform
 
+    fields = ("vendor_id", "cpu family", "model", "model name", "stepping",
+              "flags")
     try:
+        ident = []
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            for ln in f:
+                if not ln.strip():
+                    break  # first CPU block only
+                if ln.split(":")[0].strip() in fields:
+                    ident.append(ln.strip())
+        ident_s = "\n".join(ident)
     except OSError:
-        flags = platform.processor() or ""
-    tag = hashlib.md5(flags.encode()).hexdigest()[:8]
+        ident_s = platform.processor() or ""
+    tag = hashlib.md5(ident_s.encode()).hexdigest()[:8]
     return f"{platform.node() or 'host'}-{tag}"
 
 
@@ -51,24 +63,46 @@ else:
     # values in float64 too); dedicated fp32 smoke tests override locally.
     jax.config.update("jax_enable_x64", True)
 
-    # Persistent compilation cache: repeated pytest runs skip recompilation.
-    # PER-HOST subdirectory (nodename + CPU-feature hash, see
-    # _host_cache_key): the repo persists across rounds on different
-    # machines, and XLA:CPU AOT artifacts compiled under another host's
-    # feature profile SIGILL/abort on load (observed as flaky mid-suite
-    # "Fatal Python error: Aborted" — the cpu_aot_loader machine-feature
-    # warnings are the tell).
-    _cache_dir = os.path.join(
-        os.path.dirname(__file__), ".jax_cache", _host_cache_key()
-    )
+    # NO persistent compilation cache for the CPU suite. Two independent
+    # segfault classes were traced to it (round 3):
+    #   1. cross-MACHINE poisoning — XLA:CPU AOT artifacts compiled under a
+    #      different microarchitecture SIGILL/segfault on load, and VM hosts
+    #      masquerade identical nodenames AND cpuinfo flag lines while XLA
+    #      detects the real uarch via CPUID (+prefer-no-scatter tuning), so
+    #      even a nodename+flags-hash key COLLIDED across rounds;
+    #   2. CONCURRENT access — two local jax processes sharing the dir
+    #      segfaulted compilation_cache.get_executable_and_time
+    #      deserializing an entry mid-run (cold cache, same host).
+    # The warm-cache saving (~2x suite time) is not worth nondeterministic
+    # aborts; CPU compiles are local LLVM and tolerably fast. TPU_MODE keeps
+    # its cache: remote TPU compiles are ~15 min cold and those runs are
+    # single-process.
+    _cache_dir = None
 
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if _cache_dir is not None:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_live_executables():
+    """Release compiled XLA:CPU executables between test modules.
+
+    The full suite accumulates hundreds of live jitted programs (it runs
+    cacheless — see above), and XLA:CPU's JIT segfaulted DETERMINISTICALLY
+    inside backend_compile_and_load once the cumulative volume crossed a
+    threshold (~160 tests in, reproduced 3/3 full runs at the same two
+    adjacent heavy compiles; the same tests pass when their directory runs
+    alone, and an unlimited-stack re-exec did NOT help — so it is
+    live-JIT-state volume, not recursion depth or rlimits). Clearing JAX's
+    jit caches at module granularity bounds the live-executable set to one
+    module's worth; each module recompiles its own programs anyway, so the
+    only cost is losing rare cross-module program reuse."""
+    yield
+    jax.clear_caches()
 
 
 def pytest_collection_modifyitems(config, items):
-    import pytest
-
     if TPU_MODE:
         skip = pytest.mark.skip(
             reason="non-tpu test skipped under PXT_TPU_TESTS=1 (CPU suite "

@@ -17,12 +17,27 @@ import platform
 
 
 def host_cache_key() -> str:
+    # hash the full stable CPU identity, not just the flags line: VM hosts
+    # masquerade identical nodenames ("vm") AND identical flag lines while
+    # running different microarchitectures, and XLA detects the real uarch
+    # via CPUID (e.g. +prefer-no-scatter tuning on some models) — observed
+    # as a cross-machine hash COLLISION whose foreign AOT artifacts
+    # segfaulted mid-suite. vendor/family/model/stepping discriminate uarch
+    # even under masquerade.
+    _FIELDS = ("vendor_id", "cpu family", "model", "model name", "stepping",
+               "flags")
     try:
+        ident = []
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            for ln in f:
+                if not ln.strip():
+                    break  # first CPU block only
+                if ln.split(":")[0].strip() in _FIELDS:
+                    ident.append(ln.strip())
+        ident_s = "\n".join(ident)
     except OSError:
-        flags = platform.processor() or ""
-    tag = hashlib.md5(flags.encode()).hexdigest()[:8]
+        ident_s = platform.processor() or ""
+    tag = hashlib.md5(ident_s.encode()).hexdigest()[:8]
     return f"{platform.node() or 'host'}-{tag}"
 
 
