@@ -45,6 +45,7 @@ from .sdeint import (
     make_foster2_term,
     make_sra1_term,
     make_sriw1_term,
+    make_general_taylor15_term,
     make_taylor15_term,
     make_weak2_general_term,
     make_weak2_term,
@@ -67,11 +68,15 @@ _TERM_BUILDERS = {
     "foster2": make_foster2_term,
     "foster2_general": make_foster2_general_term,
     "taylor15": make_taylor15_term,
+    "taylor15_general": make_general_taylor15_term,
+    "taylor15_commutative": lambda d, g, bm: make_general_taylor15_term(
+        d, g, bm, use_area=False
+    ),
     "weak2": make_weak2_term,
     "weak2_general": make_weak2_general_term,
 }
 
-_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general", "foster2_general", "weak2_general"}
+_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general", "foster2_general", "weak2_general", "taylor15_general", "taylor15_commutative"}
 _SCHEME_ALIASES = {
     "stratonovich_heun": "heun_stratonovich",
     "general_sra1": "sra1_general",
@@ -81,6 +86,8 @@ _SCHEME_ALIASES = {
     "foster": "foster2",
     "general_foster2": "foster2_general",
     "ito_taylor15": "taylor15",
+    "general_taylor15": "taylor15_general",
+    "commutative_taylor15": "taylor15_commutative",
     "platen_weak2": "weak2",
     "weak2_platen": "weak2",
     "general_weak2": "weak2_general",
@@ -112,9 +119,10 @@ def sdeint_adjoint(
 
     Accepts 'euler' or any dedicated SDE scheme (milstein / sra1 / sriw1 /
     taylor15 / foster2 / weak2 / heun_stratonovich / euler_general /
-    milstein_general / milstein_commutative / weak2_general — the
-    general-noise schemes take a matrix diffusion ``G(t, y) -> [..., D, M]``
-    and ``noise_dim=M``, as in :func:`sdeint`).
+    milstein_general / milstein_commutative / weak2_general /
+    taylor15_general / taylor15_commutative — the general-noise schemes take
+    a matrix diffusion ``G(t, y) -> [..., D, M]`` and ``noise_dim=M``, as in
+    :func:`sdeint`).
 
     ``options={"step_size": h}`` runs a finer internal grid: each output
     interval ``[t_i, t_{i+1}]`` is cut into ``ceil(max_interval / h)`` equal
@@ -166,7 +174,7 @@ def sdeint_adjoint(
                 "use 'euler' (Euler-Maruyama) or an SDE scheme (milstein/sra1/"
                 "sriw1/foster2/heun_stratonovich/euler_general/"
                 "milstein_general/milstein_commutative/sra1_general/"
-                "foster2_general)"
+                "foster2_general/taylor15_general/taylor15_commutative)"
             )
         step_fn, _ = FIXED_STEP_FNS[spec.name]
     else:
@@ -227,14 +235,16 @@ def sdeint_adjoint(
             "sdeint_adjoint's diagonal-noise contract requires a single-array "
             f"state (got a pytree with {len(leaves)} leaves)"
         )
-    if scheme in ("sra1", "sriw1", "sra1_general", "taylor15") and (
+    if scheme in (
+        "sra1", "sriw1", "sra1_general", "taylor15", "taylor15_commutative"
+    ) and (
         levy_area_approximation == "none" and bm is None
     ):
         levy_area_approximation = "space-time"
     if scheme in ("foster2", "foster2_general") and bm is None:
         levy_area_approximation = "space-time-time"  # (W, I10, K) triple
-    if scheme == "milstein_general" and bm is None and levy_area_approximation in (
-        "none", "space-time"
+    if scheme in ("milstein_general", "taylor15_general") and bm is None and (
+        levy_area_approximation in ("none", "space-time")
     ):
         levy_area_approximation = "davie"  # needs full areas A_{j1,j2}
     if bm is None:
@@ -257,16 +267,20 @@ def sdeint_adjoint(
             t_lo, t_hi, size=size, dtype=leaves[0].dtype, key=key,
             levy_area_approximation=levy_area_approximation,
         )
-    if scheme == "milstein_general":
+    if scheme in ("milstein_general", "taylor15_general"):
+        commutative_alt = (
+            "milstein_commutative" if scheme == "milstein_general"
+            else "taylor15_commutative"
+        )
         if getattr(bm, "levy_area_approximation", "none") not in ("davie", "foster"):
             raise ValueError(
-                "milstein_general needs full Lévy areas: construct the "
+                f"{scheme} needs full Lévy areas: construct the "
                 "Brownian motion with levy_area_approximation='davie' or "
-                "'foster' (or use milstein_commutative if the noise commutes)"
+                f"'foster' (or use {commutative_alt} if the noise commutes)"
             )
         if len(getattr(bm, "shape", ())) < 2:
             raise ValueError(
-                "milstein_general needs bm size [..., M] with at least a "
+                f"{scheme} needs bm size [..., M] with at least a "
                 "batch axis: a 1-D bm is treated as independent scalar "
                 "Brownian motions whose Lévy area is zero (add a leading "
                 "batch axis of 1)"

@@ -44,7 +44,8 @@ _WEAK_ORDER = {
     "stratonovich_heun": 1.0, "euler_general": 1.0, "general_euler": 1.0,
     "milstein_general": 1.0, "general_milstein": 1.0,
     "milstein_commutative": 1.0, "commutative_milstein": 1.0,
-    "taylor15": 1.0,
+    "taylor15": 1.0, "taylor15_general": 1.0, "general_taylor15": 1.0,
+    "taylor15_commutative": 1.0, "commutative_taylor15": 1.0,
     "sra1": 2.0, "sriw1": 2.0, "sra1_general": 2.0, "general_sra1": 2.0,
     "foster2": 2.0, "foster": 2.0, "foster2_general": 2.0,
     "general_foster2": 2.0,

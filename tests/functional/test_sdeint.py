@@ -1468,3 +1468,266 @@ def test_weak2_reverse_weak_consistency():
     fwd = sdeint(f, g, y0, ts, "weak2", bm=bm, time_axis=0)
     back = sdeint(f, g, fwd[-1], ts[::-1], "weak2", bm=bm, time_axis=0)
     assert abs(float(jnp.mean(back[-1])) - 1.0) < 5e-3
+
+
+# taylor15_general: autodiff Itô–Taylor strong 1.5 for GENERAL (matrix)
+# multiplicative noise — the m>1 rung above milstein_general that the
+# reference (Euler-only sdeint, paddlexde/functional/sdeint.py:9-37) and the
+# rest of the zoo lack. Triple iterated integrals come from the level-3
+# log-signature construction (`_levy_triple_integrals`): exact shuffle
+# algebra always, exact VALUES for commutative noise, area-law-bounded
+# otherwise (documented in the factory docstring).
+
+
+def _commuting_pair_setup(n_paths=256, key=5, levy="davie"):
+    """Two-channel commuting linear SDE with a matrix-exponential closed
+    form: B1, B2, A0 all polynomials in one nilpotent N, so
+    y(T) = expm((A0 - B1²/2 - B2²/2)T + B1·W1 + B2·W2) y0 pathwise."""
+    n_mat = jnp.array([[0.0, 1.0], [0.0, 0.0]], jnp.float64)
+    eye = jnp.eye(2, dtype=jnp.float64)
+    b1 = 0.4 * eye + 0.7 * n_mat
+    b2 = -0.3 * eye + 0.5 * n_mat
+    a0 = 0.5 * eye + 0.2 * n_mat
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    f = lambda t, y: y @ a0.T
+    g = lambda t, y: jnp.stack([y @ b1.T, y @ b2.T], axis=-1)
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 2), key=jax.random.key(key),
+                          dtype=jnp.float64, levy_area_approximation=levy)
+    w = bm(0.0, 1.0)  # [n_paths, 2]
+    from jax.scipy.linalg import expm
+
+    expo = ((a0 - 0.5 * (b1 @ b1) - 0.5 * (b2 @ b2))[None]
+            + jnp.einsum("b,ij->bij", w[:, 0], b1)
+            + jnp.einsum("b,ij->bij", w[:, 1], b2))
+    exact = jnp.einsum("bij,j->bi", jax.vmap(expm)(expo), y0[0])
+    return f, g, y0, bm, exact
+
+
+def test_levy_triple_integral_identities():
+    """The I3 construction is a GEOMETRIC level-3 extension: the Itô
+    insertion identity ΔW_a·I(b,c) = I(a,b,c)+I(b,a,c)+I(b,c,a)
+    + δ_ab·I(0,c) + δ_ac·I(b,0) holds to machine precision for arbitrary
+    (ΔW, U, A), and the diagonal reduces to the exact (ΔW³−3hΔW)/6."""
+    from paddlexde_tpu.functional.sdeint import _levy_triple_integrals
+
+    rng = np.random.default_rng(0)
+    m, h = 4, 0.37
+    w = jnp.asarray(rng.normal(size=(m,)) * np.sqrt(h))
+    u = jnp.asarray(rng.normal(size=(m,)) * h**1.5)
+    a_raw = rng.normal(size=(m, m)) * h
+    a = jnp.asarray(a_raw - a_raw.T) / 2
+
+    i3 = _levy_triple_integrals(w, u, a, h)
+    eye = jnp.eye(m)
+    i2 = 0.5 * (w[:, None] * w[None, :] - h * eye) + a
+    i0c = h * w - u
+    lhs = w[:, None, None] * i2[None, :, :]
+    rhs = (i3 + jnp.transpose(i3, (1, 0, 2)) + jnp.transpose(i3, (2, 0, 1))
+           + eye[:, :, None] * i0c[None, None, :]
+           + jnp.einsum("ac,b->abc", eye, u))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-15)
+
+    diag = jnp.stack([i3[j, j, j] for j in range(m)])
+    np.testing.assert_allclose(np.asarray(diag),
+                               np.asarray((w**3 - 3 * h * w) / 6), atol=1e-15)
+
+
+def test_taylor15_general_commutative_matrix_strong_order():
+    """Strong order ~1.5 on the two-channel commuting-matrix closed form;
+    must clearly beat milstein_general (order 1.0) in slope and error.
+    taylor15_commutative on the SAME bm must agree to f64 precision (every
+    A term cancels against the symmetric coefficient tensors)."""
+    f, g, y0, bm, exact = _commuting_pair_setup()
+
+    def err(method, n):
+        ts = jnp.linspace(0.0, 1.0, n)
+        sol = sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)
+        return float(jnp.sqrt(jnp.mean(jnp.sum((sol[-1] - exact) ** 2, -1))))
+
+    ta_c, ta_f = err("taylor15_general", 17), err("taylor15_general", 65)
+    mi_f = err("milstein_general", 65)
+    order = np.log(ta_c / ta_f) / np.log(4.0)
+    # measured: ladder slopes 1.24-1.62 around 1.5; ~20x below milstein at
+    # n=65 (smoke run: errs 5.4e-3 -> 2.5e-4 over n=16..128)
+    assert order > 1.25, (order, ta_c, ta_f)
+    assert ta_f < mi_f * 0.25, (ta_f, mi_f)
+
+    ts = jnp.linspace(0.0, 1.0, 17)
+    sol_g = sdeint(f, g, y0, ts, "taylor15_general", bm=bm, time_axis=0)
+    sol_c = sdeint(f, g, y0, ts, "taylor15_commutative", bm=bm, time_axis=0)
+    np.testing.assert_allclose(np.asarray(sol_g), np.asarray(sol_c),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_taylor15_general_m1_matches_scalar_taylor15():
+    """M=1 collapses every einsum to the scalar-channel formulas: the same
+    davie bm driven through taylor15_general and taylor15 must agree to
+    f64 roundoff (A is the zero [..,1,1] matrix)."""
+    b_mat = jnp.array([[0.3, 0.5], [-0.5, 0.3]], jnp.float64)
+    a_mat = 0.5 * jnp.eye(2) + 0.3 * b_mat
+    n_paths = 64
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 1), key=jax.random.key(3),
+                          dtype=jnp.float64, levy_area_approximation="davie")
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    f = lambda t, y: y @ a_mat.T
+    ts = jnp.linspace(0.0, 1.0, 17)
+    sol_gen = sdeint(f, lambda t, y: (y @ b_mat.T)[..., None], y0, ts,
+                     "taylor15_general", bm=bm, time_axis=0)
+    sol_sca = sdeint(f, lambda t, y: y @ b_mat.T, y0, ts,
+                     "taylor15", bm=bm, time_axis=0)
+    np.testing.assert_allclose(np.asarray(sol_gen), np.asarray(sol_sca),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_taylor15_general_time_dependent_g_order():
+    """Time-dependent matrix diffusion: channel 1 carries σ(t) = s0 + s1·t
+    (exercising ∂t G inside L⁰G — the SRA1 lesson: constant-G tests cannot
+    see a dropped time derivative). Closed form via ∫σdW = σ(T)W_T − s1·U_T
+    with the tree's exact per-channel U."""
+    s0, s1 = 0.5, 0.9
+    n_mat = jnp.array([[0.0, 1.0], [0.0, 0.0]], jnp.float64)
+    eye = jnp.eye(2, dtype=jnp.float64)
+    b1 = 0.4 * eye + 0.7 * n_mat
+    b2 = -0.3 * eye + 0.5 * n_mat
+    a0 = 0.5 * eye + 0.2 * n_mat
+    n_paths, t1 = 256, 1.0
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    f = lambda t, y: y @ a0.T
+    g = lambda t, y: jnp.stack([(s0 + s1 * t) * (y @ b1.T), y @ b2.T], axis=-1)
+    bm = BrownianInterval(0.0, t1, size=(n_paths, 2), key=jax.random.key(9),
+                          dtype=jnp.float64, levy_area_approximation="davie")
+    w, u = bm(0.0, t1, return_U=True)
+    from jax.scipy.linalg import expm
+
+    int_sdw = (s0 + s1 * t1) * w[:, 0] - s1 * u[:, 0]  # ∫σ(s)dW1, exact
+    int_s2 = s0 * s0 * t1 + s0 * s1 * t1**2 + s1 * s1 * t1**3 / 3.0
+    expo = ((a0 * t1 - 0.5 * int_s2 * (b1 @ b1) - 0.5 * t1 * (b2 @ b2))[None]
+            + jnp.einsum("b,ij->bij", int_sdw, b1)
+            + jnp.einsum("b,ij->bij", w[:, 1], b2))
+    exact = jnp.einsum("bij,j->bi", jax.vmap(expm)(expo), y0[0])
+
+    def err(method, n):
+        ts = jnp.linspace(0.0, t1, n)
+        sol = sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)
+        return float(jnp.sqrt(jnp.mean(jnp.sum((sol[-1] - exact) ** 2, -1))))
+
+    ta_c, ta_f = err("taylor15_general", 17), err("taylor15_general", 65)
+    mi_f = err("milstein_general", 65)
+    order = np.log(ta_c / ta_f) / np.log(4.0)
+    assert order > 1.25, (order, ta_c, ta_f)
+    assert ta_f < mi_f * 0.25, (ta_f, mi_f)
+
+
+def test_taylor15_general_constant_g_consistency():
+    """Constant matrix G, zero drift: every derivative term vanishes and the
+    update telescopes to exactly y0 + G·W(T)."""
+    g_mat = jnp.array([[0.4, -0.2, 0.1], [0.0, 0.3, 0.6]], jnp.float64)
+    n_paths = 32
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 3), key=jax.random.key(1),
+                          dtype=jnp.float64, levy_area_approximation="davie")
+    y0 = jnp.zeros((n_paths, 2), jnp.float64)
+    ts = jnp.linspace(0.0, 1.0, 9)
+    sol = sdeint(lambda t, y: jnp.zeros_like(y),
+                 lambda t, y: jnp.broadcast_to(g_mat, y.shape[:-1] + (2, 3)),
+                 y0, ts, "taylor15_general", bm=bm, time_axis=0)
+    w = bm(0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(sol[-1]),
+                               np.asarray(w @ g_mat.T), rtol=1e-12, atol=1e-13)
+
+
+def test_taylor15_general_reverse_retraces():
+    """reverse=True integrates the matrix-corrected reversed system with the
+    same scheme on ReverseBrownian's exact (ΔW̃, Ũ, Ã) algebra: marching the
+    forward terminal state back to t=0 recovers y0 at the scheme's accuracy."""
+    f, g, y0, bm, _ = _commuting_pair_setup(n_paths=64, key=11)
+    ts = jnp.linspace(0.0, 1.0, 65)
+    fwd = sdeint(f, g, y0, ts, "taylor15_general", bm=bm, time_axis=0)
+    back = sdeint(f, g, fwd[-1], ts[::-1], "taylor15_general", bm=bm,
+                  time_axis=0)
+    err = float(jnp.sqrt(jnp.mean(jnp.sum((back[-1] - y0) ** 2, -1))))
+    em_back = sdeint(f, g, fwd[-1], ts[::-1], "euler_general", bm=bm,
+                     time_axis=0)
+    em_err = float(jnp.sqrt(jnp.mean(jnp.sum((em_back[-1] - y0) ** 2, -1))))
+    assert err < 2e-3, err
+    assert err < em_err * 0.1, (err, em_err)
+
+
+def test_taylor15_general_adjoint_exact_vs_direct():
+    """Replay adjoint through taylor15_general equals direct backprop on the
+    same discrete path (grads w.r.t. y0 AND the drift matrix)."""
+    from paddlexde_tpu import sdeint as _sdeint
+    from paddlexde_tpu import sdeint_adjoint
+
+    n_mat = jnp.array([[0.0, 1.0], [0.0, 0.0]], jnp.float64)
+    eye = jnp.eye(2, dtype=jnp.float64)
+    b1 = 0.4 * eye + 0.7 * n_mat
+    b2 = -0.3 * eye + 0.5 * n_mat
+    a0 = 0.5 * eye + 0.2 * n_mat
+    n_paths = 16
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 2), key=jax.random.key(5),
+                          dtype=jnp.float64, levy_area_approximation="davie")
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    g = lambda t, y: jnp.stack([y @ b1.T, y @ b2.T], axis=-1)
+    ts = jnp.linspace(0.0, 1.0, 17)
+
+    def loss(solve, y0_, a_mat):
+        f = lambda t, y: y @ a_mat.T
+        return jnp.sum(
+            solve(f, g, y0_, ts, "taylor15_general", bm=bm, time_axis=0)[-1]
+            ** 2
+        )
+
+    ga = jax.grad(lambda y, a: loss(sdeint_adjoint, y, a), argnums=(0, 1))(y0, a0)
+    gd = jax.grad(lambda y, a: loss(_sdeint, y, a), argnums=(0, 1))(y0, a0)
+    for x, y in zip(ga, gd):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-10, atol=1e-12)
+
+
+def test_taylor15_general_noncommutative_mean_and_smoke():
+    """NON-commuting channels ([B1,B2] ≠ 0): the strong order is bounded by
+    the Davie area law + the dropped Lie-triple component (documented), but
+    the scheme must stay finite, beat euler_general against a fine-grid
+    reference of ITSELF on the same tree, and keep the exact linear-SDE mean
+    E[y(T)] = expm(A0·T)·y0 within the h²-bias + MC envelope."""
+    b1 = jnp.array([[0.0, 0.6], [0.0, 0.0]], jnp.float64)
+    b2 = jnp.array([[0.0, 0.0], [0.7, 0.0]], jnp.float64)  # [b1,b2] != 0
+    a0 = jnp.array([[0.3, 0.1], [-0.1, 0.2]], jnp.float64)
+    n_paths = 4096
+    y0 = jnp.tile(jnp.array([1.0, 0.5], jnp.float64), (n_paths, 1))
+    f = lambda t, y: y @ a0.T
+    g = lambda t, y: jnp.stack([y @ b1.T, y @ b2.T], axis=-1)
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 2), key=jax.random.key(17),
+                          dtype=jnp.float64, levy_area_approximation="foster")
+    ts = jnp.linspace(0.0, 1.0, 33)
+    sol = sdeint(f, g, y0, ts, "taylor15_general", bm=bm, time_axis=0)
+    assert bool(jnp.all(jnp.isfinite(sol)))
+
+    from jax.scipy.linalg import expm
+
+    mean_exact = expm(a0) @ y0[0]
+    mean_mc = jnp.mean(sol[-1], axis=0)
+    stderr = jnp.std(sol[-1], axis=0) / np.sqrt(n_paths)
+    gap = np.abs(np.asarray(mean_mc - mean_exact))
+    assert (gap < 4.0 * np.asarray(stderr) + 3e-3).all(), (gap, stderr)
+
+
+def test_taylor15_general_guards():
+    """Contract errors fail loudly: missing noise_dim, a space-time bm
+    (needs davie/foster), and a 1-D bm (no cross-channel areas)."""
+    f = lambda t, y: 0.1 * y
+    g = lambda t, y: jnp.stack([0.2 * y, 0.3 * y], axis=-1)
+    y0 = jnp.ones((4, 2), jnp.float64)
+    ts = jnp.linspace(0.0, 1.0, 5)
+    with pytest.raises(ValueError, match="noise_dim"):
+        sdeint(f, g, y0, ts, "taylor15_general", time_axis=0)
+    bm_st = BrownianInterval(0.0, 1.0, size=(4, 2), key=jax.random.key(0),
+                             dtype=jnp.float64,
+                             levy_area_approximation="space-time")
+    with pytest.raises(ValueError, match="taylor15_commutative"):
+        sdeint(f, g, y0, ts, "taylor15_general", bm=bm_st, time_axis=0)
+    bm_1d = BrownianInterval(0.0, 1.0, size=(2,), key=jax.random.key(0),
+                             dtype=jnp.float64,
+                             levy_area_approximation="davie")
+    with pytest.raises(ValueError, match="batch axis"):
+        sdeint(f, g, y0[0:1], ts, "taylor15_general", bm=bm_1d, time_axis=0)
