@@ -168,10 +168,42 @@ def _cpu_compare_main():
     print(json.dumps(_core_measurements()))
 
 
+def _device_probe(timeout_s):
+    """True iff ``jax.devices()`` succeeds within ``timeout_s`` in a fresh
+    subprocess (inheriting this process's backend env). A wedged axon tunnel
+    blocks backend init INDEFINITELY with zero CPU (observed round 3) — a
+    hung bench records nothing, so probe out-of-process and bound the wait."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
     import os
 
     import jax
+
+    # Bounded wait for the accelerator; fall back to CPU (honestly labeled
+    # via the JSON's "backend" field) rather than hang past the driver's
+    # patience. Budget/probe interval tunable for local runs.
+    wait_budget = float(os.environ.get("PXT_BENCH_DEVICE_WAIT_S", "900"))
+    probe_timeout = float(os.environ.get("PXT_BENCH_PROBE_TIMEOUT_S", "120"))
+    deadline = time.time() + wait_budget
+    while not _device_probe(probe_timeout):
+        if time.time() >= deadline:
+            jax.config.update("jax_platforms", "cpu")
+            break
+        # >=65 s between probes: a timed-out probe child is SIGKILLed, which
+        # can wedge the device claim ~60 s — re-probing sooner self-wedges
+        time.sleep(min(90.0, max(65.0, deadline - time.time())))
 
     # persistent compilation cache: cold TPU compiles for this bench take
     # ~15 min through the remote compiler; with the cache warm (populated by
