@@ -16,6 +16,7 @@ from .brownian import (  # noqa: F401
     BrownianInterval,
     BrownianPath,
     BrownianTree,
+    AntitheticBrownian,
     ReverseBrownian,
     brownian_interval_like,
 )

@@ -5,6 +5,7 @@ from .api import (  # noqa: F401
     BrownianPath,
     BrownianTree,
     ReverseBrownian,
+    AntitheticBrownian,
     brownian_interval_like,
 )
 from .virtual_tree import (  # noqa: F401

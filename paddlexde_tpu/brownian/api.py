@@ -24,6 +24,7 @@ __all__ = [
     "BrownianPath",
     "BrownianTree",
     "ReverseBrownian",
+    "AntitheticBrownian",
     "brownian_interval_like",
     "LEVY_AREA_APPROXIMATIONS",
 ]
@@ -217,6 +218,53 @@ class BrownianTree(BrownianInterval):
             **kwargs,
         )
         self._w0 = None if w0 is None else jnp.asarray(w0)
+
+
+class AntitheticBrownian(BaseBrownian):
+    """The pathwise-negated driving noise ``W̃ = −W`` for antithetic-variate
+    Monte Carlo (no reference counterpart — its sdeint has no expectation
+    tooling at all, ``paddlexde/functional/sdeint.py:9-37``).
+
+    Negation preserves the Brownian law, so a solve driven by this wrapper is
+    an equally valid sample whose functional is negatively correlated with
+    the base path's — averaging the pair cancels the odd part of the
+    functional exactly. Transformations are linearity in W per query:
+
+        ΔW̃ = −ΔW       Ũ = −U       K̃ = −K       Ã = +A
+
+    (the Lévy area is BILINEAR in the path, so the sign squares away:
+    Ã_ij = ½∫(−W_i)d(−W_j) − ½∫(−W_j)d(−W_i) = A_ij). Exposes the base tree
+    via ``base_brownian`` so schemes that derive auxiliary counters from the
+    tree key (weak2's two-point V) keep working — V is independent of W and
+    symmetric in law, so sharing it across the antithetic pair stays
+    unbiased and tightens the coupling.
+    """
+
+    def __init__(self, base_brownian: BaseBrownian):
+        self.base_brownian = base_brownian
+        self._shape = base_brownian.shape
+        self._dtype = base_brownian.dtype
+        self._levy = base_brownian.levy_area_approximation
+
+    def __call__(self, ta, tb=None, return_U=False, return_A=False,
+                 return_K=False):
+        out = self.base_brownian(
+            ta, tb, return_U=return_U, return_A=return_A, return_K=return_K
+        )
+        if not (return_U or return_A or return_K):
+            return jax.tree.map(jnp.negative, out)
+        res = [jax.tree.map(jnp.negative, out[0])]  # −ΔW
+        pos = 1
+        if return_U or return_K:  # the tree returns U whenever K is asked
+            res.append(jax.tree.map(jnp.negative, out[pos]))  # −U
+            pos += 1
+        if return_K:
+            res.append(jax.tree.map(jnp.negative, out[pos]))  # −K
+            pos += 1
+        if return_A:
+            res.append(out[pos])  # +A (bilinear)
+            pos += 1
+        return tuple(res)
 
 
 class ReverseBrownian(BaseBrownian):

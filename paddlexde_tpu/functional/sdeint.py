@@ -1138,6 +1138,65 @@ def _solve_adaptive_sde(term, y0, span, solver_name, rtol, atol, options):
     return solve_sde_adaptive(term, y0, span, rtol=rtol, atol=atol, **opts)
 
 
+def _default_bm_for_scheme(
+    solver_name, leaf, t_lo, t_hi, key, levy_area_approximation, noise_dim
+):
+    """Single source of truth for the default BrownianInterval ``sdeint``
+    builds when ``bm`` is omitted: the scheme-appropriate Lévy mode (sra1/
+    sriw1/taylor15-class need (W, I10); foster2 the (W, I10, K) triple;
+    milstein_general/taylor15_general full Davie areas) and the
+    scheme-appropriate size (matrix-noise schemes: ``leaf.shape[:-1]+(M,)``;
+    taylor15's scalar channel: ``+(1,)``; diagonal contract: ``leaf.shape``).
+    Shared with :func:`sdeint_weak_mc` (antithetic construction needs the bm
+    object up front to wrap)."""
+    need_levy = solver_name in (
+        "sra1", "sriw1", "sra1_general", "general_sra1", "taylor15",
+        "ito_taylor15", "taylor15_commutative", "commutative_taylor15",
+    )
+    need_k = solver_name in (
+        "foster2", "foster", "foster2_general", "general_foster2"
+    )
+    need_area = solver_name in (
+        "milstein_general", "general_milstein", "taylor15_general",
+        "general_taylor15",
+    )
+    is_general = solver_name in (
+        "euler_general", "general_euler", "milstein_general",
+        "general_milstein", "milstein_commutative", "commutative_milstein",
+        "sra1_general", "general_sra1", "foster2_general", "general_foster2",
+        "weak2_general", "general_weak2", "taylor15_general",
+        "general_taylor15", "taylor15_commutative", "commutative_taylor15",
+    )
+    if need_levy and levy_area_approximation == "none":
+        levy_area_approximation = "space-time"
+    if need_k:
+        levy_area_approximation = "space-time-time"
+    if need_area and levy_area_approximation in ("none", "space-time"):
+        levy_area_approximation = "davie"
+    if is_general:
+        if noise_dim is None:
+            raise ValueError(
+                "general-noise solvers need the Brownian dimension: pass "
+                "noise_dim=M (bm size becomes y.shape[:-1] + (M,)) or an "
+                "explicit bm"
+            )
+        size = leaf.shape[:-1] + (noise_dim,)
+    elif solver_name in ("taylor15", "ito_taylor15"):
+        # scalar noise: ONE Brownian channel broadcast over the state's
+        # last axis
+        size = leaf.shape[:-1] + (1,)
+    else:
+        size = leaf.shape
+    return BrownianInterval(
+        t_lo,
+        t_hi,
+        size=size,
+        dtype=leaf.dtype,
+        key=key,
+        levy_area_approximation=levy_area_approximation,
+    )
+
+
 def sdeint(
     drift,
     diffusion,
@@ -1244,35 +1303,9 @@ def sdeint(
     need_k = is_foster2 or is_general_foster2
     if bm is None:
         t_lo, t_hi = _span_bounds(t_span)
-        if need_levy and levy_area_approximation == "none":
-            levy_area_approximation = "space-time"  # sra1/sriw1 need (W, I10)
-        if need_k:
-            levy_area_approximation = "space-time-time"  # (W, I10, K) triple
-        if (is_general_milstein or is_general_taylor15) and (
-            levy_area_approximation in ("none", "space-time")
-        ):
-            levy_area_approximation = "davie"  # needs full areas A_{j1,j2}
-        if is_general:
-            if noise_dim is None:
-                raise ValueError(
-                    "general-noise solvers need the Brownian dimension: pass "
-                    "noise_dim=M (bm size becomes y.shape[:-1] + (M,)) or an "
-                    "explicit bm"
-                )
-            size = leaves[0].shape[:-1] + (noise_dim,)
-        elif is_taylor15:
-            # scalar noise: ONE Brownian channel broadcast over the state's
-            # last axis
-            size = leaves[0].shape[:-1] + (1,)
-        else:
-            size = leaves[0].shape
-        bm = BrownianInterval(
-            t_lo,
-            t_hi,
-            size=size,
-            dtype=leaves[0].dtype,
-            key=key,
-            levy_area_approximation=levy_area_approximation,
+        bm = _default_bm_for_scheme(
+            solver_name, leaves[0], t_lo, t_hi, key,
+            levy_area_approximation, noise_dim,
         )
     elif need_levy and getattr(bm, "levy_area_approximation", "none") == "none":
         raise ValueError(

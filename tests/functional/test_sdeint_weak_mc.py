@@ -129,3 +129,82 @@ def test_unknown_solver_weak_order():
         pxt.sdeint_weak_mc(
             f, g, y0, 1.0, solver="not_a_scheme", n_paths=64, n_steps=4,
         )
+
+
+def test_antithetic_brownian_algebra():
+    """AntitheticBrownian is the pathwise negation: (−W, −U, −K, +A) per
+    query, exactly (pure linear/bilinear algebra on the base tree)."""
+    import jax
+
+    from paddlexde_tpu.brownian.api import AntitheticBrownian, BrownianInterval
+
+    bm = BrownianInterval(0.0, 1.0, size=(4, 3), key=jax.random.key(2),
+                          dtype=jnp.float64, levy_area_approximation="davie")
+    anti = AntitheticBrownian(bm)
+    w, u, a = bm(0.1, 0.7, return_U=True, return_A=True)
+    wn, un, an = anti(0.1, 0.7, return_U=True, return_A=True)
+    assert jnp.array_equal(wn, -w) and jnp.array_equal(un, -u)
+    assert jnp.array_equal(an, a)
+
+    bm_k = BrownianInterval(0.0, 1.0, size=(4,), key=jax.random.key(2),
+                            dtype=jnp.float64,
+                            levy_area_approximation="space-time-time")
+    anti_k = AntitheticBrownian(bm_k)
+    w, u, k = bm_k(0.0, 0.5, return_K=True)
+    wn, un, kn = anti_k(0.0, 0.5, return_K=True)
+    assert jnp.array_equal(wn, -w) and jnp.array_equal(un, -u)
+    assert jnp.array_equal(kn, -k)
+    assert jnp.array_equal(anti_k(0.0, 0.5), -bm_k(0.0, 0.5))
+
+
+def test_antithetic_variance_reduction_and_unbiasedness():
+    """Antithetic pairing at the SAME n_paths must cut the GBM-mean stderr
+    by well over 2x (measured 13.3x variance = 3.6x stderr at σ=0.4) and
+    stay within its own error bars of the truth."""
+    import jax
+
+    sigma = 0.4
+    f = lambda t, y: MU * y
+    g = lambda t, y: sigma * y
+    y0 = jnp.array([1.0], dtype=jnp.float64)
+    kw = dict(solver="weak2", n_paths=4096, n_steps=8, key=jax.random.key(4))
+    est_p = pxt.sdeint_weak_mc(f, g, y0, 1.0, **kw)
+    est_a = pxt.sdeint_weak_mc(f, g, y0, 1.0, antithetic=True, **kw)
+    assert float(est_a.stderr[0]) < 0.5 * float(est_p.stderr[0]), (
+        float(est_a.stderr[0]), float(est_p.stderr[0]))
+    # unbiased: truth within 4 sigma + the (tiny) weak-2+Richardson bias
+    assert abs(float(est_a.mean[0]) - EXACT) < 4 * float(est_a.stderr[0]) + 1e-3
+
+
+def test_antithetic_general_noise_and_explicit_bm():
+    """Antithetic composes with matrix noise (wraps the general-noise tree)
+    and with a caller-provided bm."""
+    import jax
+
+    from paddlexde_tpu.brownian.api import BrownianInterval
+
+    b1 = jnp.array([[0.0, 0.3], [0.0, 0.0]], jnp.float64)
+    b2 = jnp.array([[0.0, 0.0], [0.2, 0.0]], jnp.float64)
+    a0 = jnp.array([[0.3, 0.1], [-0.1, 0.2]], jnp.float64)
+    f = lambda t, y: y @ a0.T
+    g = lambda t, y: jnp.stack([y @ b1.T, y @ b2.T], axis=-1)
+    y0 = jnp.array([1.0, 0.5], jnp.float64)
+    n_paths = 2048
+    est = pxt.sdeint_weak_mc(
+        f, g, y0, 1.0, solver="weak2_general", n_paths=n_paths, n_steps=8,
+        noise_dim=2, key=jax.random.key(7), antithetic=True,
+    )
+    from jax.scipy.linalg import expm
+
+    mean_exact = expm(a0) @ y0
+    gap = jnp.abs(est.mean - mean_exact)
+    assert bool(jnp.all(gap < 4 * est.stderr + 2e-3)), (gap, est.stderr)
+
+    bm = BrownianInterval(0.0, 1.0, size=(n_paths, 2), key=jax.random.key(9),
+                          dtype=jnp.float64,
+                          levy_area_approximation="davie")
+    est2 = pxt.sdeint_weak_mc(
+        f, g, y0, 1.0, solver="milstein_general", n_paths=n_paths, n_steps=8,
+        noise_dim=2, bm=bm, antithetic=True,
+    )
+    assert bool(jnp.all(jnp.isfinite(est2.mean)))
