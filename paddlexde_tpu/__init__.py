@@ -32,7 +32,9 @@ from .functional import (  # noqa: F401
     sdeint,
     sdeint_adjoint,
     sdeint_event,
+    sdeint_mlmc,
     sdeint_weak_mc,
+    MLMCEstimate,
     WeakEstimate,
 )
 from .solver import (  # noqa: F401

@@ -1,0 +1,251 @@
+"""Multilevel Monte Carlo (Giles 2008) for SDE expectations.
+
+No counterpart exists in the reference (DrownFish19/PaddleXDE — its sdeint,
+``paddlexde/functional/sdeint.py:9-37``, has no expectation tooling). This is
+the cost-optimal estimator for ``E[φ(Y_T)]``: write the fine-grid expectation
+as a telescoping sum over grid levels ``h_l = h0 / 2^l``
+
+    E[φ^L] = E[φ^0] + Σ_{l=1}^{L} E[φ^l − φ^{l−1}]
+
+and estimate each correction with COUPLED pairs (both grids on the SAME
+Brownian path, so ``Var[φ^l − φ^{l−1}] → 0`` as ``h_l → 0``). Spending
+``n_l ∝ sqrt(V_l / C_l)`` paths per level equalizes marginal variance per
+unit cost (Giles' allocation); for Euler–Maruyama + Lipschitz φ the total
+cost to RMS ε is O(ε⁻² log²ε) instead of single-level O(ε⁻³).
+
+TPU-native structure: the virtual tree makes the level coupling FREE — a
+level's fine and coarse solves just query the same stateless tree at
+different resolutions (sequential samplers need custom pairwise coupling
+code). Each level is one batched jitted program over ``(n_l, D)``; the
+outer allocation loop is host-side (classic MLMC control flow — a handful
+of scalar decisions, nothing worth tracing).
+
+Validation (tests/functional/test_sdeint_mlmc.py): level means match the
+closed-form Euler-mean telescoping exactly (deterministic-mean design),
+coupled-level variance decays geometrically, the auto-driver hits its ε
+target on GBM, and the measured cost beats single-level at equal ε.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sdeint import sdeint
+
+__all__ = ["sdeint_mlmc", "MLMCEstimate"]
+
+
+class MLMCEstimate(NamedTuple):
+    """Result of :func:`sdeint_mlmc`.
+
+    value/stderr: the multilevel estimate of ``E[φ(Y_T)]`` at the finest
+    level's discretization, and its Monte-Carlo standard error (sum of
+    per-level variances of the mean). bias_estimate: Richardson-style
+    estimate of the REMAINING discretization bias ``|E[φ−φ^L]| ≈
+    |Ê[Δ_L]| / (2^p − 1)``. n_per_level / var_per_level / mean_per_level:
+    the allocation and the measured per-level statistics (diagnostics —
+    ``var_per_level`` should decay geometrically for a coupled pair).
+    cost_units: Σ n_l·(steps_l + steps_{l−1}) — solver steps actually spent.
+    """
+
+    value: jax.Array
+    stderr: jax.Array
+    bias_estimate: jax.Array
+    n_per_level: tuple
+    var_per_level: tuple
+    mean_per_level: tuple
+    cost_units: float
+
+
+def _level_samples(drift, diffusion, y0, t0, t1, phi, solver, level,
+                   n_steps0, n, key, common):
+    """Coupled per-path samples of Δ_l = φ(Y^l) − φ(Y^{l−1}) (level 0: just
+    φ(Y^0)) over ``n`` fresh paths (fresh = the caller passes a fresh key;
+    the fine and coarse grids share it, which IS the coupling). One batched
+    jitted program per grid."""
+    y0_b = jnp.broadcast_to(y0, (n,) + tuple(np.shape(y0)))
+    kw = dict(common)
+    kw["key"] = key
+    n_fine = n_steps0 * (2 ** level)
+    t_fine = jnp.linspace(t0, t1, n_fine + 1)
+    v_fine = jnp.asarray(
+        phi(sdeint(drift, diffusion, y0_b, t_fine, solver, **kw)[-1])
+    )
+    if level == 0:
+        return v_fine, n_fine
+    t_coarse = jnp.linspace(t0, t1, n_fine // 2 + 1)
+    v_coarse = jnp.asarray(
+        phi(sdeint(drift, diffusion, y0_b, t_coarse, solver, **kw)[-1])
+    )
+    return v_fine - v_coarse, n_fine + n_fine // 2
+
+
+def sdeint_mlmc(
+    drift,
+    diffusion,
+    y0,
+    t1,
+    phi: Optional[Callable] = None,
+    *,
+    t0=0.0,
+    solver: str = "euler",
+    eps: Optional[float] = None,
+    levels: Optional[int] = None,
+    n_per_level: Optional[Sequence[int]] = None,
+    n_steps0: int = 4,
+    n_pilot: int = 1024,
+    max_levels: int = 10,
+    weak_order: float = 1.0,
+    key=None,
+    noise_dim: Optional[int] = None,
+    levy_area_approximation: str = "none",
+) -> MLMCEstimate:
+    """Multilevel MC estimate of ``E[φ(Y_{t1})]`` for ``dy = f dt + g dW``.
+
+    Two modes:
+
+    - **explicit**: pass ``levels`` (+ optionally ``n_per_level``) — runs the
+      telescoping sum as given.
+    - **auto** (``eps=...``): Giles' driver. Pilot ``n_pilot`` paths per
+      level estimate ``(V_l, C_l)``; paths are allocated as
+      ``n_l ∝ sqrt(V_l/C_l)`` to meet ``Var ≤ ε²/2``, and levels are added
+      until the Richardson bias estimate ``|Ê[Δ_L]|/(2^p−1) ≤ ε/√2``
+      (``p = weak_order`` of the scheme).
+
+    Args:
+        y0: initial state, scalar or ``[D]`` (broadcast over paths; per-path
+            initial conditions don't fit the level-wise reallocation).
+        phi: functional ``[n, D] -> [n]`` / ``[n, k]`` (vectorized over the
+            path axis); default identity. MUST be applied pathwise (an
+            expectation of a nonlinear functional of the whole batch is not
+            an MLMC target).
+        n_steps0: level-0 step count (``h_l = (t1−t0)/(n_steps0·2^l)``).
+        solver: any ``sdeint`` scheme; coupling across levels is the virtual
+            tree's interval additivity (nothing scheme-specific).
+
+    Returns:
+        :class:`MLMCEstimate`.
+    """
+    if (eps is None) == (levels is None):
+        raise ValueError("pass exactly one of eps= (auto) or levels= (explicit)")
+    if phi is None:
+        phi = lambda y: y
+    if key is None:
+        key = jax.random.key(0)
+    elif not isinstance(key, jax.Array) or not jnp.issubdtype(
+        key.dtype, jax.dtypes.prng_key
+    ):
+        key = jax.random.key(int(key))
+    y0 = jnp.asarray(y0)
+    common = dict(
+        noise_dim=noise_dim, levy_area_approximation=levy_area_approximation,
+        time_axis=0,
+    )
+
+    sums = {}  # level -> [n, sum, sum_sq] of per-path Δ samples (vector φ ok)
+    draws = {}  # level -> count of batches drawn (keying: every batch fresh)
+    cost = 0.0
+
+    def add_samples(level, n):
+        nonlocal cost
+        # round the batch up to a power of two: every (level, batch-size)
+        # pair is a fresh jit shape, so bucketing bounds the number of
+        # distinct compiles at ~log2 of the largest allocation (the extra
+        # samples are kept — they only tighten the estimate)
+        n = 1 << int(np.ceil(np.log2(max(int(n), 2))))
+        draws[level] = draws.get(level, 0) + 1
+        # independent paths per (level, batch): MLMC levels must be
+        # independent, and successive top-ups of one level must not reuse
+        # the tree
+        batch_key = jax.random.fold_in(
+            jax.random.fold_in(key, level), draws[level]
+        )
+        vals, steps = _level_samples(
+            drift, diffusion, y0, t0, t1, phi, solver, level, n_steps0, n,
+            batch_key, common,
+        )
+        cost += float(n * steps)
+        rec = sums.get(level)
+        s1 = jnp.sum(vals, axis=0)
+        s2 = jnp.sum(vals * vals, axis=0)
+        if rec is None:
+            sums[level] = [n, s1, s2]
+        else:
+            rec[0] += n
+            rec[1] = rec[1] + s1
+            rec[2] = rec[2] + s2
+
+    def stats(level):
+        n, s1, s2 = sums[level]
+        mean = s1 / n
+        var = jnp.maximum(s2 / n - mean * mean, 0.0)
+        return mean, var, n
+
+    if levels is not None:
+        ns = (list(n_per_level) if n_per_level is not None
+              else [max(n_pilot, 2)] * (levels + 1))
+        if len(ns) != levels + 1:
+            raise ValueError(
+                f"n_per_level must have levels+1 = {levels + 1} entries"
+            )
+        for lv, n in enumerate(ns):
+            add_samples(lv, int(n))
+        max_l = levels
+    else:
+        # Giles' adaptive driver (host-side): pilot 3 levels, top levels up
+        # to the optimal allocation (which guarantees Var ≤ ε²/2 once met),
+        # then extend L until the Richardson bias estimate clears ε/√2.
+        max_l = 2
+        for lv in range(max_l + 1):
+            add_samples(lv, n_pilot)
+        while True:
+            # scalar reductions for allocation decisions (max over phi
+            # components keeps vector functionals conservative)
+            v = [max(float(jnp.max(stats(lv)[1])), 1e-300)
+                 for lv in range(max_l + 1)]
+            c = [n_steps0 * (2 ** lv) * (3 if lv else 2) / 2
+                 for lv in range(max_l + 1)]
+            lam = sum(np.sqrt(vi * ci) for vi, ci in zip(v, c))
+            targets = [
+                int(np.ceil(2.0 / eps**2 * np.sqrt(vi / ci) * lam))
+                for vi, ci in zip(v, c)
+            ]
+            grew = False
+            for lv, tgt in enumerate(targets):
+                have = sums[lv][0]
+                if tgt > have:
+                    # bounded chunks: V_l re-estimates as samples arrive
+                    add_samples(lv, min(tgt - have, 16 * n_pilot))  # chunked: V_l re-estimates between chunks
+                    grew = True
+            if grew:
+                continue
+            bias = float(
+                jnp.max(jnp.abs(stats(max_l)[0]))
+            ) / (2.0 ** weak_order - 1.0)
+            if bias <= eps / np.sqrt(2.0) or max_l >= max_levels:
+                break
+            max_l += 1
+            add_samples(max_l, n_pilot)
+
+    means, variances, ns_out = [], [], []
+    for lv in range(max_l + 1):
+        mean, var, n = stats(lv)
+        means.append(mean)
+        variances.append(var)
+        ns_out.append(n)
+    value = sum(means[1:], means[0])
+    stderr = jnp.sqrt(sum(v / n for v, n in zip(variances, ns_out)))
+    bias_estimate = jnp.abs(means[-1]) / (2.0 ** weak_order - 1.0)
+    return MLMCEstimate(
+        value=value,
+        stderr=stderr,
+        bias_estimate=bias_estimate,
+        n_per_level=tuple(ns_out),
+        var_per_level=tuple(float(jnp.max(v)) for v in variances),
+        mean_per_level=tuple(np.asarray(m) for m in means),
+        cost_units=cost,
+    )
