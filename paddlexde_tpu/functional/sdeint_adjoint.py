@@ -163,6 +163,12 @@ def sdeint_adjoint(
     del adjoint_params
     solver_name = solver.lower() if isinstance(solver, str) else ""
     solver_name = _SCHEME_ALIASES.get(solver_name, solver_name)
+    if solver_name in ("reversible_heun", "heun_reversible"):
+        raise ValueError(
+            "reversible_heun's paired (y, z) state does not fit the replay "
+            "adjoint; differentiate sdeint directly (it is one lax.scan — "
+            "O(steps)-memory exact backprop), or use another scheme here"
+        )
     scheme = solver_name if solver_name in _TERM_BUILDERS else None
     if scheme is None:
         spec = resolve_solver(solver)

@@ -42,6 +42,7 @@ __all__ = ["sdeint_weak_mc", "WeakEstimate"]
 # 1 (its bias expansion matches EM's leading power).
 _WEAK_ORDER = {
     "euler": 1.0, "milstein": 1.0, "heun_stratonovich": 1.0,
+    "reversible_heun": 1.0, "heun_reversible": 1.0,
     "stratonovich_heun": 1.0, "euler_general": 1.0, "general_euler": 1.0,
     "milstein_general": 1.0, "general_milstein": 1.0,
     "milstein_commutative": 1.0, "commutative_milstein": 1.0,
