@@ -31,6 +31,9 @@ from .functional import (  # noqa: F401
     odeint_event_grad,
     sdeint,
     sdeint_adjoint,
+    cdeint_logode,
+    logsignature_windows,
+    piecewise_logsignature,
     sdeint_event,
     sdeint_mlmc,
     sdeint_weak_mc,
