@@ -32,6 +32,7 @@ from .functional import (  # noqa: F401
     sdeint,
     sdeint_adjoint,
     cdeint_logode,
+    ddeint_mos,
     logsignature_windows,
     piecewise_logsignature,
     sdeint_event,

@@ -1,5 +1,6 @@
 from .cdeint import cdeint  # noqa: F401
 from .ddeint import ddeint  # noqa: F401
+from .ddeint_mos import ddeint_mos  # noqa: F401
 from .ddeint_adjoint import ddeint_adjoint  # noqa: F401
 from .odeint import odeint, odeint_per_element  # noqa: F401
 from .odeint_adjoint import odeint_adjoint  # noqa: F401

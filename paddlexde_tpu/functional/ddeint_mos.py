@@ -1,0 +1,196 @@
+"""ddeint_mos: TRUE delay differential equations by the method of steps.
+
+The reference's DDE (and this repo's signature-parity :func:`ddeint`)
+evaluates the lagged state ONCE against a fixed pre-t0 history window
+(``paddlexde/xde/base_dde.py:33-36`` in DrownFish19/PaddleXDE — the learned-
+lag seq2seq design D3STN needs). That is not a delay differential equation
+in the classical sense: for ``y'(t) = f(t, y(t), y(t−τ))`` the delayed value
+must re-enter the COMPUTED solution once ``t > t0 + τ``. This module solves
+that problem:
+
+    y'(t) = f(t, y(t), [y(t−τ₁), …, y(t−τ_L)]),   y(t) = φ(t) for t ≤ t0
+
+by the method of steps on a uniform grid: one ``lax.scan`` writes the
+solution (and its derivative) into a preallocated buffer, and every stage's
+lagged lookup cubic-Hermite-interpolates that buffer (or the pre-t0 history
+spline). With ``(y_k, f_k)`` knot pairs the interpolation error is O(h⁴),
+so rk4 keeps its order away from the breaking points (the derivative
+discontinuities a DDE propagates from t0 at multiples of the lags — a
+property of the equation, not the method).
+
+TPU shape: one scan of dense stage math; the buffer lookups are static-shape
+``dynamic_index`` gathers. Whole thing is differentiable by direct backprop —
+including THROUGH the lag times (the lags move the Hermite query point), a
+gradient the reference's history-only design cannot express.
+
+Contract: ``τ_min ≥ step h`` (an overlapping delay ``τ < h`` would need the
+current step's own output — shrink ``step_size`` instead; validated with a
+clear error).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..interpolation.interpolate import CubicHermiteSpline
+from .solve import format_solution
+
+__all__ = ["ddeint_mos"]
+
+
+def _hermite(y0, y1, f0, f1, h, s):
+    """Cubic Hermite on one segment; ``s`` in [0, 1]."""
+    s2, s3 = s * s, s * s * s
+    h00 = 2 * s3 - 3 * s2 + 1
+    h10 = s3 - 2 * s2 + s
+    h01 = -2 * s3 + 3 * s2
+    h11 = s3 - s2
+    return h00 * y0 + h10 * h * f0 + h01 * y1 + h11 * h * f1
+
+
+def ddeint_mos(
+    func,
+    y0,
+    t_span,
+    lags,
+    his,
+    his_span,
+    *,
+    solver: str = "rk4",
+    step_size: Optional[float] = None,
+    time_axis: int = -2,
+):
+    """Solve a true DDE by the method of steps.
+
+    Args:
+        func: ``func(t, y, y_lags) -> dy`` with ``y [..., D]`` and
+            ``y_lags [..., L, D]`` (lag axis stacked before the feature
+            axis, matching :func:`ddeint`'s y_lags layout).
+        y0: initial state at ``t_span[0]`` ``[..., D]``.
+        t_span: output times (uniformly resampled internally; must be
+            increasing).
+        lags: positive delays ``[L]`` (static values or differentiable
+            jnp array — gradients flow through the interpolation query AND
+            the solution's own lag-dependence; FD-exact at generic lags,
+            one-sided exactly at grid-ALIGNED lags where every query sits
+            on an interpolation knot — perturb the lag or the step off the
+            alignment if that kink matters).
+        his / his_span: pre-t0 history knots ``[..., T_h, D]`` / ``[T_h]``
+            with ``his_span[-1] == t_span[0]`` (the history must reach t0);
+            interpolated with a cubic Hermite spline.
+        solver: euler / midpoint / rk4.
+        step_size: uniform internal step h (default: the t_span spacing).
+            Must satisfy ``h <= min(lags)``.
+
+    Returns:
+        solution on ``t_span`` (``time_axis`` placement as elsewhere).
+    """
+    t_span = jnp.asarray(t_span)
+    y0 = jnp.asarray(y0)
+    lags_arr = jnp.atleast_1d(jnp.asarray(lags))
+    his = jnp.asarray(his)
+    his_span = jnp.asarray(his_span)
+    import numpy as np
+
+    t_host = np.asarray(t_span, dtype=np.float64)
+    if t_host.ndim != 1 or len(t_host) < 2 or np.any(np.diff(t_host) <= 0):
+        raise ValueError("t_span must be 1-D increasing")
+    t0, t1 = float(t_host[0]), float(t_host[-1])
+    if step_size is None:
+        step_size = float(np.min(np.diff(t_host)))
+    h = float(step_size)
+    if h <= 0:
+        raise ValueError("step_size must be positive")
+    min_lag = float(np.min(np.asarray(jax.lax.stop_gradient(lags_arr))))
+    if min_lag < h - 1e-12:
+        raise ValueError(
+            f"method of steps needs step_size <= min(lags) (got h={h}, "
+            f"min lag={min_lag}): an overlapping delay would read the "
+            "current step's own output — shrink step_size"
+        )
+    if abs(float(np.asarray(his_span)[-1]) - t0) > 1e-9:
+        raise ValueError(
+            f"his_span must end at t_span[0]={t0} (got {float(np.asarray(his_span)[-1])})"
+        )
+    n_steps = int(np.ceil((t1 - t0) / h - 1e-9))
+    h = (t1 - t0) / n_steps  # exact tiling of the span
+
+    hist = CubicHermiteSpline(his, his_span)
+    dt_y = y0.dtype
+
+    def lagged(buf_y, buf_f, k_written, t_q):
+        """y at query times ``t_q = t − lags`` ([L] per state): history
+        spline below t0, Hermite on the solution buffer above."""
+
+        def one(tq):
+            from_hist = hist.evaluate(jnp.reshape(jnp.minimum(tq, t0), ()))
+            # buffer segment: i = floor((tq−t0)/h), clipped to written range
+            pos = (tq - t0) / h
+            i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
+                         jnp.maximum(k_written - 1, 0))
+            s = jnp.clip(pos - i.astype(pos.dtype), 0.0, 1.0)
+            ya = jnp.take(buf_y, i, axis=0)
+            yb = jnp.take(buf_y, i + 1, axis=0)
+            fa = jnp.take(buf_f, i, axis=0)
+            fb = jnp.take(buf_f, i + 1, axis=0)
+            from_buf = _hermite(ya, yb, fa, fb, jnp.asarray(h, dt_y),
+                                jnp.asarray(s, dt_y))
+            return jnp.where(tq <= t0, from_hist, from_buf)
+
+        return jax.vmap(one, out_axes=-2)(t_q)  # [..., L, D]
+
+    def f_eval(buf_y, buf_f, k_written, t, y):
+        y_lags = lagged(buf_y, buf_f, k_written, t - lags_arr)
+        return func(t, y, y_lags)
+
+    if solver not in ("euler", "midpoint", "rk4"):
+        raise ValueError(
+            f"ddeint_mos supports euler/midpoint/rk4, got {solver!r}"
+        )
+
+    def step(buf_y, buf_f, k, t, y, f_t):
+        hh = jnp.asarray(h, dt_y)
+        if solver == "euler":
+            return y + hh * f_t
+        if solver == "midpoint":
+            k2 = f_eval(buf_y, buf_f, k, t + 0.5 * h, y + 0.5 * hh * f_t)
+            return y + hh * k2
+        k1 = f_t
+        k2 = f_eval(buf_y, buf_f, k, t + 0.5 * h, y + 0.5 * hh * k1)
+        k3 = f_eval(buf_y, buf_f, k, t + 0.5 * h, y + 0.5 * hh * k2)
+        k4 = f_eval(buf_y, buf_f, k, t + h, y + hh * k3)
+        return y + (hh / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+
+    buf_y0 = jnp.zeros((n_steps + 1,) + y0.shape, dt_y).at[0].set(y0)
+    f0 = f_eval(buf_y0, jnp.zeros_like(buf_y0), 0, jnp.asarray(t0), y0)
+    buf_f0 = jnp.zeros_like(buf_y0).at[0].set(f0)
+
+    def body(carry, k):
+        buf_y, buf_f, y, f_t = carry
+        t = t0 + k.astype(jnp.float64) * h
+        y1 = step(buf_y, buf_f, k, t, y, f_t)
+        buf_y = buf_y.at[k + 1].set(y1)
+        # knot derivative for the NEXT step's Hermite segments: evaluated
+        # with the buffer as written so far (its own lag queries reach at
+        # most t1 − min_lag ≤ t, all written)
+        f1 = f_eval(buf_y, buf_f, k + 1, t + h, y1)
+        buf_f = buf_f.at[k + 1].set(f1)
+        return (buf_y, buf_f, y1, f1), None
+
+    (buf_y, buf_f, _, _), _ = jax.lax.scan(
+        body, (buf_y0, buf_f0, y0, f0), jnp.arange(n_steps)
+    )
+
+    # sample the buffer at the requested output times (Hermite)
+    def at_time(tq):
+        pos = (tq - t0) / h
+        i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_steps - 1)
+        s = jnp.clip(pos - i.astype(pos.dtype), 0.0, 1.0)
+        return _hermite(buf_y[i], buf_y[i + 1], buf_f[i], buf_f[i + 1],
+                        jnp.asarray(h, dt_y), jnp.asarray(s, dt_y))
+
+    sol = jax.vmap(at_time, out_axes=0)(t_span.astype(jnp.float64))
+    return format_solution(sol, time_axis)
