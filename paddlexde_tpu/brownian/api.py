@@ -241,6 +241,13 @@ class AntitheticBrownian(BaseBrownian):
     """
 
     def __init__(self, base_brownian: BaseBrownian):
+        if getattr(base_brownian, "_w0", None) is not None:
+            raise ValueError(
+                "AntitheticBrownian negates INCREMENTS; a w0-offset "
+                "BrownianPath/BrownianTree's single-arg value queries would "
+                "negate the offset too — wrap the zero-offset interval and "
+                "add w0 yourself"
+            )
         self.base_brownian = base_brownian
         self._shape = base_brownian.shape
         self._dtype = base_brownian.dtype
@@ -248,9 +255,16 @@ class AntitheticBrownian(BaseBrownian):
 
     def __call__(self, ta, tb=None, return_U=False, return_A=False,
                  return_K=False):
-        out = self.base_brownian(
-            ta, tb, return_U=return_U, return_A=return_A, return_K=return_K
-        )
+        # build kwargs conditionally: BrownianPath/Tree's __call__ has no
+        # return_K parameter, so always forwarding it breaks every wrap
+        kw = {}
+        if return_U:
+            kw["return_U"] = True
+        if return_A:
+            kw["return_A"] = True
+        if return_K:
+            kw["return_K"] = True
+        out = self.base_brownian(ta, tb, **kw)
         if not (return_U or return_A or return_K):
             return jax.tree.map(jnp.negative, out)
         res = [jax.tree.map(jnp.negative, out[0])]  # −ΔW

@@ -1332,9 +1332,11 @@ def sdeint(
             path's). ``options`` then accepts first_step / safety / ifactor /
             dfactor / min_step / max_step / max_num_steps / norm /
             error_order (controller exponent, defaults to the scheme's local
-            strong order) / return_stats. Gradients through the adaptive
-            while_loop are unsupported (JAX limitation, same as the adaptive
-            ODE engine) — use ``sdeint_adjoint`` on a fixed grid instead.
+            strong order) / return_stats. For gradients use
+            ``sdeint_adjoint(adaptive=True)`` — the two-pass design records
+            the discovered grid under stop_gradient and replays the
+            discrete-exact adjoint over it (direct reverse-mode through the
+            while_loop itself is the JAX limitation it routes around).
         bm: an explicit Brownian motion (``BrownianInterval``-like); built from
             ``key`` (or key 0) when omitted.
         key: PRNG key / int entropy for the default Brownian motion.

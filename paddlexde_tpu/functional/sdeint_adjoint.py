@@ -157,7 +157,9 @@ def sdeint_adjoint(
     recording capacity, 2 entries per accepted step. Size it generously —
     an overflowing interval coarsens its tail to one forced step (flagged
     GRID_OVERFLOW by the engine; here the replayed — coarser — solution is
-    still the value differentiated, so value and gradient stay consistent).
+    still the value differentiated, so value and gradient stay consistent —
+    pass ``options={"return_stats": True}`` to get the engine's stats, whose
+    ``status`` carries the GRID_OVERFLOW/NON_FINITE/MAX_STEPS flags).
     Memory is O(T_out * grid_buffer) times, O(T_out) states.
     """
     del adjoint_params
@@ -201,6 +203,7 @@ def sdeint_adjoint(
                 "grid_buffer must be >= 2 (2 recorded sub-times per "
                 "accepted step)"
             )
+        want_stats = bool(adaptive_opts.pop("return_stats", False))
         allowed = _SDE_ADAPTIVE_KEYS - {"return_stats", "time_dtype"}
         unknown = set(adaptive_opts) - allowed
         if unknown:
@@ -494,16 +497,26 @@ def sdeint_adjoint(
             lambda t, y_: diff_c(t, y_, *sg(diff_consts)),
             bm,
         )
-        _, rows = solve_sde_adaptive(
+        out = solve_sde_adaptive(
             term_sg, sg(y0), sg(t_span), rtol=rtol, atol=atol,
-            grid_buffer=grid_buffer, **adaptive_opts,
+            grid_buffer=grid_buffer, return_stats=want_stats,
+            **adaptive_opts,
         )
+        # return shape: (sol, [stats], rows) — stats carry the engine's
+        # GRID_OVERFLOW/NON_FINITE/MAX_STEPS flags, which would otherwise be
+        # silently swallowed by the replay (options={"return_stats": True}
+        # to surface them; they are primal-only discovery-pass data)
+        if want_stats:
+            _, stats, rows = out
+        else:
+            _, rows = out
         solution = _solve_adaptive(
             y0, t_span, rows, drift_consts, diff_consts
         )
         if flip_output:
             solution = jax.tree.map(lambda a: a[::-1], solution)
-        return format_solution(solution, time_axis)
+        solution = format_solution(solution, time_axis)
+        return (solution, stats) if want_stats else solution
 
     solution = _solve(y0, t_span, drift_consts, diff_consts)
     if flip_output:

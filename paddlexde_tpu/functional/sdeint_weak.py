@@ -39,14 +39,19 @@ __all__ = ["sdeint_weak_mc", "WeakEstimate"]
 
 # solver -> weak convergence order (the Talay–Tubaro exponent). Strong order
 # does not transfer: milstein's extra pathwise term leaves the weak order at
-# 1 (its bias expansion matches EM's leading power).
+# 1 (its bias expansion matches EM's leading power). taylor15 IS weak 2 —
+# the strong-1.5 Taylor contains every length-<=2 multi-index with EXACT
+# (scalar-noise) integrals (mean-bias slope ~2 measured, test-pinned) — but
+# the matrix variants stay at 1: the Davie area law error / dropped Lie
+# component break the level-2 weak moment conditions at O(h^2)/step.
 _WEAK_ORDER = {
     "euler": 1.0, "milstein": 1.0, "heun_stratonovich": 1.0,
     "reversible_heun": 1.0, "heun_reversible": 1.0,
     "stratonovich_heun": 1.0, "euler_general": 1.0, "general_euler": 1.0,
     "milstein_general": 1.0, "general_milstein": 1.0,
     "milstein_commutative": 1.0, "commutative_milstein": 1.0,
-    "taylor15": 1.0, "taylor15_general": 1.0, "general_taylor15": 1.0,
+    "taylor15": 2.0, "ito_taylor15": 2.0,
+    "taylor15_general": 1.0, "general_taylor15": 1.0,
     "taylor15_commutative": 1.0, "commutative_taylor15": 1.0,
     "sra1": 2.0, "sriw1": 2.0, "sra1_general": 2.0, "general_sra1": 2.0,
     "foster2": 2.0, "foster": 2.0, "foster2_general": 2.0,
@@ -123,7 +128,15 @@ def sdeint_weak_mc(
     if y0.ndim == 0:
         # scalar state: the path axis IS the state axis ([n_paths])
         y0 = jnp.broadcast_to(y0, (n_paths,))
-    elif y0.ndim == 1 and y0.shape[0] != n_paths:
+    elif y0.ndim == 1 and y0.shape[0] == n_paths:
+        # ambiguous: a [D] state with D == n_paths would silently become
+        # n_paths independent scalar states — demand an explicit shape
+        raise ValueError(
+            f"ambiguous 1-D y0 of length {n_paths} == n_paths: pass "
+            "y0[:, None] for per-path SCALAR states, or shape [n_paths, D] "
+            "to broadcast a [D] state explicitly"
+        )
+    elif y0.ndim == 1:
         y0 = jnp.broadcast_to(y0, (n_paths,) + y0.shape)
     elif y0.shape[0] != n_paths:
         raise ValueError(

@@ -35,7 +35,9 @@ localized stiffness or noise bursts — which is exactly when it wins
 
 Gradients: reverse-mode through a ``lax.while_loop`` is not supported by JAX
 (same limitation as every adaptive ODE solver here); differentiate via
-``sdeint_adjoint`` on a fixed fine grid instead.
+``sdeint_adjoint(adaptive=True)`` — its two-pass design runs this engine
+under stop_gradient with per-interval grid RECORDING (``grid_buffer``) and
+replays the discrete-exact adjoint over the recorded grid.
 """
 
 from __future__ import annotations
@@ -192,8 +194,15 @@ def solve_sde_adaptive(
         underflow = (~accept) & at_floor & finite
         accept = accept | underflow
 
+        # propose from the controller's dt on ACCEPT (h == dt except at
+        # output boundaries, where h is the boundary-clipped sliver — a
+        # sliver's tiny error says nothing about the full-step optimum and
+        # proposing from it would collapse dt at every output time, paying
+        # ~log_ifactor(dt/sliver) re-growth accepts per interval); a REJECT
+        # must shrink what was actually attempted, so it proposes from h
         dt_next = optimal_step_size(
-            h, ratio, safety, ifactor, dfactor, error_order
+            jnp.where(accept, state.dt, h), ratio, safety, ifactor, dfactor,
+            error_order
         )
         dt_next = jnp.clip(dt_next, min_step_a, max_step_a)
         # a rejected step must actually shrink (optimal_step_size can return

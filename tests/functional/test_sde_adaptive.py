@@ -15,6 +15,7 @@ pinned here:
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 import paddlexde_tpu as pxt
@@ -407,8 +408,29 @@ def test_adjoint_adaptive_option_validation():
     with pytest.raises(ValueError, match="unknown option"):
         pxt.sdeint_adjoint(
             f, g, y0, t, adaptive=True, bm=bm,
-            options={"return_stats": True},
+            options={"bogus_knob": True},
         )
+    # return_stats is SUPPORTED under the adaptive adjoint (round-3 review:
+    # the engine's GRID_OVERFLOW/NON_FINITE/MAX_STEPS flags were silently
+    # swallowed before) — surfaces the discovery pass's stats
+    sol, stats = pxt.sdeint_adjoint(
+        f, g, y0, t, adaptive=True, bm=bm, rtol=1e-3, atol=1e-5,
+        options={"return_stats": True}, time_axis=0,
+    )
+    assert int(stats.status) == 0
+    assert int(stats.n_accept) > 0
+    sol_plain = pxt.sdeint_adjoint(f, g, y0, t, adaptive=True, bm=bm,
+                                   rtol=1e-3, atol=1e-5, time_axis=0)
+    np.testing.assert_array_equal(np.asarray(sol), np.asarray(sol_plain))
+    # ...and the flag that used to be silently swallowed: ODE-tight default
+    # tolerances need >grid_buffer accepts per interval -> GRID_OVERFLOW
+    from paddlexde_tpu.solver.sde_adaptive import GRID_OVERFLOW
+
+    _, stats_tight = pxt.sdeint_adjoint(
+        f, g, y0, t, adaptive=True, bm=bm, rtol=1e-7, atol=1e-9,
+        options={"return_stats": True}, time_axis=0,
+    )
+    assert int(stats_tight.status) & GRID_OVERFLOW
     with pytest.raises(ValueError, match="grid_buffer"):
         pxt.sdeint_adjoint(
             f, g, y0, t, adaptive=True, bm=bm,

@@ -208,3 +208,29 @@ def test_antithetic_general_noise_and_explicit_bm():
         noise_dim=2, bm=bm, antithetic=True,
     )
     assert bool(jnp.all(jnp.isfinite(est2.mean)))
+
+
+def test_taylor15_is_weak_order_two():
+    """The strong-1.5 scalar Itô–Taylor scheme contains every length-≤2
+    multi-index with exact integrals, so it is WEAK order 2: its GBM mean
+    follows (1+μh+μ²h²/2)^N exactly (noise terms are conditionally
+    mean-zero), the bias slope is ~2 (measured 2.3e-2 → 1.4e-3 over
+    n=4..16), and the p=2 Richardson combination cancels the leading term
+    instead of doubling it (the round-3 review caught p=1 in the table)."""
+    f, g, y0 = _gbm()  # sigma=0.05: MC floor far below deterministic bias
+    est = pxt.sdeint_weak_mc(
+        f, g, y0, 1.0, solver="taylor15",
+        n_paths=16384, n_steps=4, key=0,
+    )
+    mu = MU
+
+    def t15_mean(n):
+        h = 1.0 / n
+        return (1.0 + mu * h + 0.5 * (mu * h) ** 2) ** n
+
+    assert abs(float(est.mean_coarse[0]) - t15_mean(4)) < 5e-3
+    assert abs(float(est.mean_fine[0]) - t15_mean(8)) < 5e-3
+    coarse_bias = abs(t15_mean(4) - EXACT)
+    extra_closed = abs((4 * t15_mean(8) - t15_mean(4)) / 3.0 - EXACT)
+    assert extra_closed < coarse_bias / 8  # p=2 cancellation in closed form
+    assert abs(float(est.mean[0]) - EXACT) < extra_closed + 4 * float(est.stderr[0])
