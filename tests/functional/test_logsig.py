@@ -176,4 +176,98 @@ def test_logode_grads_and_guards():
     np.testing.assert_allclose(float(g["b1"][0, 1]), float(fd), rtol=1e-5)
 
     with pytest.raises(ValueError, match="depth"):
-        pxt.cdeint_logode(lambda t, y: y[..., None], y0, ts, (x, tx), depth=3)
+        pxt.cdeint_logode(lambda t, y: y[..., None], y0, ts, (x, tx), depth=4)
+
+
+def test_signature3_identities_and_brute_force():
+    """Depth-3 closed form: level-3 shuffle identity machine-exact, the
+    log's level-3 component is a genuine Lie element (symmetrizes to zero),
+    ℓ2 matches the depth-2 area, and a midpoint-quadrature brute force
+    converges to S3 (2.1e-7 at 2000 samples/segment — its own O(1/n²))."""
+    from paddlexde_tpu.functional.logsig import (
+        piecewise_logsignature3, piecewise_signature3)
+
+    knots = _random_path(9, 3, key=0, scale=1.0)
+    s1, s2, s3 = piecewise_signature3(knots)
+    np.testing.assert_allclose(np.asarray(s2 + s2.T),
+                               np.asarray(jnp.outer(s1, s1)), atol=1e-12)
+    lhs = jnp.einsum("i,jk->ijk", s1, s2)
+    rhs = s3 + jnp.transpose(s3, (1, 0, 2)) + jnp.transpose(s3, (2, 0, 1))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-13)
+
+    l1, l2, l3 = piecewise_logsignature3(knots)
+    _, area = pxt.piecewise_logsignature(knots)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(area), atol=1e-13)
+    perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
+    sym = sum(jnp.transpose(l3, p) for p in perms)
+    assert float(jnp.max(jnp.abs(sym))) < 1e-13
+
+    n = 2000
+    tt = np.linspace(0, 8, 8 * n + 1)
+    fine = np.stack(
+        [np.interp(tt, np.arange(9), np.asarray(knots)[:, c]) for c in range(3)],
+        -1,
+    )
+    d = np.diff(fine, axis=0)
+    s1f = np.cumsum(d, 0)
+    p1m = np.vstack([np.zeros(3), s1f[:-1]]) + 0.5 * d
+    s2f = np.cumsum(p1m[:, :, None] * d[:, None, :], 0)
+    p2m = (np.vstack([np.zeros((1, 3, 3)), s2f[:-1]])
+           + 0.5 * (p1m[:, :, None] * d[:, None, :]))
+    s3f = np.sum(p2m[:, :, :, None] * d[:, None, None, :], 0)
+    assert np.abs(np.asarray(s3) - s3f).max() < 1e-5
+
+
+def test_logode_depth3_expm_identity():
+    """For linear fields f_i = B_i·y the depth-3 flow must equal
+    expm(Σℓ1·B + ½Σℓ2·[f,f] + ⅓Σℓ3·[f,[f,f]]) — pins every bracket sign
+    and the Dynkin 1/3 exactly (measured 3.3e-11)."""
+    rng = np.random.default_rng(2)
+    bs = [jnp.asarray(rng.normal(size=(3, 3)) * 0.4) for _ in range(3)]
+    f = lambda t, y: jnp.stack([y @ b.T for b in bs], axis=-1)
+    x = jnp.asarray(rng.normal(size=(17, 3)).cumsum(0) * 0.3)
+    tx = jnp.linspace(0.0, 1.0, 17)
+    y0 = jnp.asarray([1.0, 0.5, -0.3])
+    from paddlexde_tpu.functional.logsig import piecewise_logsignature3
+
+    l1, l2, l3 = piecewise_logsignature3(x)
+
+    def vb(i, j):  # [f_i, f_j] for linear fields: (B_j B_i − B_i B_j)·y
+        return bs[j] @ bs[i] - bs[i] @ bs[j]
+
+    m = sum(float(l1[i]) * bs[i] for i in range(3))
+    m = m + 0.5 * sum(float(l2[i, j]) * vb(i, j)
+                      for i in range(3) for j in range(3))
+    m = m + sum(float(l3[i, j, k]) * (vb(j, k) @ bs[i] - bs[i] @ vb(j, k))
+                for i in range(3) for j in range(3) for k in range(3)) / 3.0
+    from jax.scipy.linalg import expm
+
+    expected = expm(m) @ y0
+    sol = pxt.cdeint_logode(f, y0, jnp.array([0.0, 1.0]), (x, tx), depth=3,
+                            substeps=256, time_axis=0)
+    np.testing.assert_allclose(np.asarray(sol[-1]), np.asarray(expected),
+                               atol=1e-9)
+
+
+def test_logode_depth3_beats_depth2():
+    """Smooth non-commuting control: measured d1≈2.6e-2, d2≈1.3e-4,
+    d3≈6.6e-5 at 16 windows — each depth strictly better."""
+    b1 = jnp.asarray([[0.0, 1.0], [0.0, 0.0]]) * 0.8
+    b2 = jnp.asarray([[0.0, 0.0], [1.0, 0.0]]) * 0.8
+    f = lambda t, y: jnp.stack([y @ b1.T, y @ b2.T], axis=-1)
+    tx = jnp.linspace(0.0, 1.0, 513)
+    x = jnp.stack([jnp.sin(7.0 * tx) + tx, jnp.cos(5.0 * tx) - 0.5 * tx], -1)
+    y0 = jnp.asarray([1.0, 0.5])
+    oracle = pxt.cdeint(f, y0, jnp.array([0.0, 1.0]),
+                        LinearInterpolation(x, tx), "dopri5",
+                        rtol=1e-12, atol=1e-14, time_axis=0)[-1]
+
+    def err(depth, n_win):
+        ts = jnp.linspace(0.0, 1.0, n_win + 1)
+        sol = pxt.cdeint_logode(f, y0, ts, (x, tx), depth=depth, substeps=16,
+                                time_axis=0)
+        return float(jnp.max(jnp.abs(sol[-1] - oracle)))
+
+    e1, e2, e3 = err(1, 16), err(2, 16), err(3, 16)
+    assert e3 < e2 < e1 / 10, (e1, e2, e3)
+    assert err(3, 8) > e3  # still converging in the window count
