@@ -31,11 +31,16 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from ..brownian.api import BrownianInterval
 from ..solver.adaptive import MAX_STEPS_EXCEEDED
 from .odeint_event import EventResult
 from .sdeint import (
+    _default_bm_for_scheme,
+    make_foster2_general_term,
     make_foster2_term,
+    make_general_euler_term,
+    make_general_milstein_term,
+    make_general_sra1_term,
+    make_general_taylor15_term,
     make_heun_stratonovich_term,
     make_milstein_term,
     make_sde_term,
@@ -46,10 +51,10 @@ from .sdeint import (
 
 __all__ = ["sdeint_event", "EventResult"]
 
-# diagonal/scalar-contract schemes supported by the event driver (general
-# matrix noise works too via an explicit bm + euler; the dedicated general
-# factories need bm size plumbing that events don't change — use sdeint for
-# plain integration of those)
+# every PATHWISE sdeint scheme (weak2 is for expectations, not
+# first-passage paths; reversible_heun's paired state does not fit the
+# bracket refinement). General matrix-noise schemes take noise_dim= like
+# sdeint.
 _TERM_FACTORIES = {
     "euler": make_sde_term,
     "milstein": make_milstein_term,
@@ -60,9 +65,29 @@ _TERM_FACTORIES = {
     "taylor15": make_taylor15_term,
     "foster2": make_foster2_term,
     "foster": make_foster2_term,
+    "euler_general": make_general_euler_term,
+    "general_euler": make_general_euler_term,
+    "milstein_general": make_general_milstein_term,
+    "general_milstein": make_general_milstein_term,
+    "milstein_commutative": lambda d, g, bm: make_general_milstein_term(
+        d, g, bm, use_area=False
+    ),
+    "commutative_milstein": lambda d, g, bm: make_general_milstein_term(
+        d, g, bm, use_area=False
+    ),
+    "sra1_general": make_general_sra1_term,
+    "general_sra1": make_general_sra1_term,
+    "foster2_general": make_foster2_general_term,
+    "general_foster2": make_foster2_general_term,
+    "taylor15_general": make_general_taylor15_term,
+    "general_taylor15": make_general_taylor15_term,
+    "taylor15_commutative": lambda d, g, bm: make_general_taylor15_term(
+        d, g, bm, use_area=False
+    ),
+    "commutative_taylor15": lambda d, g, bm: make_general_taylor15_term(
+        d, g, bm, use_area=False
+    ),
 }
-_NEED_LEVY = {"sra1", "sriw1", "taylor15"}
-_NEED_K = {"foster2", "foster"}
 
 
 def sdeint_event(
@@ -78,6 +103,7 @@ def sdeint_event(
     bm=None,
     key=None,
     levy_area_approximation: str = "none",
+    noise_dim=None,
     refine_iters: int = 24,
     max_num_steps: int = 10**6,
 ) -> EventResult:
@@ -90,8 +116,11 @@ def sdeint_event(
         t0: start time.
         event_fn: scalar function; the event fires at the first sign change
             relative to ``event_fn(t0, y0)`` (a zero at t0 fires at t0).
-        solver: one of euler / milstein / sra1 / sriw1 / heun_stratonovich /
-            taylor15 / foster2.
+        solver: any pathwise sdeint scheme — euler / milstein / sra1 /
+            sriw1 / heun_stratonovich / taylor15 / foster2 and the matrix-
+            noise ``*_general`` / ``*_commutative`` variants (pass
+            ``noise_dim=M`` as in :func:`sdeint`). weak2 (distributional)
+            and reversible_heun (paired state) are excluded.
         t_max: integration horizon (REQUIRED — a Brownian path may never
             cross; ``event_fired=False`` when the horizon is hit).
         step_size: the march step h. The event time's accuracy is NOT
@@ -123,14 +152,10 @@ def sdeint_event(
     h = jnp.asarray(step_size, t_dt)
 
     if bm is None:
-        if solver_name in _NEED_LEVY and levy_area_approximation == "none":
-            levy_area_approximation = "space-time"
-        if solver_name in _NEED_K:
-            levy_area_approximation = "space-time-time"
-        size = y0.shape[:-1] + (1,) if solver_name == "taylor15" else y0.shape
-        bm = BrownianInterval(
-            t0, t_end, size=size, dtype=y0.dtype, key=key,
-            levy_area_approximation=levy_area_approximation,
+        # shared helper = sdeint's exact per-scheme Lévy-mode/size rules
+        bm = _default_bm_for_scheme(
+            solver_name, y0, t0, t_end, key, levy_area_approximation,
+            noise_dim,
         )
 
     term = _TERM_FACTORIES[solver_name](drift, diffusion, bm)

@@ -144,3 +144,33 @@ def test_first_passage_law_wald():
     assert bias_coarse > bias_fine > -0.01, (bias_coarse, bias_fine)
     assert bias_fine < 0.6 * bias_coarse + 0.01, (bias_coarse, bias_fine)
     assert abs(bias_fine) < 0.06, bias_fine
+
+
+def test_event_general_matrix_noise():
+    """First passage for a NON-commuting matrix-noise SDE: every general
+    scheme brackets + refines onto the barrier; the two strong-order-1+
+    schemes agree on the passage time far more closely than Euler (whose
+    O(sqrt h) path error shifts the crossing)."""
+    b1 = jnp.array([[0.0, 0.4], [0.0, 0.0]], jnp.float64)
+    b2 = jnp.array([[0.0, 0.0], [0.4, 0.0]], jnp.float64)
+    a0 = jnp.array([[0.5, 0.1], [-0.1, 0.6]], jnp.float64)
+    f = lambda t, y: y @ a0.T
+    g = lambda t, y: jnp.stack([y @ b1.T, y @ b2.T], axis=-1)
+    y0 = jnp.array([[1.0, 0.5]], jnp.float64)
+    ev_fn = lambda t, y: jnp.sum(y * y) - 4.0
+
+    t_star = {}
+    for sv in ("euler_general", "milstein_general", "taylor15_general"):
+        res = pxt.sdeint_event(f, g, y0, 0.0, ev_fn, solver=sv, t_max=6.0,
+                               step_size=1.0 / 64, key=jax.random.key(3),
+                               noise_dim=2)
+        assert bool(res.event_fired) and int(res.status) == 0
+        assert abs(float(jnp.sum(res.y_event**2)) - 4.0) < 1e-5
+        t_star[sv] = float(res.t_event)
+    gap_hi = abs(t_star["milstein_general"] - t_star["taylor15_general"])
+    gap_em = abs(t_star["euler_general"] - t_star["taylor15_general"])
+    assert gap_hi < gap_em / 3, t_star
+
+    with pytest.raises(ValueError, match="supports"):
+        pxt.sdeint_event(f, g, y0, 0.0, ev_fn, solver="weak2", t_max=1.0,
+                         step_size=0.1)
