@@ -33,6 +33,8 @@ from .functional import (  # noqa: F401
     sdeint_adjoint,
     cdeint_logode,
     ddeint_mos,
+    ito_to_stratonovich,
+    stratonovich_to_ito,
     logsignature_windows,
     piecewise_logsignature,
     sdeint_event,
