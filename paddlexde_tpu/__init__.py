@@ -37,6 +37,8 @@ from .functional import (  # noqa: F401
     stratonovich_to_ito,
     logsignature_windows,
     piecewise_logsignature,
+    piecewise_logsignature3,
+    piecewise_signature3,
     sdeint_event,
     sdeint_mlmc,
     sdeint_weak_mc,

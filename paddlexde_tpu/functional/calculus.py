@@ -22,44 +22,10 @@ matches the hand-derived correction of a linear system.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
+from .sdeint import noise_drift_correction
 
 __all__ = ["ito_to_stratonovich", "stratonovich_to_ito"]
-
-
-def _correction(diffusion, noise: str):
-    if noise not in ("diagonal", "general", "scalar"):
-        raise ValueError(
-            f"noise must be 'diagonal', 'scalar' or 'general', got {noise!r}"
-        )
-
-    def corr(t, y):
-        if noise == "general":
-            g_val = diffusion(t, y)  # [..., D, M]
-
-            def dcol(tangent):
-                return jax.jvp(lambda y_: diffusion(t, y_), (y,), (tangent,))[1]
-
-            cols = jnp.moveaxis(g_val, -1, 0)  # [M, ..., D]
-            dg_all = jax.vmap(dcol)(cols)  # [M, ..., D, M]
-            return 0.5 * jnp.einsum("j...dj->...d", dg_all)
-        if noise == "scalar":
-            # one Brownian channel, arbitrary coupled g(t, y) -> y.shape:
-            # the DIRECTIONAL derivative (∂g/∂y)·g (taylor15's contract)
-            g_val, dg = jax.jvp(
-                lambda y_: diffusion(t, y_), (y,),
-                (diffusion(t, y),),
-            )
-            return jax.tree.map(lambda d: 0.5 * d, dg)
-        # diagonal: elementwise ∂g_i/∂y_i via jvp-with-ones (exact for
-        # diagonal-Jacobian diffusions — the sdeint diagonal contract)
-        g_val, dg = jax.jvp(
-            lambda y_: diffusion(t, y_), (y,),
-            (jax.tree.map(jnp.ones_like, y),),
-        )
-        return jax.tree.map(lambda g, d: 0.5 * g * d, g_val, dg)
-
-    return corr
 
 
 def ito_to_stratonovich(drift, diffusion, *, noise: str = "diagonal"):
@@ -74,11 +40,11 @@ def ito_to_stratonovich(drift, diffusion, *, noise: str = "diagonal"):
             default contract), 'scalar' (one channel, arbitrary coupled g —
             taylor15's contract), or 'general' (matrix ``G -> [..., D, M]``).
     """
-    corr = _correction(diffusion, noise)
+    corr = noise_drift_correction(diffusion, noise)
 
     def f_strat(t, y):
         return jax.tree.map(
-            lambda f, c: f - c, drift(t, y), corr(t, y)
+            lambda f, c: f - 0.5 * c, drift(t, y), corr(t, y)
         )
 
     return f_strat
@@ -87,11 +53,11 @@ def ito_to_stratonovich(drift, diffusion, *, noise: str = "diagonal"):
 def stratonovich_to_ito(drift, diffusion, *, noise: str = "diagonal"):
     """Return the ITÔ drift of the Stratonovich SDE ``(drift, diffusion)``
     (the ``+½`` direction; see :func:`ito_to_stratonovich`)."""
-    corr = _correction(diffusion, noise)
+    corr = noise_drift_correction(diffusion, noise)
 
     def f_ito(t, y):
         return jax.tree.map(
-            lambda f, c: f + c, drift(t, y), corr(t, y)
+            lambda f, c: f + 0.5 * c, drift(t, y), corr(t, y)
         )
 
     return f_ito

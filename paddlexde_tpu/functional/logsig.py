@@ -302,11 +302,12 @@ def cdeint_logode(
                                      precision=hi)
                     )  # [C(i), ..., D]
 
-                m_i = m_all(y)
-                # ∂M_i·f_i per i: jvp of the stacked M along each f_i, row i
-                dm_fi = jax.vmap(
-                    lambda v: jax.jvp(m_all, (y,), (v,))[1]
-                )(cols)  # [C(dir), C(i), ..., D]
+                # linearize: ONE primal trace shared by all C tangent
+                # directions (vmap-of-jvp would recompute the primal per
+                # direction)
+                m_i, m_lin = jax.linearize(m_all, y)
+                # ∂M_i·f_i per i: the linear map along each f_i, row i
+                dm_fi = jax.vmap(m_lin)(cols)  # [C(dir), C(i), ..., D]
                 idx = jnp.arange(mat.shape[-1])
                 dm_diag = dm_fi[idx, idx]  # [C, ..., D]
                 # ∂f_i·M_i per i: jvp of f along M_i, column i

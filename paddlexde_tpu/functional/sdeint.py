@@ -1069,6 +1069,41 @@ def make_general_milstein_term(drift, diffusion, bm, *, use_area: bool = True) -
     return XDETerm(move=move, fuse=_general_fuse, additive=False, kind="sde")
 
 
+def noise_drift_correction(diffusion, noise: str = "diagonal"):
+    """The Itô correction field ``Σ_j (∂G_{·j}/∂y)·G_{·j}`` as ``corr(t, y)``
+    for each noise contract — the single shared kernel behind time reversal
+    (coefficient +1, ``_reversed_*_ito_fns``) and the Itô↔Stratonovich
+    converters (coefficient ∓½, ``functional/calculus.py``).
+
+    Contracts: 'diagonal' (elementwise g·∂g/∂y via jvp-with-ones — exact
+    for diagonal-Jacobian diffusions), 'scalar' (one channel, coupled g:
+    the DIRECTIONAL (∂g/∂y)·g — the elementwise form is wrong for coupled
+    g, see CLAUDE.md), 'general' (matrix G: the column trace). Every
+    branch evaluates the diffusion ONCE (``jax.linearize``).
+    """
+    if noise not in ("diagonal", "scalar", "general"):
+        raise ValueError(
+            f"noise must be 'diagonal', 'scalar' or 'general', got {noise!r}"
+        )
+
+    def corr(t, y):
+        if noise == "general":
+            g_val, lin = jax.linearize(lambda y_: diffusion(t, y_), y)
+            cols = jnp.moveaxis(g_val, -1, 0)  # [M, ..., D]
+            dg_all = jax.vmap(lin)(cols)  # [M, ..., D, M]
+            return jnp.einsum("j...dj->...d", dg_all)
+        if noise == "scalar":
+            g_val, lin = jax.linearize(lambda y_: diffusion(t, y_), y)
+            return lin(g_val)
+        g_val, dg = jax.jvp(
+            lambda y_: diffusion(t, y_), (y,),
+            (jax.tree.map(jnp.ones_like, y),),
+        )
+        return jax.tree.map(lambda g, d: g * d, g_val, dg)
+
+    return corr
+
+
 def _reversed_ito_fns(drift, diffusion, bm):
     """Time-reversal substitution (s = -t) for an Itô SDE.
 
@@ -1080,13 +1115,13 @@ def _reversed_ito_fns(drift, diffusion, bm):
     an Itô SDE, so any Itô scheme (EM, Milstein) applies to it unchanged.
     """
 
+    corr = noise_drift_correction(diffusion, "diagonal")
+
     def drift_rev(s, y):
         t = -s
-        f_val = drift(t, y)
-        g_val, dg = jax.jvp(
-            lambda y_: diffusion(t, y_), (y,), (jax.tree.map(jnp.ones_like, y),)
+        return jax.tree.map(
+            lambda f, c: -f + c, drift(t, y), corr(t, y)
         )
-        return jax.tree.map(lambda f, g, d: -f + g * d, f_val, g_val, dg)
 
     return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
 
@@ -1100,12 +1135,13 @@ def _reversed_scalar_ito_fns(drift, diffusion, bm):
     NOT the elementwise jvp-with-ones of ``_reversed_ito_fns``, which is
     only exact for diagonal Jacobians."""
 
+    corr = noise_drift_correction(diffusion, "scalar")
+
     def drift_rev(s, y):
         t = -s
-        f_val = drift(t, y)
-        g_val = diffusion(t, y)
-        corr = jax.jvp(lambda y_: diffusion(t, y_), (y,), (g_val,))[1]
-        return jax.tree.map(lambda f, c: -f + c, f_val, corr)
+        return jax.tree.map(
+            lambda f, c: -f + c, drift(t, y), corr(t, y)
+        )
 
     return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
 
@@ -1127,18 +1163,11 @@ def _reversed_general_ito_fns(drift, diffusion, bm):
     milstein_commutative apply to the reversed system unchanged. Strong
     orders on the reversed path are pinned by measured-convergence tests."""
 
+    corr = noise_drift_correction(diffusion, "general")
+
     def drift_rev(s, y):
         t = -s
-        f_val = drift(t, y)
-        g_val = diffusion(t, y)  # [..., D, M]
-
-        def dcol(tangent):  # (∂G/∂y)·tangent for tangent [..., D]
-            return jax.jvp(lambda y_: diffusion(t, y_), (y,), (tangent,))[1]
-
-        tangents = jnp.moveaxis(g_val, -1, 0)  # [M, ..., D]
-        dg_all = jax.vmap(dcol)(tangents)  # [M, ..., D, M]
-        corr = jnp.einsum("j...dj->...d", dg_all)  # trace: no matmul pass
-        return -f_val + corr
+        return -drift(t, y) + corr(t, y)
 
     return drift_rev, (lambda s, y: diffusion(-s, y)), ReverseBrownian(bm)
 

@@ -110,8 +110,10 @@ def sdeint_event(
     """Integrate until ``event_fn(t, y)`` crosses zero (first passage).
 
     Args:
-        drift/diffusion: as :func:`sdeint` (diagonal contract; taylor15's
-            scalar-channel contract applies for that scheme).
+        drift/diffusion: as :func:`sdeint` — the diagonal contract for the
+            diagonal schemes, taylor15's scalar-channel contract, or the
+            matrix contract ``G(t, y) -> [..., D, M]`` for the
+            ``*_general`` / ``*_commutative`` schemes.
         y0: initial state (single array).
         t0: start time.
         event_fn: scalar function; the event fires at the first sign change
@@ -157,6 +159,28 @@ def sdeint_event(
             solver_name, y0, t0, t_end, key, levy_area_approximation,
             noise_dim,
         )
+
+    if solver_name in ("milstein_general", "general_milstein",
+                       "taylor15_general", "general_taylor15"):
+        # replicate sdeint's guards: without them a y0 [D] single-path call
+        # builds a 1-D bm whose Lévy areas are silently ZERO
+        # (virtual_tree returns zeros for ndim<=1) — the scheme would
+        # degrade to its commutative variant with no signal
+        if getattr(bm, "levy_area_approximation", "none") not in (
+            "davie", "foster"
+        ):
+            raise ValueError(
+                f"{solver_name} needs full Lévy areas: construct the "
+                "Brownian motion with levy_area_approximation='davie' or "
+                "'foster'"
+            )
+        if len(getattr(bm, "shape", ())) < 2:
+            raise ValueError(
+                f"{solver_name} needs bm size [..., M] with at least a "
+                "batch axis: a 1-D bm is treated as independent scalar "
+                "Brownian motions whose Lévy area is zero (add a leading "
+                "batch axis of 1 to y0)"
+            )
 
     term = _TERM_FACTORIES[solver_name](drift, diffusion, bm)
 
