@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .sdeint import sdeint
+from ..brownian.api import AntitheticBrownian
+from .sdeint import _default_bm_for_scheme, sdeint
 
 __all__ = ["sdeint_mlmc", "MLMCEstimate"]
 
@@ -62,26 +63,41 @@ class MLMCEstimate(NamedTuple):
 
 
 def _level_samples(drift, diffusion, y0, t0, t1, phi, solver, level,
-                   n_steps0, n, key, common):
+                   n_steps0, n, key, common, antithetic):
     """Coupled per-path samples of Δ_l = φ(Y^l) − φ(Y^{l−1}) (level 0: just
     φ(Y^0)) over ``n`` fresh paths (fresh = the caller passes a fresh key;
     the fine and coarse grids share it, which IS the coupling). One batched
-    jitted program per grid."""
+    jitted program per grid. With ``antithetic`` every grid is also solved
+    on the negated tree and the (path, −path) pair is averaged BEFORE the
+    level difference — both variance channels (the level-0 functional
+    variance AND the coupled differences) shrink."""
     y0_b = jnp.broadcast_to(y0, (n,) + tuple(np.shape(y0)))
-    kw = dict(common)
-    kw["key"] = key
+    solver_name = solver.lower() if isinstance(solver, str) else ""
+    bm = _default_bm_for_scheme(
+        solver_name, y0_b, t0, t1, key,
+        common["levy_area_approximation"], common["noise_dim"],
+    )
+    bms = [bm, AntitheticBrownian(bm)] if antithetic else [bm]
+
+    def terminal(ts):
+        acc = None
+        for b in bms:
+            kw = dict(common)
+            kw["bm"] = b
+            v = jnp.asarray(
+                phi(sdeint(drift, diffusion, y0_b, ts, solver, **kw)[-1])
+            )
+            acc = v if acc is None else acc + v
+        return acc / len(bms)
+
     n_fine = n_steps0 * (2 ** level)
     t_fine = jnp.linspace(t0, t1, n_fine + 1)
-    v_fine = jnp.asarray(
-        phi(sdeint(drift, diffusion, y0_b, t_fine, solver, **kw)[-1])
-    )
+    v_fine = terminal(t_fine)
     if level == 0:
-        return v_fine, n_fine
+        return v_fine, n_fine * len(bms)
     t_coarse = jnp.linspace(t0, t1, n_fine // 2 + 1)
-    v_coarse = jnp.asarray(
-        phi(sdeint(drift, diffusion, y0_b, t_coarse, solver, **kw)[-1])
-    )
-    return v_fine - v_coarse, n_fine + n_fine // 2
+    v_coarse = terminal(t_coarse)
+    return v_fine - v_coarse, (n_fine + n_fine // 2) * len(bms)
 
 
 def sdeint_mlmc(
@@ -100,6 +116,7 @@ def sdeint_mlmc(
     n_pilot: int = 1024,
     max_levels: int = 10,
     weak_order: float = 1.0,
+    antithetic: bool = False,
     key=None,
     noise_dim: Optional[int] = None,
     levy_area_approximation: str = "none",
@@ -126,6 +143,13 @@ def sdeint_mlmc(
         n_steps0: level-0 step count (``h_l = (t1−t0)/(n_steps0·2^l)``).
         solver: any ``sdeint`` scheme; coupling across levels is the virtual
             tree's interval additivity (nothing scheme-specific).
+        antithetic: average each path with its negated-tree twin before the
+            level difference (2x solves per level). MEASURED on GBM: V₀
+            drops 18x and the level-0 allocation 6x; pays off when the
+            budget is VARIANCE-dominated (small ε) — in bias/pilot-
+            dominated regimes the 2x per-path cost of the fixed pilot
+            levels can outweigh it (the ε=0.01 demo config spends more in
+            total despite the smaller allocation).
 
     Returns:
         :class:`MLMCEstimate`.
@@ -145,6 +169,8 @@ def sdeint_mlmc(
         noise_dim=noise_dim, levy_area_approximation=levy_area_approximation,
         time_axis=0,
     )
+    # cost model: with antithetic every level solves each grid twice
+    anti_mult = 2 if antithetic else 1
 
     sums = {}  # level -> [n, sum, sum_sq] of per-path Δ samples (vector φ ok)
     draws = {}  # level -> count of batches drawn (keying: every batch fresh)
@@ -166,7 +192,7 @@ def sdeint_mlmc(
         )
         vals, steps = _level_samples(
             drift, diffusion, y0, t0, t1, phi, solver, level, n_steps0, n,
-            batch_key, common,
+            batch_key, common, antithetic,
         )
         cost += float(n * steps)
         rec = sums.get(level)
@@ -207,7 +233,7 @@ def sdeint_mlmc(
             # components keeps vector functionals conservative)
             v = [max(float(jnp.max(stats(lv)[1])), 1e-300)
                  for lv in range(max_l + 1)]
-            c = [n_steps0 * (2 ** lv) * (3 if lv else 2) / 2
+            c = [anti_mult * n_steps0 * (2 ** lv) * (3 if lv else 2) / 2
                  for lv in range(max_l + 1)]
             lam = sum(np.sqrt(vi * ci) for vi, ci in zip(v, c))
             targets = [

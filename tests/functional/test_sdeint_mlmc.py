@@ -119,3 +119,18 @@ def test_mlmc_guards():
         pxt.sdeint_mlmc(f, g, 1.0, 1.0, eps=0.1, levels=2)
     with pytest.raises(ValueError, match="levels\\+1"):
         pxt.sdeint_mlmc(f, g, 1.0, 1.0, levels=2, n_per_level=[4, 4])
+
+
+def test_antithetic_mlmc_cuts_level_variance():
+    """antithetic=True: level-0 variance (the usual cost driver) drops by
+    the antithetic factor (measured 18x on GBM σ=0.5) and the auto driver
+    allocates far fewer level-0 paths; the estimate stays within budget.
+    Total cost can still rise in bias/pilot-dominated regimes (documented)."""
+    f, g = _gbm(0.5)
+    eps = 0.01
+    est_p = pxt.sdeint_mlmc(f, g, jnp.float64(1.0), 1.0, eps=eps, key=3)
+    est_a = pxt.sdeint_mlmc(f, g, jnp.float64(1.0), 1.0, eps=eps, key=3,
+                            antithetic=True)
+    assert est_a.var_per_level[0] < est_p.var_per_level[0] / 5
+    assert est_a.n_per_level[0] < est_p.n_per_level[0] / 3
+    assert abs(float(est_a.value) - EXACT) < 3 * eps
