@@ -5,4 +5,5 @@ from .interpolate import (  # noqa: F401
     InterpolationBase,
     LinearInterpolation,
     NaturalCubicSpline,
+    rectilinear_interpolation,
 )

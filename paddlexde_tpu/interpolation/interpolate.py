@@ -38,6 +38,7 @@ __all__ = [
     "CubicHermiteSpline",
     "BezierSpline",
     "NaturalCubicSpline",
+    "rectilinear_interpolation",
 ]
 
 
@@ -282,3 +283,63 @@ class NaturalCubicSpline(InterpolationBase):
             + e(-(3 * a**2 - 1) * h / 6.0) * m0
             + e((3 * b**2 - 1) * h / 6.0) * m1
         )
+
+
+def rectilinear_interpolation(series, t=None, *, time_channel: int = 0):
+    """torchcde's CAUSAL interpolation for online prediction
+    (``torchcde.linear_interpolation_coeffs(..., rectilinear=...)``): move
+    horizontally in time, then vertically in value, so the interpolated
+    control at time ``s`` never looks ahead of the last observation ≤ s —
+    the property that lets a neural CDE run in real time. (The reference
+    has no CDE machinery at all; the cubic/linear modes here interpolate
+    ACROSS future knots, which is fine offline and leaky online.)
+
+    Implementation: the knot sequence ``(t_i, x_i)`` is rewritten as the
+    doubled sequence ``(t_1, x_0) → (t_1, x_1) → (t_2, x_1) → …`` over a
+    synthetic arc-length parameter (one unit per hop), with the TIME
+    channel of the control carrying the actual clock. Returns a
+    :class:`LinearInterpolation` over the doubled knots; feed it to
+    :func:`cdeint` as usual (time reparameterization does not change a
+    CDE's solution — dX/ds integrates the same increments).
+
+    Args:
+        series: ``[..., T, C]`` where channel ``time_channel`` is the
+            observation time (the standard CDE time-augmentation; required
+            so the rewrite can hold time flat on vertical segments).
+        t: the observation times ``[T]`` (defaults to
+            ``series[..., time_channel]`` of the first batch element).
+        time_channel: which channel carries time.
+
+    Returns:
+        ``(interp, s_knots)`` — the LinearInterpolation over the doubled
+        sequence and its synthetic parameter knots ``[2T−1]``.
+    """
+    series = jnp.asarray(series)
+    n_t = series.shape[-2]
+    if t is None:
+        t = jnp.moveaxis(series, -1, 0)[time_channel]
+        t = t.reshape((-1, n_t))[0]
+    t = jnp.asarray(t, series.dtype)
+    # doubled knots: even slot k=2i is (t_{i}, x_{i}) [arrival of value i];
+    # odd slot k=2i+1 is (t_{i+1}, x_i) [time advances, value held]
+    x_even = series  # [..., T, C]
+    x_odd = series[..., :-1, :]  # value held...
+    t_next = t[1:]
+    x_odd = jnp.concatenate(
+        [
+            x_odd[..., :time_channel],
+            jnp.broadcast_to(
+                t_next[..., :, None],
+                x_odd.shape[:-1] + (1,),
+            ),
+            x_odd[..., time_channel + 1:],
+        ],
+        axis=-1,
+    )
+    doubled = jnp.zeros(
+        series.shape[:-2] + (2 * n_t - 1, series.shape[-1]), series.dtype
+    )
+    doubled = doubled.at[..., 0::2, :].set(x_even)
+    doubled = doubled.at[..., 1::2, :].set(x_odd)
+    s_knots = jnp.arange(2 * n_t - 1, dtype=series.dtype)
+    return LinearInterpolation(doubled, s_knots), s_knots

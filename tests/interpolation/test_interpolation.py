@@ -215,3 +215,45 @@ class TestNaturalCubicSpline:
                      control, "rk4", time_axis=0)
         expect = jnp.asarray([0.5, -1.0])[None] + series - series[0]
         np.testing.assert_allclose(np.asarray(sol), np.asarray(expect), rtol=1e-5, atol=1e-7)
+
+
+def test_rectilinear_interpolation_is_causal():
+    """torchcde's rectilinear mode: time advances first (value held), then
+    the value jumps at the new observation time — the interpolated control
+    never looks ahead of the last observation, the property online neural
+    CDEs need. Pinned pointwise on the doubled-knot schedule, plus the CDE
+    time-reparameterization invariance (a pure-time integrand recovers the
+    clock)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from paddlexde_tpu import cdeint
+    from paddlexde_tpu.interpolation import rectilinear_interpolation
+
+    t = jnp.array([0.0, 0.3, 1.0, 1.4])
+    vals = jnp.array([1.0, 2.0, -1.0, 0.5])
+    series = jnp.stack([t, vals], -1)
+    interp, s_knots = rectilinear_interpolation(series, t)
+    assert s_knots.shape == (7,)
+    for s, expect in [(0.5, (0.15, 1.0)), (1.0, (0.3, 1.0)),
+                      (1.5, (0.3, 1.5)), (2.5, (0.65, 2.0)),
+                      (4.0, (1.0, -1.0)), (6.0, (1.4, 0.5))]:
+        out = interp.evaluate(jnp.asarray(s))
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-12)
+
+    # CDE invariance: dy = [1, 0]·dX integrates the time channel -> y
+    # recovers the clock at every doubled knot regardless of the
+    # reparameterization
+    f = lambda tt, y: jnp.array([[1.0, 0.0]])
+    y0 = jnp.array([0.0])
+    # euler: the rectilinear derivative is CONSTANT per unit segment and
+    # discontinuous at the doubled knots — multi-stage solvers' end-of-step
+    # stages read the next segment's slope at the corners (the documented
+    # LinearInterpolation boundary behavior); euler only samples left
+    # endpoints, so aligned steps integrate the piecewise-constant
+    # derivative exactly
+    sol = cdeint(f, y0, s_knots, interp, "euler",
+                 options={"step_size": 0.25}, time_axis=0)
+    clock = jnp.array([0.0, 0.3, 0.3, 1.0, 1.0, 1.4, 1.4])
+    np.testing.assert_allclose(np.asarray(sol[:, 0]), np.asarray(clock),
+                               atol=1e-9)
