@@ -9,10 +9,10 @@ path measures is the Girsanov integral
     KL = E_q ∫ ½ u(z, t)² dt,      u = (f_post − f_prior) / g,
 
 which rides along as ONE extra state component with zero diffusion, so the
-whole objective is a single `sdeint` call over the augmented state (z, kl),
-differentiated straight through the scan — exact gradients for drift,
-diffusion and the KL accumulator at once (the reference has no SDE training
-story at all; its sdeint is broken Euler–Maruyama).
+whole objective is a single `sdeint_adjoint` call over the augmented state
+(z, kl) — O(T_out)-memory discrete-exact gradients for drift, diffusion and
+the KL accumulator at once (the reference has no SDE training story at all;
+its sdeint is broken Euler–Maruyama).
 
 Data: an Ornstein–Uhlenbeck process (θ, μ, σ known to us, not the model).
 After training, the learned PRIOR should reproduce the data's stationary
@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from paddlexde_tpu import BrownianInterval, sdeint
+from paddlexde_tpu import BrownianInterval, sdeint, sdeint_adjoint
 
 THETA, MU, SIGMA = 1.5, 0.8, 0.5  # the data's OU parameters (hidden truth)
 T1, N_OBS = 2.0, 17
@@ -128,12 +128,13 @@ def main():
         y0 = jnp.stack([z0, jnp.zeros_like(z0)], axis=-1)
         bm = BrownianInterval(0.0, T1, size=(N_TRAJ, 2), key=key_bm,
                               dtype=jnp.float32)
-        # direct backprop through the scan: the step count is modest and a
-        # FRESH key must flow through jit every iteration (sdeint_adjoint's
-        # custom_vjp closes over the tree, which pins the key at trace
-        # time — use it for fixed-noise/long-horizon problems)
-        sol = sdeint(drift, diffusion, y0, t_grid, "euler", bm=bm,
-                     time_axis=0)
+        # the O(T_out)-memory replay adjoint, with a FRESH tree key flowing
+        # through jit every step. One sharp edge: differentiate the UNJITTED
+        # function under one outer jit — grad-of-inner-jit bakes the
+        # custom_vjp residuals against the outer tracer ("No constant
+        # handler for DynamicJaxprTracer")
+        sol = sdeint_adjoint(drift, diffusion, y0, t_grid, "euler", bm=bm,
+                             time_axis=0)
         z_path = sol[obs_idx, :, 0]  # [N_OBS, N_TRAJ]
         kl_path = sol[-1, :, 1]  # Girsanov integral per trajectory
 
@@ -151,7 +152,10 @@ def main():
                        + (q_var + (q_mean - st_mean) ** 2) / st_var)
         return jnp.mean(log_lik - kl_path) - kl_z0
 
-    loss_fn = jax.jit(lambda p_, k_: -elbo(p_, k_))
+    # NOTE: no inner jit here — value_and_grad(jit(f)) over the replay
+    # adjoint fails with a traced bm key (custom_vjp residuals captured as
+    # inner-jit constants); one outer jit around value_and_grad is the form
+    loss_fn = lambda p_, k_: -elbo(p_, k_)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
