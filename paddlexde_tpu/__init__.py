@@ -58,9 +58,11 @@ from .solver import (  # noqa: F401
     SDIRK2,
     SDIRK3,
     Kvaerno3,
+    Leapfrog,
     Midpoint,
     RK4,
     ScipyWrapperODESolver,
+    Yoshida4,
 )
 from .interpolation import (  # noqa: F401
     BezierSpline,

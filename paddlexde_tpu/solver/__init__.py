@@ -16,6 +16,8 @@ from .registry import (  # noqa: F401
     Kvaerno3,
     Midpoint,
     RK4,
+    Leapfrog,
+    Yoshida4,
     ScipyWrapperODESolver,
     SolverSpec,
     resolve_solver,

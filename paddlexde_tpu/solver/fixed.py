@@ -119,10 +119,25 @@ def _sdirk3_step(term, t0, t1, y0):
     return sdirk3_step(term, t0, t1, y0)
 
 
+def _leapfrog_step(term, t0, t1, y0):
+    from .symplectic import leapfrog_step
+
+    return leapfrog_step(term, t0, t1, y0)
+
+
+def _yoshida4_step(term, t0, t1, y0):
+    from .symplectic import yoshida4_step
+
+    return yoshida4_step(term, t0, t1, y0)
+
+
 FIXED_STEP_FNS = {
     "euler": (euler_step, 1),
     "midpoint": (midpoint_step, 2),
     "rk4": (rk4_step, 4),
+    "leapfrog": (_leapfrog_step, 2),
+    "velocity_verlet": (_leapfrog_step, 2),
+    "yoshida4": (_yoshida4_step, 4),
     "implicit_euler": (_implicit_euler_step, 1),
     "implicit_euler_krylov": (_implicit_euler_krylov_step, 1),
     "sdirk2": (_sdirk2_step, 2),

@@ -17,6 +17,8 @@ __all__ = [
     "Euler",
     "Midpoint",
     "RK4",
+    "Leapfrog",
+    "Yoshida4",
     "AdamsBashforthMoulton",
     "AdaptiveHeun",
     "Fehlberg2",
@@ -50,6 +52,8 @@ class SolverSpec:
 Euler = SolverSpec("euler", "fixed", 1)
 Midpoint = SolverSpec("midpoint", "fixed", 2)
 RK4 = SolverSpec("rk4", "fixed", 4)
+Leapfrog = SolverSpec("leapfrog", "fixed", 2)
+Yoshida4 = SolverSpec("yoshida4", "fixed", 4)
 AdamsBashforthMoulton = SolverSpec("adams", "adams", 4)
 AdaptiveHeun = SolverSpec("adaptive_heun", "adaptive", 2)
 Fehlberg2 = SolverSpec("fehlberg2", "adaptive", 2)
@@ -70,6 +74,9 @@ SOLVERS = {
     "euler": Euler,
     "midpoint": Midpoint,
     "rk4": RK4,
+    "leapfrog": Leapfrog,
+    "velocity_verlet": dataclasses.replace(Leapfrog, name="velocity_verlet"),
+    "yoshida4": Yoshida4,
     "adams": AdamsBashforthMoulton,
     "explicit_adams": AdamsBashforthMoulton,
     "implicit_adams": dataclasses.replace(AdamsBashforthMoulton, name="implicit_adams"),
