@@ -224,6 +224,17 @@ def odeint_adjoint(
     ``odeint`` with the same solver/options.
     """
     del adjoint_params  # JAX discovers parameters via closure_convert
+    _sympl = ("leapfrog", "velocity_verlet", "yoshida4")
+    if (isinstance(solver, str) and solver.lower() in _sympl) or (
+        isinstance(adjoint_solver, str) and adjoint_solver.lower() in _sympl
+    ):
+        raise ValueError(
+            "symplectic solvers take a (q, p) PAIR state with a separable "
+            "vector field; the adjoint's augmented backward system is "
+            "neither — differentiate odeint directly (the scan backprop is "
+            "exact), or pass adjoint_solver='rk4' explicitly with a "
+            "non-symplectic forward"
+        )
     adjoint_solver = adjoint_solver if adjoint_solver is not None else solver
     adjoint_rtol = rtol if adjoint_rtol is None else adjoint_rtol
     adjoint_atol = atol if adjoint_atol is None else adjoint_atol

@@ -103,3 +103,14 @@ def test_pendulum_nonlinear_and_grads():
     g = float(jax.grad(final_energy)(1.2))
     # energy is conserved to O(h^4): dE/dq0 ≈ d/dq0 (1 − cos q0) = sin q0
     np.testing.assert_allclose(g, float(jnp.sin(1.2)), atol=1e-4)
+
+
+def test_odeint_adjoint_refuses_symplectic():
+    """The adjoint's augmented backward system is not a (q, p) pair —
+    odeint_adjoint refuses with a pointer to direct backprop (which works
+    and is pinned in test_pendulum_nonlinear_and_grads)."""
+    import pytest
+
+    ts = jnp.linspace(0.0, 1.0, 9)
+    with pytest.raises(ValueError, match="PAIR state"):
+        pxt.odeint_adjoint(_sho, Y0, ts, "leapfrog", time_axis=0)
