@@ -14,6 +14,7 @@ from .registry import (  # noqa: F401
     SDIRK2,
     SDIRK3,
     Kvaerno3,
+    TRBDF2,
     Midpoint,
     RK4,
     Leapfrog,

@@ -30,6 +30,7 @@ __all__ = [
     "SDIRK2",
     "SDIRK3",
     "Kvaerno3",
+    "TRBDF2",
     "ScipyWrapperODESolver",
     "SOLVERS",
 ]
@@ -68,6 +69,7 @@ SDIRK3 = SolverSpec("sdirk3", "fixed", 3, implicit=True)
 # order-2 error estimate — stiff problems get step-size CONTROL, not just a
 # fixed grid (capability beyond the reference's scipy escape hatch)
 Kvaerno3 = SolverSpec("kvaerno3", "adaptive", 3, implicit=True)
+TRBDF2 = SolverSpec("trbdf2", "adaptive", 2, implicit=True)
 ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
 
 SOLVERS = {
@@ -93,6 +95,8 @@ SOLVERS = {
     "sdirk2_krylov": dataclasses.replace(SDIRK2, name="sdirk2_krylov"),
     "sdirk3": SDIRK3,
     "kvaerno3": Kvaerno3,
+    "trbdf2": TRBDF2,
+    "tr_bdf2": dataclasses.replace(TRBDF2, name="tr_bdf2"),
     "scipy_solver": ScipyWrapperODESolver,
 }
 

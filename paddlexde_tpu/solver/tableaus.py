@@ -246,6 +246,47 @@ def _kvaerno3():
 
 KVAERNO3 = _kvaerno3()
 
+
+def _trbdf2():
+    """TR-BDF2 as a stiffly-accurate ESDIRK (Bank et al. 1985; the SPICE /
+    Hosea–Shampine workhorse): a trapezoidal half-step composed with BDF2,
+    one-step, L-stable, order 2, with an order-3 embedded error estimator.
+    Every coefficient is closed form in γ = 1 − √2/2:
+
+        c = [0, 2γ, 1],  diagonal = [0, γ, γ]
+        A = [[0,0,0], [γ, γ, 0], [√2/4, √2/4, γ]],   b = A's last row
+        b̂ solves the three order-3 quadrature conditions
+          (Σb̂, Σb̂c, Σb̂c²) = (1, 1/2, 1/3):  b̂₂ = (1/6)/(2γ(1−2γ)),
+          b̂₃ = 1/2 − 2γ b̂₂,  b̂₁ = 1 − b̂₂ − b̂₃;  error weights = b − b̂.
+        Dense-output midpoint weights from (Σm, Σmc, Σmc²) =
+          (1/2, 1/8, 1/24) — a third-order interpolant at θ = 1/2.
+
+    Stiff accuracy (b = last row) gives R(−∞) = 0; pinned with measured
+    order and stiff behaviour in tests/solver/test_implicit_adaptive.py.
+    """
+    g = 1.0 - np.sqrt(2.0) / 2.0
+    w = np.sqrt(2.0) / 4.0
+    b = [w, w, g]
+    bh2 = (1.0 / 6.0) / (2.0 * g * (1.0 - 2.0 * g))
+    bh3 = 0.5 - 2.0 * g * bh2
+    bh1 = 1.0 - bh2 - bh3
+    m2 = (1.0 / 12.0) / (2.0 * g * (1.0 - 2.0 * g))
+    m3 = 0.125 - 2.0 * g * m2
+    m1 = 0.5 - m2 - m3
+    tab = _tableau(
+        "trbdf2",
+        2,
+        alpha=[2.0 * g, 1.0],
+        beta_rows=[[g], [w, w]],  # explicit parts only; diag carries γ
+        c_sol=b,
+        c_error=[bi - bhi for bi, bhi in zip(b, [bh1, bh2, bh3])],
+        c_mid=[m1, m2, m3],
+    )
+    return dataclasses.replace(tab, diag=np.asarray([0.0, g, g], np.float64))
+
+
+TRBDF2 = _trbdf2()
+
 TABLEAUS = {
     "adaptive_heun": ADAPTIVE_HEUN,
     "fehlberg2": FEHLBERG2,
@@ -253,4 +294,5 @@ TABLEAUS = {
     "dopri5": DOPRI5,
     "dopri8": DOPRI8,
     "kvaerno3": KVAERNO3,
+    "trbdf2": TRBDF2,
 }

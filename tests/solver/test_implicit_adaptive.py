@@ -161,3 +161,86 @@ def test_kvaerno3_rejected_for_sde():
         pxt.sdeint(lambda t, y: -y, lambda t, y: 0.1 * jnp.ones_like(y),
                    jnp.ones(4), jnp.linspace(0.0, 1.0, 9), "kvaerno3",
                    key=1, time_axis=0)
+
+
+# TR-BDF2 (Bank et al. / Hosea–Shampine): trapezoid ∘ BDF2 as a
+# stiffly-accurate ESDIRK — every coefficient closed form in γ = 1 − √2/2,
+# with an order-3 embedded estimator from the quadrature conditions.
+
+
+def test_trbdf2_tableau_algebra():
+    from paddlexde_tpu.solver.tableaus import TRBDF2
+
+    tab = TRBDF2
+    g = 1.0 - np.sqrt(2.0) / 2.0
+    c = np.concatenate([[0.0], tab.alpha])
+    np.testing.assert_allclose(c, [0.0, 2 * g, 1.0], atol=1e-15)
+    a_mat = np.zeros((3, 3))
+    for i in range(2):
+        a_mat[i + 1, : i + 1] = tab.beta[i][: i + 1]
+    for i in range(3):
+        a_mat[i, i] = tab.diag[i]
+    np.testing.assert_allclose(a_mat.sum(1), c, atol=1e-15)  # row sums = c
+    b = tab.c_sol
+    np.testing.assert_allclose(a_mat[-1], b, atol=1e-15)  # stiffly accurate
+    # order 2: Σb = 1, Σbc = 1/2; the EMBEDDED b̂ = b − c_error is order 3
+    np.testing.assert_allclose(b.sum(), 1.0, atol=1e-15)
+    np.testing.assert_allclose((b * c).sum(), 0.5, atol=1e-15)
+    bh = b - tab.c_error
+    np.testing.assert_allclose(bh.sum(), 1.0, atol=1e-14)
+    np.testing.assert_allclose((bh * c).sum(), 0.5, atol=1e-14)
+    np.testing.assert_allclose((bh * c * c).sum(), 1.0 / 3.0, atol=1e-14)
+    # dense midpoint weights: third-order interpolant at theta = 1/2
+    m = tab.c_mid
+    np.testing.assert_allclose(m.sum(), 0.5, atol=1e-14)
+    np.testing.assert_allclose((m * c).sum(), 0.125, atol=1e-14)
+    np.testing.assert_allclose((m * c * c).sum(), 1.0 / 24.0, atol=1e-14)
+
+
+def test_trbdf2_convergence_order():
+    """Measured 2.017 on the harmonic oscillator (pinned fixed grid)."""
+    f = lambda t, y: jnp.stack([y[1], -y[0]])
+    y0 = jnp.asarray([1.0, 0.0])
+
+    def err(h):
+        s = pxt.odeint(
+            f, y0, jnp.asarray([0.0, 3.0]), "trbdf2", time_axis=0,
+            options={"min_step": h, "max_step": h, "first_step": h,
+                     "newton_iters": 10},
+        )
+        return float(jnp.abs(s[-1, 0] - math.cos(3.0)))
+
+    order = np.log(err(0.05) / err(0.0125)) / np.log(4.0)
+    assert 1.8 < order < 2.3, order
+
+
+def test_trbdf2_robertson_and_l_stability():
+    """Robertson at rtol 1e-6 in ~175 accepted steps (fewer than kvaerno3's
+    ~222 — the order-3 embedded estimator sizes order-2 steps efficiently),
+    matching kvaerno3's solution; one forced step at λ·dt = −1e8 contracts
+    to ~1e-8 (R(−∞) = 0 via stiff accuracy)."""
+
+    def rob(t, y):
+        return jnp.stack([
+            -0.04 * y[0] + 1e4 * y[1] * y[2],
+            0.04 * y[0] - 1e4 * y[1] * y[2] - 3e7 * y[1] * y[1],
+            3e7 * y[1] * y[1],
+        ])
+
+    ts = jnp.asarray([0.0, 100.0])
+    s2, st2 = pxt.odeint(rob, jnp.asarray([1.0, 0.0, 0.0]), ts, "trbdf2",
+                         rtol=1e-6, atol=1e-9,
+                         options={"return_stats": True, "newton_iters": 12},
+                         time_axis=0)
+    s3 = pxt.odeint(rob, jnp.asarray([1.0, 0.0, 0.0]), ts, "kvaerno3",
+                    rtol=1e-6, atol=1e-9, time_axis=0)
+    assert int(st2.status) == 0
+    assert int(st2.n_accept) < 300
+    np.testing.assert_allclose(np.asarray(s2[-1]), np.asarray(s3[-1]),
+                               rtol=1e-3, atol=1e-9)
+
+    fl = lambda t, y: -1e8 * y
+    s = pxt.odeint(fl, jnp.asarray([1.0]), jnp.asarray([0.0, 1.0]), "trbdf2",
+                   options={"first_step": 1.0, "max_step": 1.0,
+                            "min_step": 1.0}, time_axis=0)
+    assert abs(float(s[-1, 0])) < 1e-6
