@@ -54,6 +54,7 @@ from .solver import (  # noqa: F401
     Euler,
     Fehlberg2,
     ImplicitEuler,
+    ImplicitMidpoint,
     ImplicitEulerKrylov,
     SDIRK2,
     SDIRK3,

@@ -10,6 +10,7 @@ from .registry import (  # noqa: F401
     Euler,
     Fehlberg2,
     ImplicitEuler,
+    ImplicitMidpoint,
     ImplicitEulerKrylov,
     SDIRK2,
     SDIRK3,

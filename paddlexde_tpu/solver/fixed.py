@@ -101,6 +101,12 @@ def _implicit_euler_krylov_step(term, t0, t1, y0):
     return implicit_euler_krylov_step(term, t0, t1, y0)
 
 
+def _implicit_midpoint_step(term, t0, t1, y0):
+    from .implicit import implicit_midpoint_step
+
+    return implicit_midpoint_step(term, t0, t1, y0)
+
+
 def _sdirk2_step(term, t0, t1, y0):
     from .implicit import sdirk2_step
 
@@ -139,6 +145,7 @@ FIXED_STEP_FNS = {
     "velocity_verlet": (_leapfrog_step, 2),
     "yoshida4": (_yoshida4_step, 4),
     "implicit_euler": (_implicit_euler_step, 1),
+    "implicit_midpoint": (_implicit_midpoint_step, 2),
     "implicit_euler_krylov": (_implicit_euler_krylov_step, 1),
     "sdirk2": (_sdirk2_step, 2),
     "sdirk2_krylov": (_sdirk2_krylov_step, 2),

@@ -33,6 +33,8 @@ from jax.flatten_util import ravel_pytree
 from ..xde.term import XDETerm
 
 __all__ = [
+    "implicit_midpoint_step",
+    "make_implicit_midpoint_step",
     "implicit_euler_step",
     "make_implicit_euler_step",
     "implicit_euler_krylov_step",
@@ -189,6 +191,42 @@ def _stage_newton_solve(f_at, base_flat, gamma_dt, y_init, newton_iters,
         return y_flat - delta
 
     return jax.lax.fori_loop(0, newton_iters, newton_body, y_init)
+
+
+def make_implicit_midpoint_step(newton_iters: int = 8, krylov: bool = False,
+                                **krylov_opts):
+    """Implicit midpoint (one-stage Gauss–Legendre): Y = y0 + dt·f(t_mid,
+    (y0+Y)/2). Symmetric, A-stable, order 2, and SYMPLECTIC for EVERY
+    Hamiltonian system — including non-separable ones where leapfrog's
+    (q, p) splitting does not apply (det of the step's phase-space Jacobian
+    is pinned to ~1e-12 in the tests; the Newton iteration converges the
+    implicit map to machine precision on smooth fields). NOT L-stable:
+    R(−∞) = −1 (the stage is reformulated as Z = y0 + (dt/2) f(t_mid, Z),
+    Y = 2Z − y0 — one `_stage_newton_solve` with γ·dt = dt/2), so highly
+    stiff transients alternate instead of damping — use sdirk2/trbdf2 for
+    that regime; this scheme is for conservative/oscillatory dynamics."""
+
+    def step(term: XDETerm, t0, t1, y0):
+        dt = t1 - t0
+        t_mid = t0 + 0.5 * dt
+        y0_flat, unravel = ravel_pytree(y0)
+
+        def f_at(y_flat):
+            return ravel_pytree(term.move(t_mid, dt, unravel(y_flat)))[0]
+
+        dt_f = jnp.asarray(dt, y0_flat.dtype)
+        dy0 = term.move(t0, dt, y0)
+        z_init = y0_flat + 0.5 * dt_f * ravel_pytree(dy0)[0]
+        z = _stage_newton_solve(
+            f_at, y0_flat, 0.5 * dt_f, z_init, newton_iters,
+            krylov_opts if krylov else None,
+        )
+        return unravel(2.0 * z - y0_flat), dy0
+
+    return step
+
+
+implicit_midpoint_step = make_implicit_midpoint_step()
 
 
 # Alexander's 2-stage SDIRK, gamma = 1 - sqrt(2)/2: stiffly accurate, L-stable,

@@ -26,6 +26,7 @@ __all__ = [
     "Dopri5",
     "Dopri8",
     "ImplicitEuler",
+    "ImplicitMidpoint",
     "ImplicitEulerKrylov",
     "SDIRK2",
     "SDIRK3",
@@ -62,6 +63,7 @@ Bosh3 = SolverSpec("bosh3", "adaptive", 3)
 Dopri5 = SolverSpec("dopri5", "adaptive", 5)
 Dopri8 = SolverSpec("dopri8", "adaptive", 8)
 ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1, implicit=True)
+ImplicitMidpoint = SolverSpec("implicit_midpoint", "fixed", 2, implicit=True)
 ImplicitEulerKrylov = SolverSpec("implicit_euler_krylov", "fixed", 1, implicit=True)
 SDIRK2 = SolverSpec("sdirk2", "fixed", 2, implicit=True)
 SDIRK3 = SolverSpec("sdirk3", "fixed", 3, implicit=True)
@@ -89,6 +91,8 @@ SOLVERS = {
     "dopri5": Dopri5,
     "dopri8": Dopri8,
     "implicit_euler": ImplicitEuler,
+    "implicit_midpoint": ImplicitMidpoint,
+    "gauss_legendre1": dataclasses.replace(ImplicitMidpoint, name="gauss_legendre1"),
     "backward_euler": ImplicitEuler,
     "implicit_euler_krylov": ImplicitEulerKrylov,
     "sdirk2": SDIRK2,

@@ -114,3 +114,58 @@ def test_odeint_adjoint_refuses_symplectic():
     ts = jnp.linspace(0.0, 1.0, 9)
     with pytest.raises(ValueError, match="PAIR state"):
         pxt.odeint_adjoint(_sho, Y0, ts, "leapfrog", time_axis=0)
+
+
+# implicit midpoint (one-stage Gauss–Legendre): symplectic for EVERY
+# Hamiltonian (incl. non-separable, where leapfrog's splitting does not
+# apply), symmetric order 2, A-stable (NOT L-stable), and exactly
+# conservative for QUADRATIC invariants.
+
+
+def _nonsep(t, y):  # H = (q² + p²)/2 + 0.6qp — non-separable
+    q, p = y[..., 0], y[..., 1]
+    return jnp.stack([p + 0.6 * q, -(q + 0.6 * p)], -1)
+
+
+def test_implicit_midpoint_order_and_symplecticity():
+    y0 = jnp.array([1.0, 0.0], jnp.float64)
+    ref = pxt.odeint(_nonsep, y0, jnp.linspace(0.0, 3.0, 8001), "rk4",
+                     time_axis=0)[-1]
+
+    def err(n):
+        ts = jnp.linspace(0.0, 3.0, n + 1)
+        sol = pxt.odeint(_nonsep, y0, ts, "implicit_midpoint", time_axis=0)
+        return float(jnp.max(jnp.abs(sol[-1] - ref)))
+
+    slope = np.log(err(64) / err(256)) / np.log(4.0)
+    assert 1.9 < slope < 2.1, slope
+
+    from paddlexde_tpu.solver.implicit import implicit_midpoint_step
+
+    term = ode_term(_nonsep)
+
+    def m(z):
+        y1, _ = implicit_midpoint_step(term, 0.0, 0.3, z)
+        return y1
+
+    det = float(jnp.linalg.det(jax.jacobian(m)(jnp.array([0.7, -0.4]))))
+    assert abs(det - 1.0) < 1e-10, det  # symplectic on a NON-separable H
+
+
+def test_implicit_midpoint_conserves_quadratic_invariants_exactly():
+    """Gauss methods conserve quadratic first integrals EXACTLY — measured
+    8.9e-15 over T=500 (not merely bounded like leapfrog's shadow energy).
+    The flip side: R(−∞) = −1 (A-stable, not L-stable) — a hugely stiff
+    transient alternates instead of damping (use sdirk2/trbdf2 there)."""
+    y0 = jnp.array([1.0, 0.0], jnp.float64)
+    ts = jnp.linspace(0.0, 500.0, 5001)
+    sol = pxt.odeint(_nonsep, y0, ts, "implicit_midpoint", time_axis=0)
+    H = (0.5 * (sol[..., 0] ** 2 + sol[..., 1] ** 2)
+         + 0.6 * sol[..., 0] * sol[..., 1])
+    assert float(jnp.max(jnp.abs(H - H[0]))) < 1e-12
+
+    fl = lambda t, y: -1e8 * y
+    s1 = pxt.odeint(fl, jnp.array([1.0]), jnp.array([0.0, 1.0]),
+                    "implicit_midpoint", options={"step_size": 1.0},
+                    time_axis=0)
+    assert abs(float(s1[-1, 0]) + 1.0) < 1e-6  # R(-inf) = -1, pinned
