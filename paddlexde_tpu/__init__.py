@@ -51,6 +51,7 @@ from .solver import (  # noqa: F401
     Bosh3,
     Dopri5,
     Dopri8,
+    Tsit5,
     Euler,
     Fehlberg2,
     ImplicitEuler,

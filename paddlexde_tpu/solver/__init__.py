@@ -7,6 +7,7 @@ from .registry import (  # noqa: F401
     Bosh3,
     Dopri5,
     Dopri8,
+    Tsit5,
     Euler,
     Fehlberg2,
     ImplicitEuler,

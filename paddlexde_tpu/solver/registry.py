@@ -25,6 +25,7 @@ __all__ = [
     "Bosh3",
     "Dopri5",
     "Dopri8",
+    "Tsit5",
     "ImplicitEuler",
     "ImplicitMidpoint",
     "ImplicitEulerKrylov",
@@ -62,6 +63,7 @@ Fehlberg2 = SolverSpec("fehlberg2", "adaptive", 2)
 Bosh3 = SolverSpec("bosh3", "adaptive", 3)
 Dopri5 = SolverSpec("dopri5", "adaptive", 5)
 Dopri8 = SolverSpec("dopri8", "adaptive", 8)
+Tsit5 = SolverSpec("tsit5", "adaptive", 5)
 ImplicitEuler = SolverSpec("implicit_euler", "fixed", 1, implicit=True)
 ImplicitMidpoint = SolverSpec("implicit_midpoint", "fixed", 2, implicit=True)
 ImplicitEulerKrylov = SolverSpec("implicit_euler_krylov", "fixed", 1, implicit=True)
@@ -90,6 +92,7 @@ SOLVERS = {
     "bosh3": Bosh3,
     "dopri5": Dopri5,
     "dopri8": Dopri8,
+    "tsit5": Tsit5,
     "implicit_euler": ImplicitEuler,
     "implicit_midpoint": ImplicitMidpoint,
     "gauss_legendre1": dataclasses.replace(ImplicitMidpoint, name="gauss_legendre1"),

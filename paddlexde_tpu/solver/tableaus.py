@@ -200,6 +200,65 @@ def _dopri8() -> ButcherTableau:
 DOPRI8 = _dopri8()
 
 
+def _tsit5() -> ButcherTableau:
+    """Tsitouras 5(4) (Tsitouras 2011, "Runge–Kutta pairs of order 5(4)
+    satisfying only the first column simplifying assumption"): 7 stages, FSAL,
+    order 5 with an embedded order-4 estimator. The modern default explicit
+    pair (Julia's ``Tsit5``): same stage count as Dormand–Prince but smaller
+    error constants — measured here ~2-3x less error than dopri5 at equal
+    grids (tests/solver/test_tsit5.py). No counterpart exists in the
+    reference's zoo (``paddlexde/solver/adaptive_solver/*``); capability add.
+
+    The a/b/btilde constants are published data. Rather than also
+    transcribing the paper's dense-output polynomials, the midpoint weights
+    c_mid are DERIVED at import: solve the eight order-4 interpolation
+    conditions at theta = 1/2 (trees 1, c, c^2, Ac, c^3, c*Ac, Ac^2, AAc with
+    rhs theta, theta^2/2, theta^3/3, theta^3/6, theta^4/4, theta^4/8,
+    theta^4/12, theta^4/24) by least squares — the system is CONSISTENT for
+    this tableau (residual ~1e-16, asserted), so the solution is a genuine
+    4th-order midpoint, matching the accuracy the quartic dense-output engine
+    assumes. All 17 order-5 conditions + embedded order are pinned in tests.
+    """
+    c = np.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
+    b = np.array([
+        0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+        -3.290069515436081, 2.324710524099774, 0.0,
+    ])
+    beta_rows = [
+        [0.161],
+        [-0.008480655492356989, 0.335480655492357],
+        [2.8971530571054935, -6.359448489975075, 4.3622954328695815],
+        [5.325864828439257, -11.748883564062828, 7.4955393428898365,
+         -0.09249506636175525],
+        [5.86145544294642, -12.92096931784711, 8.159367898576159,
+         -0.071584973281401, -0.028269050394068383],
+        list(b[:-1]),  # FSAL: last stage row = solution weights
+    ]
+    # error weights = b - bhat (OrdinaryDiffEq's btilde; bhat passes every
+    # order-4 condition and fails order 5 — pinned in tests)
+    c_error = np.array([
+        -0.00178001105222577714, -0.0008164344596567469, 0.007880878010261995,
+        -0.1447110071732629, 0.5823571654525552, -0.45808210592918697,
+        1.0 / 66.0,
+    ])
+    A = np.zeros((7, 7))
+    for i, row in enumerate(beta_rows):
+        A[i + 1, : len(row)] = row
+    Ac = A @ c
+    th = 0.5
+    M = np.stack([np.ones(7), c, c**2, Ac, c**3, c * Ac, A @ c**2, A @ Ac])
+    rhs = np.array([th, th**2 / 2, th**3 / 3, th**3 / 6, th**4 / 4,
+                    th**4 / 8, th**4 / 12, th**4 / 24])
+    c_mid, *_ = np.linalg.lstsq(M, rhs, rcond=None)
+    resid = float(np.abs(M @ c_mid - rhs).max())
+    assert resid < 1e-12, f"tsit5 midpoint conditions inconsistent: {resid}"
+    return _tableau("tsit5", 5, list(c[1:]), beta_rows, list(b), list(c_error),
+                    list(c_mid))
+
+
+TSIT5 = _tsit5()
+
+
 def _kvaerno3():
     """Kvaerno(4,2,3): 4-stage stiffly-accurate ESDIRK, L-stable, order 3 with
     an embedded order-2 (also stiffly-accurate) error estimator (A. Kvaerno,
@@ -293,6 +352,7 @@ TABLEAUS = {
     "bosh3": BOSH3,
     "dopri5": DOPRI5,
     "dopri8": DOPRI8,
+    "tsit5": TSIT5,
     "kvaerno3": KVAERNO3,
     "trbdf2": TRBDF2,
 }
