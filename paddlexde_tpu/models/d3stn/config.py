@@ -56,10 +56,15 @@ class D3STNConfig:
     # loses more than the op fusion saves); kept as a knob, default off
     gcn_impl: str = "auto"  # "auto": fused Pallas spatial-attention kernel on
     # TPU when dropout is inactive (the [B,T,N,N] score stays in VMEM —
-    # ops/gcn_pallas.py); "xla" | "pallas" force a path
+    # ops/gcn_pallas.py); "xla" | "pallas" force a path. NB: score dropout
+    # (dropout>0 in training) always takes the XLA path — an explicit
+    # 'pallas' request then warns (the GCN kernel has no mask input; the
+    # attention kernel does, see attn_impl)
     attn_impl: str = "auto"  # "auto": fused conv->MHA->conv Pallas kernel on
-    # TPU when dropout is inactive (ops/attn_pallas.py — the attention blocks
-    # are ~2/3 of the step under XLA); "xla" | "pallas" force a path
+    # TPU (ops/attn_pallas.py — the attention blocks are ~2/3 of the step
+    # under XLA); "xla" | "pallas" force a path. Attention-weight dropout
+    # runs IN-kernel (round 3): the model samples one pre-scaled keep mask
+    # per call and the kernel applies it fwd + bwd
     remat: bool = False  # jax.checkpoint each encoder/decoder layer: trades
     # recompute for peak-memory/spill (the step is remat/spill-bound at scale)
     spmd: bool = False  # wrap the Pallas kernels in their custom_partitioning

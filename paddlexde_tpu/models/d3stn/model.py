@@ -265,33 +265,39 @@ class MultiHeadAttentionAwareTemporalContext(nn.Module):
         # row-stochastic so it commutes with the conv — hoist it, then the
         # conv -> MHA -> conv chain runs per node-tile entirely in VMEM.
         # Measured: the attention blocks hold ~90 of 139 ms of the PEMS08
-        # bs-32 step under XLA. Dropout path falls back (rng inside kernel).
+        # bs-32 step under XLA. Dropout runs IN-kernel (round 3): the mask is
+        # sampled here (one bernoulli) and handed to the kernel pre-scaled,
+        # so the backward replays the identical mask from residuals.
         from ...ops.attn_pallas import pallas_available as _attn_tpu
 
         attn_impl = getattr(cfg, "attn_impl", "auto")
         dropout_active = cfg.dropout > 0 and not deterministic
-        if attn_impl == "pallas" and dropout_active and impl == "conv":
-            # an explicit 'pallas' request must not silently benchmark the
-            # XLA path: the kernel has no in-kernel PRNG, so dropout forces
-            # the fallback — say so (once per trace). Only when impl=='conv':
-            # with a non-conv context impl the kernel is off regardless of
-            # dropout and the message would mislead.
-            _warn_kernel_dropout("attn_impl")
-        use_attn_kernel = impl == "conv" and not dropout_active and (
+        use_attn_kernel = impl == "conv" and (
             _attn_tpu() if attn_impl == "auto" else attn_impl == "pallas"
         )
         if use_attn_kernel:
-            from ...ops.attn_pallas import fused_temporal_attention
+            from ...ops.attn_pallas import (
+                fused_temporal_attention,
+                fused_temporal_attention_dropout,
+            )
 
             ok_, ob = _ConvParamBank(d_model, ks, name="out_conv")(d_model)
             mq = mix(query)
             mk = mq if (key is query and mix_m is not None) else mix(key)
-            return fused_temporal_attention(
-                mq, mk, value, qk_[0], qb, kk_[0], kb, vk_[0], vb, ok_[0], ob,
-                self.query_causal, self.key_causal, bool(is_mask), heads,
-                cfg.compute_dtype, True, not _attn_tpu(),
-                getattr(cfg, "spmd", True),
-            )
+            arrays = (mq, mk, value, qk_[0], qb, kk_[0], kb, vk_[0], vb,
+                      ok_[0], ob)
+            statics = (self.query_causal, self.key_causal, bool(is_mask),
+                       heads, cfg.compute_dtype, True, not _attn_tpu(),
+                       getattr(cfg, "spmd", True))
+            if dropout_active:
+                keep = 1.0 - cfg.dropout
+                m = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, (b, n, t_q, heads * t_k)
+                )
+                return fused_temporal_attention_dropout(
+                    *arrays, m.astype(jnp.float32) / keep, *statics
+                )
+            return fused_temporal_attention(*arrays, *statics)
 
         if fuse and query is key and key is value and (
             self.query_causal == self.key_causal

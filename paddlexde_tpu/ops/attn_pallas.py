@@ -34,7 +34,11 @@ import jax.numpy as jnp
 
 from .spline_pallas import pallas_available
 
-__all__ = ["fused_temporal_attention", "pallas_available"]
+__all__ = [
+    "fused_temporal_attention",
+    "fused_temporal_attention_dropout",
+    "pallas_available",
+]
 
 
 def _dt(name: str):
@@ -70,7 +74,8 @@ def _tconv_ref(x, w, b, causal, dt):
 
 
 def _ref_impl(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, *,
-              causal_q, causal_kv, is_mask, heads, dtype_name):
+              causal_q, causal_kv, is_mask, heads, dtype_name,
+              dropout_mask=None):
     dt = _dt(dtype_name)
     q = _tconv_ref(mq, wq, bq, causal_q, dt)
     k = _tconv_ref(mk, wk, bk, causal_kv, dt)
@@ -88,7 +93,16 @@ def _ref_impl(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, *,
         scores = scores + jnp.triu(
             jnp.full((t_q, t_q), jnp.finfo(scores.dtype).min), k=1
         )
-    attn = jax.nn.softmax(scores, axis=-1).astype(dt)
+    attn = jax.nn.softmax(scores, axis=-1)
+    if dropout_mask is not None:
+        # mask layout [B, N, Tq, H*Tk] head-major (the kernel's blockdiag
+        # column layout); values are pre-scaled {0, 1/keep}
+        m = jnp.moveaxis(
+            dropout_mask.astype(jnp.float32).reshape(b, n, t_q, heads, t_k),
+            3, 2,
+        )
+        attn = attn * m
+    attn = attn.astype(dt)
     x = jnp.einsum("bnhqk,bnkhd->bnqhd", attn, v).reshape(b, n, t_q, d)
     return _tconv_ref(x, wo, bo, False, dt)
 
@@ -135,7 +149,7 @@ def _tile_out(ref, y, bt):
         ref[...] = y.reshape(s).astype(ref.dtype)
 
 
-def _attention_tile(q, k, v, *, heads, is_mask, dt):
+def _attention_tile(q, k, v, *, heads, is_mask, dt, dmask=None):
     """Per-node MHA on a [G, T, D] tile.
 
     Two formulations (numerically equal, knob PXT_ATTN_MIDDLE):
@@ -156,9 +170,11 @@ def _attention_tile(q, k, v, *, heads, is_mask, dt):
         mask = jnp.triu(jnp.full((t_q, t_q), jnp.finfo(jnp.float32).min), k=1)
     if _MIDDLE == "blockdiag":
         x, _ = _blockdiag_state(
-            q, k, v, heads=heads, head_dim=head_dim, inv=inv, mask=mask, dt=dt
+            q, k, v, heads=heads, head_dim=head_dim, inv=inv, mask=mask, dt=dt,
+            dmask=dmask,
         )
         return x
+    t_k = k.shape[1]
     outs = []
     dn = (((2,), (2,)), ((0,), (0,)))  # contract dh, batch over G
     dn_pv = (((2,), (1,)), ((0,), (0,)))  # attn [G,Tq,Tk] x v [G,Tk,dh]
@@ -170,7 +186,10 @@ def _attention_tile(q, k, v, *, heads, is_mask, dt):
         ) * inv
         if mask is not None:
             s = s + mask
-        p = jax.nn.softmax(s, axis=-1).astype(dt)
+        p = jax.nn.softmax(s, axis=-1)
+        if dmask is not None:
+            p = p * dmask[:, :, h * t_k : (h + 1) * t_k]
+        p = p.astype(dt)
         outs.append(
             jax.lax.dot_general(p, vh, dn_pv, preferred_element_type=jnp.float32)
             .astype(dt)
@@ -179,13 +198,21 @@ def _attention_tile(q, k, v, *, heads, is_mask, dt):
 
 
 def _fwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                wv_ref, bv_ref, wo_ref, bo_ref, out_ref, *,
-                causal_q, causal_kv, is_mask, heads, dtype_name, bt=1):
+                wv_ref, bv_ref, wo_ref, bo_ref, *rest,
+                causal_q, causal_kv, is_mask, heads, dtype_name, bt=1,
+                has_dropout=False):
+    if has_dropout:
+        dm_ref, out_ref = rest
+        dmask = _tile_in(dm_ref, bt).astype(jnp.float32)
+    else:
+        (out_ref,) = rest
+        dmask = None
     dt = _dt(dtype_name)
     q = _tconv_tile(_tile_in(mq_ref, bt), wq_ref[...], bq_ref[...], causal_q, dt)
     k = _tconv_tile(_tile_in(mk_ref, bt), wk_ref[...], bk_ref[...], causal_kv, dt)
     v = _tconv_tile(_tile_in(vs_ref, bt), wv_ref[...], bv_ref[...], causal_kv, dt)
-    x = _attention_tile(q, k, v, heads=heads, is_mask=is_mask, dt=dt)
+    x = _attention_tile(q, k, v, heads=heads, is_mask=is_mask, dt=dt,
+                        dmask=dmask)
     y = _tconv_tile(x, wo_ref[...], bo_ref[...], False, dt)
     _tile_out(out_ref, y, bt)
 
@@ -230,9 +257,15 @@ def _conv_weight_grads(x, g, k, causal, dt):
     return dw, db
 
 
-def _blockdiag_state(q, k, v, *, heads, head_dim, inv, mask, dt):
+def _blockdiag_state(q, k, v, *, heads, head_dim, inv, mask, dt, dmask=None):
     """Forward attention middle in block-diagonal form; returns
-    (x_attn [G, Tq, D] dt, residual state for the backward)."""
+    (x_attn [G, Tq, D] dt, residual state for the backward).
+
+    ``dmask`` [G, Tq, heads*Tk] f32 (values {0, 1/keep}) is attention-weight
+    dropout — its column layout IS the blockdiag layout, so it applies as one
+    elementwise multiply on p. The stored state keeps the PRE-dropout softmax
+    p0 (the softmax backward needs it; p0 cannot be recovered where the mask
+    zeroed p)."""
     d = q.shape[2]
     t_k = k.shape[1]
     cols = heads * t_k
@@ -257,28 +290,32 @@ def _blockdiag_state(q, k, v, *, heads, head_dim, inv, mask, dt):
         e, block_sum, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    p = e / denom  # [G, Tq, cols] f32
+    p = e / denom  # [G, Tq, cols] f32 (pre-dropout)
+    p_eff = p if dmask is None else p * dmask
     v_bd = jnp.concatenate(
         [jnp.where(lane_head == h, v.astype(jnp.float32), 0.0)
          for h in range(heads)],
         axis=1,
     )  # [G, cols, D]
     x_attn = jax.lax.dot_general(
-        p.astype(dt), v_bd.astype(dt), (((2,), (1,)), ((0,), (0,))),
+        p_eff.astype(dt), v_bd.astype(dt), (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(dt)
     return x_attn, (p, k_bd, v_bd, block_sum, lane_head, sub_head)
 
 
-def _blockdiag_bwd(state, q, v, dx_attn, *, heads, head_dim, inv):
+def _blockdiag_bwd(state, q, v, dx_attn, *, heads, head_dim, inv, dmask=None):
     """Backward of the block-diagonal attention middle: four batched matmuls
     plus mask/recombine VPU work (no per-head loop). Returns f32
-    (dq_full, dk_full, dv_full) [G, T, D]."""
+    (dq_full, dk_full, dv_full) [G, T, D]. With dropout, the mask applies to
+    the value path (p_eff = p0*m feeds dv) and gates the softmax cotangent
+    (dp0 = dp_eff*m) before the usual block-softmax backward on p0."""
     p, k_bd, v_bd, block_sum, lane_head, sub_head = state
+    p_eff = p if dmask is None else p * dmask
     t_k = v.shape[1]
     gq = dx_attn  # [G, Tq, D] f32
-    d_vbd = jax.lax.dot_general(  # p^T @ g over Tq -> [G, cols, D]
-        p, gq, (((1,), (1,)), ((0,), (0,))),
+    d_vbd = jax.lax.dot_general(  # p_eff^T @ g over Tq -> [G, cols, D]
+        p_eff, gq, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
     dv_full = sum(
@@ -293,6 +330,8 @@ def _blockdiag_bwd(state, q, v, dx_attn, *, heads, head_dim, inv):
         gq, v_bd, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    if dmask is not None:
+        dp = dp * dmask
     ds = p * (
         dp - jax.lax.dot_general(
             dp * p, block_sum, (((2,), (0,)), ((), ())),
@@ -320,11 +359,19 @@ def _blockdiag_bwd(state, q, v, dx_attn, *, heads, head_dim, inv):
 
 
 def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
-                wv_ref, bv_ref, wo_ref, bo_ref, g_ref,
-                dmq_ref, dmk_ref, dvs_ref, dwq_ref, dbq_ref, dwk_ref,
-                dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref, *,
-                causal_q, causal_kv, is_mask, heads, dtype_name, bt=1):
+                wv_ref, bv_ref, wo_ref, bo_ref, g_ref, *rest,
+                causal_q, causal_kv, is_mask, heads, dtype_name, bt=1,
+                has_dropout=False):
     from jax.experimental import pallas as pl
+
+    if has_dropout:
+        dm_ref = rest[0]
+        rest = rest[1:]
+        dmask = _tile_in(dm_ref, bt).astype(jnp.float32)
+    else:
+        dmask = None
+    (dmq_ref, dmk_ref, dvs_ref, dwq_ref, dbq_ref, dwk_ref,
+     dbk_ref, dwv_ref, dbv_ref, dwo_ref, dbo_ref) = rest
 
     dt = _dt(dtype_name)
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
@@ -352,7 +399,8 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
     if _MIDDLE == "blockdiag":
         x_attn, st = _blockdiag_state(
-            q, k, v, heads=heads, head_dim=head_dim, inv=inv, mask=mask, dt=dt
+            q, k, v, heads=heads, head_dim=head_dim, inv=inv, mask=mask, dt=dt,
+            dmask=dmask,
         )
         dwo, dbo = _conv_weight_grads(x_attn, g_out, k_taps, False, dt)
         dwo_ref[...] += dwo.astype(dwo_ref.dtype)
@@ -360,7 +408,7 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         dx_attn = _tconv_bwd_input(g_out, wo_ref[...], False, dt)
         dq_full, dk_full, dv_full = _blockdiag_bwd(
             st, q, v, dx_attn.astype(jnp.float32), heads=heads,
-            head_dim=head_dim, inv=inv,
+            head_dim=head_dim, inv=inv, dmask=dmask,
         )
         dwq, dbq = _conv_weight_grads(mq, dq_full, k_taps, causal_q, dt)
         dwk, dbk = _conv_weight_grads(mk, dk_full, k_taps, causal_kv, dt)
@@ -393,14 +441,16 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     # store the per-head softmax maps for the grad loop (8 x [G, Tq, Tk] f32
     # ~ 0.5M at tile 17 — recomputing them instead measured +11 ms on the
     # full bs-32 step and did NOT shrink Mosaic's scoped-VMEM stack anyway)
+    t_k = k.shape[1]
     x_parts, p_list = [], []
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         vh = v[:, :, sl].astype(jnp.float32)
         p = head_softmax(h)
-        p_list.append(p)
+        p_list.append(p)  # PRE-dropout softmax (softmax bwd needs it)
+        p_eff = p if dmask is None else p * dmask[:, :, h * t_k:(h + 1) * t_k]
         x_parts.append(
-            jax.lax.dot_general(p.astype(dt), vh.astype(dt), dn_pv,
+            jax.lax.dot_general(p_eff.astype(dt), vh.astype(dt), dn_pv,
                                 preferred_element_type=jnp.float32)
         )
     x_attn = jnp.concatenate(
@@ -422,11 +472,15 @@ def _bwd_kernel(mq_ref, mk_ref, vs_ref, wq_ref, bq_ref, wk_ref, bk_ref,
         vh = v[:, :, sl].astype(jnp.float32)
         gh = dx_attn[:, :, sl]
         p = p_list[h]
+        m_h = None if dmask is None else dmask[:, :, h * t_k:(h + 1) * t_k]
+        p_eff = p if m_h is None else p * m_h
         dp = jax.lax.dot_general(  # g [G,Tq,dh] x v [G,Tk,dh] -> [G,Tq,Tk]
             gh, vh, dn_qk, preferred_element_type=jnp.float32
         )
-        dv_parts.append(jax.lax.dot_general(  # p^T g over Tq
-            p, gh, dn_ptg, preferred_element_type=jnp.float32
+        if m_h is not None:
+            dp = dp * m_h
+        dv_parts.append(jax.lax.dot_general(  # p_eff^T g over Tq
+            p_eff, gh, dn_ptg, preferred_element_type=jnp.float32
         ))
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dq_parts.append(jax.lax.dot_general(  # ds [G,Tq,Tk] x k [G,Tk,dh]
@@ -504,7 +558,7 @@ def _padded(x, n_pad):
     return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, 0)))
 
 
-def _call_fwd(mq, mk, vs, weights, statics, interpret):
+def _call_fwd(mq, mk, vs, weights, statics, interpret, dmask=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -515,10 +569,11 @@ def _call_fwd(mq, mk, vs, weights, statics, interpret):
     bt = _pick_bt(b, _BATCH_BLOCK_FWD)
     mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
     dt = _dt(statics["dtype_name"])
-    kern = functools.partial(_fwd_kernel, bt=bt, **statics)
+    kern = functools.partial(_fwd_kernel, bt=bt,
+                             has_dropout=dmask is not None, **statics)
 
-    def tile_spec(t_len):
-        return pl.BlockSpec((bt, tile, t_len, d), lambda i, j: (i, j, 0, 0),
+    def tile_spec(t_len, width=d):
+        return pl.BlockSpec((bt, tile, t_len, width), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
@@ -527,24 +582,29 @@ def _call_fwd(mq, mk, vs, weights, statics, interpret):
                             memory_space=pltpu.VMEM)
 
     wq, bq, wk, bk, wv, bv, wo, bo = weights
+    in_specs = [
+        tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
+        const_spec(wq.shape), const_spec(bq.shape),
+        const_spec(wk.shape), const_spec(bk.shape),
+        const_spec(wv.shape), const_spec(bv.shape),
+        const_spec(wo.shape), const_spec(bo.shape),
+    ]
+    operands = [mq_p, mk_p, vs_p, wq, bq, wk, bk, wv, bv, wo, bo]
+    if dmask is not None:
+        in_specs.append(tile_spec(t_q, statics["heads"] * t_k))
+        operands.append(_padded(dmask, n_pad))
     out = pl.pallas_call(
         kern,
         grid=(b // bt, n_pad // tile),
-        in_specs=[
-            tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
-            const_spec(wq.shape), const_spec(bq.shape),
-            const_spec(wk.shape), const_spec(bk.shape),
-            const_spec(wv.shape), const_spec(bv.shape),
-            const_spec(wo.shape), const_spec(bo.shape),
-        ],
+        in_specs=in_specs,
         out_specs=tile_spec(t_q),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, t_q, d), dt),
         interpret=interpret,
-    )(mq_p, mk_p, vs_p, wq, bq, wk, bk, wv, bv, wo, bo)
+    )(*operands)
     return out[:, :n] if n_pad != n else out
 
 
-def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
+def _call_bwd(mq, mk, vs, weights, g, statics, interpret, dmask=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -555,11 +615,12 @@ def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
     bt = _pick_bt(b, _BATCH_BLOCK_BWD)
     mq_p, mk_p, vs_p = (_padded(a, n_pad) for a in (mq, mk, vs))
     g_p = _padded(g, n_pad)
-    kern = functools.partial(_bwd_kernel, bt=bt, **statics)
+    kern = functools.partial(_bwd_kernel, bt=bt,
+                             has_dropout=dmask is not None, **statics)
     wq, bq, wk, bk, wv, bv, wo, bo = weights
 
-    def tile_spec(t_len):
-        return pl.BlockSpec((bt, tile, t_len, d), lambda i, j: (i, j, 0, 0),
+    def tile_spec(t_len, width=d):
+        return pl.BlockSpec((bt, tile, t_len, width), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def const_spec(shape):
@@ -569,17 +630,22 @@ def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
 
     w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                 for w in (wq, bq, wk, bk, wv, bv, wo, bo)]
+    in_specs = [
+        tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
+        const_spec(wq.shape), const_spec(bq.shape),
+        const_spec(wk.shape), const_spec(bk.shape),
+        const_spec(wv.shape), const_spec(bv.shape),
+        const_spec(wo.shape), const_spec(bo.shape),
+        tile_spec(t_q),
+    ]
+    operands = [mq_p, mk_p, vs_p, wq, bq, wk, bk, wv, bv, wo, bo, g_p]
+    if dmask is not None:
+        in_specs.append(tile_spec(t_q, statics["heads"] * t_k))
+        operands.append(_padded(dmask, n_pad))
     outs = pl.pallas_call(
         kern,
         grid=(b // bt, n_pad // tile),
-        in_specs=[
-            tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
-            const_spec(wq.shape), const_spec(bq.shape),
-            const_spec(wk.shape), const_spec(bk.shape),
-            const_spec(wv.shape), const_spec(bv.shape),
-            const_spec(wo.shape), const_spec(bo.shape),
-            tile_spec(t_q),
-        ],
+        in_specs=in_specs,
         out_specs=[
             tile_spec(t_q), tile_spec(t_k), tile_spec(t_k),
             const_spec(wq.shape), const_spec(bq.shape),
@@ -594,7 +660,7 @@ def _call_bwd(mq, mk, vs, weights, g, statics, interpret):
             *w_shapes,
         ],
         interpret=interpret,
-    )(mq_p, mk_p, vs_p, wq, bq, wk, bk, wv, bv, wo, bo, g_p)
+    )(*operands)
     dmq, dmk, dvs = outs[0][:, :n], outs[1][:, :n], outs[2][:, :n]
     return (dmq, dmk, dvs) + tuple(outs[3:])
 
@@ -624,56 +690,78 @@ def _w_factors(prefix):
 
 
 @functools.lru_cache(maxsize=None)
-def _partitioned_fwd(statics_key, interpret):
+def _partitioned_fwd(statics_key, interpret, has_dropout=False):
     from .partition import shard_batched
 
     statics = dict(zip(
         ("causal_q", "causal_kv", "is_mask", "heads", "dtype_name"), statics_key
     ))
 
-    def impl(mq, mk, vs, *weights):
-        return _call_fwd(mq, mk, vs, weights, statics, interpret)
+    if has_dropout:
+        def impl(mq, mk, vs, dm, *weights):
+            return _call_fwd(mq, mk, vs, weights, statics, interpret, dmask=dm)
+
+        batched, act_f, repl_extra = (0, 1, 2, 3), _ACT_F + ("b n tq dmc",), ("dmc",)
+    else:
+        def impl(mq, mk, vs, *weights):
+            return _call_fwd(mq, mk, vs, weights, statics, interpret)
+
+        batched, act_f, repl_extra = (0, 1, 2), _ACT_F, ()
 
     w_dims, w_flat = _w_factors("w")
     return shard_batched(
         impl,
-        batched_args=(0, 1, 2),
+        batched_args=batched,
         batched_outs=(0,),
         n_outs=1,
         sharded_dims=2,
-        rule=", ".join(_ACT_F + tuple(w_dims)) + " -> b n tq d",
-        need_replication=_REPL_ACT + w_flat,
+        rule=", ".join(act_f + tuple(w_dims)) + " -> b n tq d",
+        need_replication=_REPL_ACT + repl_extra + w_flat,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def _partitioned_bwd(statics_key, interpret):
+def _partitioned_bwd(statics_key, interpret, has_dropout=False):
     from .partition import shard_batched
 
     statics = dict(zip(
         ("causal_q", "causal_kv", "is_mask", "heads", "dtype_name"), statics_key
     ))
 
-    def impl(mq, mk, vs, wq, bq, wk, bk, wv, bv, wo, bo, g):
-        return _call_bwd(
-            mq, mk, vs, (wq, bq, wk, bk, wv, bv, wo, bo), g, statics, interpret
-        )
+    if has_dropout:
+        def impl(mq, mk, vs, wq, bq, wk, bk, wv, bv, wo, bo, g, dm):
+            return _call_bwd(
+                mq, mk, vs, (wq, bq, wk, bk, wv, bv, wo, bo), g, statics,
+                interpret, dmask=dm,
+            )
+
+        batched = (0, 1, 2, 11, 12)
+        in_extra, repl_extra = ("b n tq d", "b n tq dmc"), ("dmc",)
+    else:
+        def impl(mq, mk, vs, wq, bq, wk, bk, wv, bv, wo, bo, g):
+            return _call_bwd(
+                mq, mk, vs, (wq, bq, wk, bk, wv, bv, wo, bo), g, statics,
+                interpret,
+            )
+
+        batched = (0, 1, 2, 11)
+        in_extra, repl_extra = ("b n tq d",), ()
 
     w_dims, w_flat = _w_factors("w")
     g_dims, g_flat = _w_factors("g")
     rule = (
-        ", ".join(_ACT_F + tuple(w_dims) + ("b n tq d",))
+        ", ".join(_ACT_F + tuple(w_dims) + in_extra)
         + " -> "
         + ", ".join(_ACT_F + tuple(g_dims))
     )
     return shard_batched(
         impl,
-        batched_args=(0, 1, 2, 11),
+        batched_args=batched,
         batched_outs=(0, 1, 2),
         n_outs=11,
         sharded_dims=2,
         rule=rule,
-        need_replication=_REPL_ACT + w_flat + g_flat,
+        need_replication=_REPL_ACT + repl_extra + w_flat + g_flat,
     )
 
 
@@ -754,3 +842,75 @@ def _vjp_bwd(causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas,
 
 
 fused_temporal_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18, 19)
+)
+def fused_temporal_attention_dropout(
+    mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, dropout_mask,
+    causal_q: bool, causal_kv: bool, is_mask: bool, heads: int,
+    dtype_name: str = "float32", use_pallas: bool = False,
+    interpret: bool = False, partitioned: bool = True,
+):
+    """:func:`fused_temporal_attention` with attention-weight dropout inside
+    the kernel (closes the reference's ``nn.Dropout(attention)`` semantics,
+    ``example/D3STN/attention.py:240-242``, without leaving VMEM).
+
+    ``dropout_mask`` is a [B, N, Tq, heads*Tk] array of pre-scaled keep
+    weights {0, 1/keep} in head-major column layout (head h occupies columns
+    [h*Tk, (h+1)*Tk)); the caller samples it (one ``jax.random.bernoulli``)
+    so the kernel stays deterministic and the backward replays the exact
+    same mask from residuals. No gradient flows to the mask."""
+    args = dict(causal_q=causal_q, causal_kv=causal_kv, is_mask=is_mask,
+                heads=heads, dtype_name=dtype_name)
+    if not use_pallas:
+        return _ref_impl(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
+                         dropout_mask=dropout_mask, **args)
+    if not partitioned:
+        return _call_fwd(mq, mk, vsrc, (wq, bq, wk, bk, wv, bv, wo, bo),
+                         args, interpret, dmask=dropout_mask)
+    key = (causal_q, causal_kv, is_mask, heads, dtype_name)
+    return _partitioned_fwd(key, interpret, True)(
+        mq, mk, vsrc, dropout_mask, wq, bq, wk, bk, wv, bv, wo, bo
+    )
+
+
+def _vjp_fwd_dropout(mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
+                     dropout_mask, causal_q, causal_kv, is_mask, heads,
+                     dtype_name, use_pallas, interpret, partitioned):
+    out = fused_temporal_attention_dropout(
+        mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, dropout_mask,
+        causal_q, causal_kv, is_mask, heads, dtype_name, use_pallas, interpret,
+        partitioned,
+    )
+    return out, (mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, dropout_mask)
+
+
+def _vjp_bwd_dropout(causal_q, causal_kv, is_mask, heads, dtype_name,
+                     use_pallas, interpret, partitioned, res, g):
+    mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, dropout_mask = res
+    args = dict(causal_q=causal_q, causal_kv=causal_kv, is_mask=is_mask,
+                heads=heads, dtype_name=dtype_name)
+    if not use_pallas:
+        _, vjp = jax.vjp(
+            lambda *arrs: _ref_impl(*arrs, dropout_mask=dropout_mask, **args),
+            mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo,
+        )
+        outs = vjp(g)
+    elif not partitioned:
+        outs = _call_bwd(mq, mk, vsrc, (wq, bq, wk, bk, wv, bv, wo, bo), g,
+                         args, interpret, dmask=dropout_mask)
+    else:
+        key = (causal_q, causal_kv, is_mask, heads, dtype_name)
+        outs = _partitioned_bwd(key, interpret, True)(
+            mq, mk, vsrc, wq, bq, wk, bk, wv, bv, wo, bo, g, dropout_mask
+        )
+    dmq, dmk, dvs, dwq, dbq, dwk, dbk, dwv, dbv, dwo, dbo = outs
+    cast = lambda a, ref: a.astype(jnp.asarray(ref).dtype)
+    return (dmq, dmk, dvs, cast(dwq, wq), cast(dbq, bq), cast(dwk, wk),
+            cast(dbk, bk), cast(dwv, wv), cast(dbv, bv), cast(dwo, wo),
+            cast(dbo, bo), jnp.zeros_like(dropout_mask))
+
+
+fused_temporal_attention_dropout.defvjp(_vjp_fwd_dropout, _vjp_bwd_dropout)

@@ -217,6 +217,37 @@ def test_dropout_active_in_training(tmp_path):
     assert float(e1) == float(e2)
 
 
+def test_dropout_runs_in_attention_kernel(tmp_path):
+    """attn_impl='pallas' + dropout no longer falls back to XLA (round 3:
+    the kernel takes an explicit keep mask): the train step is stochastic
+    through the KERNEL path, raises no fallback warning, and eval (dropout
+    off) bit-matches the XLA implementation."""
+    import warnings
+
+    cfg = tiny_cfg(tmp_path, dropout=0.3, train_epochs=1, finetune_epochs=0,
+                   attn_impl="pallas", batch_size=8)
+    data = synthetic_traffic_npz(num_nodes=N_NODES, seq_len=288 * 2)
+    rng = np.random.RandomState(0)
+    adj, sc = make_graph(rng)
+    trainer = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc)
+    src, tgt = next(trainer.train_dataset.batches(cfg.batch_size))
+    src, tgt = jnp.asarray(src), jnp.asarray(tgt)
+    args = (trainer.state, trainer.opt_state, src, tgt,
+            jnp.asarray(0.0), jnp.asarray(1e-3), jnp.asarray(1e-4))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any kernel-fallback warning fails
+        _, _, l1, _ = trainer._train_step(*args, jax.random.key(1))
+        _, _, l2, _ = trainer._train_step(*args, jax.random.key(2))
+    assert float(l1) != float(l2)  # dropout noise flows through the kernel
+
+    cfg_x = tiny_cfg(tmp_path, dropout=0.3, train_epochs=1, finetune_epochs=0,
+                     attn_impl="xla", batch_size=8)
+    tr_x = Trainer(cfg_x, data=data, adj_matrix=adj, sc_matrix=sc)
+    e_k = trainer._eval_step(trainer.state, src, tgt)
+    e_x = tr_x._eval_step(trainer.state, src, tgt)
+    np.testing.assert_allclose(float(e_k), float(e_x), rtol=2e-5)
+
+
 def test_bfloat16_compute_dtype():
     """bf16 compute: finite outputs close to the f32 model (same params)."""
     rng = np.random.RandomState(0)

@@ -67,6 +67,42 @@ def test_attn_kernel_sharded_matches_single_device(mesh):
     assert g_s[3].sharding.spec == P()  # dbq
 
 
+def test_attn_dropout_kernel_sharded_matches_single_device(mesh):
+    """The in-kernel dropout variant (round 3) has its own partitioning rule:
+    the mask shards with the batch, weight grads still psum."""
+    from paddlexde_tpu.ops.attn_pallas import fused_temporal_attention_dropout
+
+    (mq, mk, vs), ws = _attn_args()
+    keep = 0.6
+    mask = (
+        jax.random.bernoulli(jax.random.PRNGKey(2), keep, (B, N, T, H * T))
+        .astype(jnp.float32) / keep
+    )
+
+    def f(m, mq, mk, vs, *ws):
+        return fused_temporal_attention_dropout(
+            mq, mk, vs, *ws, m, False, False, False, H, "float32", True, True
+        )
+
+    shard = lambda a: jax.device_put(a, NamedSharding(mesh, P("data")))
+    repl = lambda a: jax.device_put(a, NamedSharding(mesh, P()))
+    out_s = jax.jit(f)(shard(mask), shard(mq), shard(mk), shard(vs),
+                       *map(repl, ws))
+    out_1 = jax.jit(f)(mask, mq, mk, vs, *ws)
+    np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_1))
+    assert out_s.sharding.spec == P("data")
+
+    loss = lambda *a: jnp.sum(f(*a) ** 2)
+    g_s = jax.jit(jax.grad(loss, argnums=(1, 4)))(
+        shard(mask), shard(mq), shard(mk), shard(vs), *map(repl, ws)
+    )
+    g_1 = jax.jit(jax.grad(loss, argnums=(1, 4)))(mask, mq, mk, vs, *ws)
+    for a, b in zip(g_s, g_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert g_s[0].sharding.spec == P("data")  # dmq batch-sharded
+    assert g_s[1].sharding.spec == P()  # dwq psum'd
+
+
 def test_attn_kernel_node_sharding(mesh):
     """The node dim is per-tile independent (the mix is hoisted outside):
     sharding N=6 over 2 mesh devices must also reproduce single-device."""

@@ -93,6 +93,53 @@ def test_attn_kernel_compiled_matches_oracle(causal_q, causal_kv, is_mask):
         np.testing.assert_allclose(a / scale, b / scale, rtol=2e-2, atol=atol)
 
 
+def test_attn_dropout_kernel_compiled_matches_oracle():
+    """The in-kernel dropout variant (round 3) on the Mosaic-compiled path:
+    same mask -> fwd + grads match the jnp oracle at the calibrated
+    compiled-f32 tolerances (see test_attn_kernel_compiled_matches_oracle)."""
+    from paddlexde_tpu.ops.attn_pallas import (
+        _ref_impl,
+        fused_temporal_attention_dropout,
+    )
+
+    (mq, mk, vs), ws = _attn_args(seed=5)
+    keep = 0.7
+    mask = (
+        jax.random.bernoulli(jax.random.PRNGKey(0), keep, (B, N, T, H * T))
+        .astype(jnp.float32) / keep
+    )
+
+    def kernel(m, *args):
+        return fused_temporal_attention_dropout(
+            *args, m, False, False, False, H, "float32", True, False
+        )
+
+    def oracle(m, *args):
+        return _ref_impl(
+            *args, causal_q=False, causal_kv=False, is_mask=False,
+            heads=H, dtype_name="float32", dropout_mask=m,
+        )
+
+    out_k = jax.jit(kernel)(mask, mq, mk, vs, *ws)
+    out_r = jax.jit(oracle)(mask, mq, mk, vs, *ws)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_r), rtol=2e-3, atol=3e-3
+    )
+
+    argnums = tuple(range(1, 12))
+    g_k = jax.jit(jax.grad(
+        lambda m, *a: jnp.sum(jnp.sin(kernel(m, *a))), argnums=argnums
+    ))(mask, mq, mk, vs, *ws)
+    g_r = jax.jit(jax.grad(
+        lambda m, *a: jnp.sum(jnp.sin(oracle(m, *a))), argnums=argnums
+    ))(mask, mq, mk, vs, *ws)
+    for a, b in zip(g_k, g_r):
+        a, b = np.asarray(a), np.asarray(b)
+        atol = 2.5e-2 if a.ndim == 1 else 5e-3
+        scale = np.maximum(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=2e-2, atol=atol)
+
+
 def test_gcn_kernel_compiled_matches_oracle():
     from paddlexde_tpu.ops.gcn_pallas import _ref_impl, gcn_spatial_mix
 
