@@ -48,7 +48,7 @@ _ADAPTIVE_KEYS = {
     "time_dtype",
     "newton_iters",  # implicit (ESDIRK) tableaus: Newton iterations per stage
 }
-_ADAMS_KEYS = {"implicit", "max_iters", "max_order", "step_size", "grid_constructor", "time_dtype", "norm"}
+_ADAMS_KEYS = {"implicit", "max_iters", "max_order", "step_size", "grid_constructor", "grid", "time_dtype", "norm"}
 
 
 def _is_decreasing(t_span) -> bool:
@@ -57,6 +57,15 @@ def _is_decreasing(t_span) -> bool:
     except Exception:
         return False  # traced t_span: assume increasing (document at API level)
     return ct.size >= 2 and float(ct[-1]) < float(ct[0])
+
+
+def _span_direction(t_span):
+    """+1 / -1 for a concrete span; None when traced (statically unknown)."""
+    try:
+        ct = np.asarray(t_span)
+    except Exception:
+        return None
+    return -1 if ct.size >= 2 and float(ct[-1]) < float(ct[0]) else 1
 
 
 def _negate_tree(tree):
@@ -70,6 +79,73 @@ def _reversed_term(term: XDETerm) -> XDETerm:
         return _negate_tree(term.move(-s, -ds, y))
 
     return XDETerm(move=move, fuse=term.fuse, additive=term.additive, kind=term.kind)
+
+
+def _signed_term(term: XDETerm, sign) -> XDETerm:
+    """Branchless reverse canonicalization for TRACED spans: the direction is
+    a runtime scalar ``sign`` ∈ {+1, -1} baked into the term as
+    ``move(s) = sign * term.move(sign*s, sign*ds, y)`` — identity for +1,
+    the t = -s substitution for -1. Round-3 bug fix: traced decreasing spans
+    used to be 'assumed increasing', so under jit the ADAPTIVE engine (whose
+    while_loop exits immediately when t0 >= t_end) silently returned y0 —
+    values wrong and every gradient zero (found live: a jitted CNF training
+    step trained to nothing while the eager loss trained fine)."""
+
+    def move(s, ds, y):
+        return jax.tree.map(
+            lambda v: sign.astype(v.dtype) * v,
+            term.move(sign * s, sign * ds, y),
+        )
+
+    return XDETerm(move=move, fuse=term.fuse, additive=term.additive, kind=term.kind)
+
+
+def _scale_time_options(options: dict, sign) -> dict:
+    """Traced-sign counterpart of :func:`_negate_time_options`; step_t/jump_t
+    are re-sorted (a flipped direction reverses their order)."""
+    options = dict(options)
+    if options.get("grid") is not None:
+        options["grid"] = sign * jnp.asarray(options["grid"])
+    for k in ("step_t", "jump_t"):
+        if options.get(k) is not None:
+            options[k] = jnp.sort(sign * jnp.asarray(options[k]))
+    gc = options.get("grid_constructor")
+    if gc is not None:
+        options["grid_constructor"] = lambda ts: sign * jnp.asarray(gc(sign * ts))
+    return options
+
+
+def _canonicalize_direction(term, t_span, options):
+    """Make the span the engines see increasing, whatever the input
+    direction: statically for concrete spans, branchlessly for traced ones."""
+    direction = _span_direction(t_span)
+    if direction == -1:
+        return _reversed_term(term), -jnp.asarray(t_span), _negate_time_options(options)
+    if direction is None:
+        t_span = jnp.asarray(t_span)
+        sign = jnp.where(t_span[-1] >= t_span[0], 1, -1).astype(t_span.dtype)
+        return _signed_term(term, sign), sign * t_span, _scale_time_options(options, sign)
+    return term, t_span, options
+
+
+def _negate_time_options(options: dict) -> dict:
+    """Map TIME-VALUED solver options through the t = -s substitution.
+
+    Reverse-time canonicalization negates t_span and reverses the term;
+    options that name points in ORIGINAL time must follow or they address
+    the wrong places (round-3 bug fix: an explicit decreasing
+    ``options={'grid': ...}`` silently produced wrong interpolants because
+    the grid stayed un-negated against the negated span). Durations
+    (step_size, first_step, min/max_step) are direction-free and untouched.
+    """
+    options = dict(options)
+    for k in ("grid", "step_t", "jump_t"):
+        if options.get(k) is not None:
+            options[k] = -jnp.asarray(options[k])
+    gc = options.get("grid_constructor")
+    if gc is not None:
+        options["grid_constructor"] = lambda ts: -jnp.asarray(gc(-ts))
+    return options
 
 
 def format_solution(solution, time_axis: int = -2):
@@ -109,16 +185,14 @@ def integrate_term(
         # Newton-Krylov stepper from ``make_implicit_euler_krylov_step`` —
         # is first-class at the odeint level, not just via solve_fixed
         options = dict(options or {})
-        kw = {k: v for k, v in options.items() if k in _FIXED_KEYS}
         unknown = set(options) - _FIXED_KEYS - {"norm"}
         if unknown:
             raise ValueError(
                 f"custom step functions take fixed-solver options only; "
                 f"unknown: {sorted(unknown)}"
             )
-        if _is_decreasing(t_span):
-            t_span = -jnp.asarray(t_span)
-            term = _reversed_term(term)
+        term, t_span, options = _canonicalize_direction(term, t_span, options)
+        kw = {k: v for k, v in options.items() if k in _FIXED_KEYS}
         sol = solve_fixed(term, y0, t_span, method=solver, **kw)
         return format_solution(sol, time_axis)
 
@@ -135,9 +209,7 @@ def integrate_term(
             f"unknown solver option(s) {sorted(unknown)}; known options: {sorted(known)}"
         )
 
-    if _is_decreasing(t_span):
-        t_span = -jnp.asarray(t_span)
-        term = _reversed_term(term)
+    term, t_span, options = _canonicalize_direction(term, t_span, options)
 
     if spec.kind == "fixed":
         kw = {k: v for k, v in options.items() if k in _FIXED_KEYS}

@@ -98,6 +98,7 @@ def solve_adams(
     max_order: Optional[int] = None,
     step_size=None,
     grid_constructor: Optional[Callable] = None,
+    grid=None,
     norm: Callable = rms_norm,
     time_dtype=None,
 ):
@@ -117,10 +118,13 @@ def solve_adams(
     t_span = jnp.asarray(t_span)
     if time_dtype is not None:
         t_span = t_span.astype(time_dtype)
-    grid_is_tspan = step_size is None and grid_constructor is None
-    grid = make_grid(t_span, step_size=step_size, grid_constructor=grid_constructor).astype(
-        t_span.dtype
-    )
+    grid_is_tspan = step_size is None and grid_constructor is None and grid is None
+    # NB: explicit grids must be (near-)uniform — the AB(M) tables assume a
+    # constant step (module docstring); accepted for parity with solve_fixed
+    # (round 3: 'grid' used to be silently DROPPED by the dispatch filter)
+    grid = make_grid(
+        t_span, step_size=step_size, grid_constructor=grid_constructor, grid=grid
+    ).astype(t_span.dtype)
     n_nodes = grid.shape[0]
 
     def push(hist, f):
@@ -223,6 +227,12 @@ def solve_adams(
         return ys_nodes
 
     # dense output on a step_size grid: linear between nodes
-    idx = jnp.clip(jnp.searchsorted(grid, t_span, side="right") - 1, 0, n_nodes - 2)
+    # (direction-normalized search: direct solve_adams calls may pass a
+    # DECREASING grid — same fix as solve_fixed's gather, round 3)
+    direction = jnp.where(grid[-1] >= grid[0], 1, -1).astype(grid.dtype)
+    idx = jnp.clip(
+        jnp.searchsorted(direction * grid, direction * t_span, side="right") - 1,
+        0, n_nodes - 2,
+    )
     gather = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
     return _linear(grid[idx], gather(ys_nodes, idx), grid[idx + 1], gather(ys_nodes, idx + 1), t_span)

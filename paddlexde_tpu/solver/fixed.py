@@ -249,7 +249,15 @@ def solve_fixed(
     # General dense-output path: locate each requested time in the grid and
     # interpolate. All-gather formulation — no loop.
     ys_all = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], axis=0), y0, ys)
-    idx = jnp.clip(jnp.searchsorted(grid, t_span, side="right") - 1, 0, grid.shape[0] - 2)
+    # searchsorted needs an ascending sequence: normalize by the grid's
+    # direction so DECREASING grids (reverse-time solves with an explicit
+    # options={'grid': ...}) locate intervals correctly (round-3 bug fix —
+    # the unnormalized search silently returned wrong interpolants)
+    direction = jnp.where(grid[-1] >= grid[0], 1, -1).astype(grid.dtype)
+    idx = jnp.clip(
+        jnp.searchsorted(direction * grid, direction * t_span, side="right") - 1,
+        0, grid.shape[0] - 2,
+    )
     t0g, t1g = grid[idx], grid[idx + 1]
 
     def gather(tree, i):
