@@ -1,0 +1,162 @@
+"""Continuous normalizing flow (FFJORD) — density estimation with odeint.
+
+The instantaneous change-of-variables formula (Chen et al. 2018; Grathwohl
+et al. 2019) turns an ODE flow into an exact-likelihood generative model:
+
+    d(z, log p)/dt = (f_theta(t, z), -div f_theta)
+
+Train: push DATA backward from t1 to t0 through the augmented system (one
+`odeint_adjoint` call over the (z, logp) pytree — decreasing spans are
+first-class), score z(t0) under the N(0, I) base, maximize the likelihood.
+Sample: push base noise forward through the same field.
+
+The reference has no CNF/generative application (`example/` stops at the
+D3STN traffic model); this composes the stack's pieces — pytree states,
+reverse-time integration, adjoint gradients, and the divergence operators in
+`paddlexde_tpu.utils.divergence` (exact trace here; switch --hutchinson for
+the O(1)-per-probe estimator that scales to high dims).
+
+Target density: a ring of 8 Gaussians (the classic multi-modal toy). After
+training, report NLL (must drop well below the standard-normal baseline) and
+the sample moments against the data's.
+
+Run: python examples/cnf_demo.py [--steps 300] [--hutchinson]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from paddlexde_tpu import odeint, odeint_adjoint
+from paddlexde_tpu.utils import cnf_aug_dynamics
+
+RADIUS, STD = 2.5, 0.15
+T1, N_SOLVE = 1.0, 16
+
+
+def ring_data(key, n):
+    k1, k2 = jax.random.split(key)
+    mode = jax.random.randint(k1, (n,), 0, 8)
+    ang = 2.0 * jnp.pi * mode / 8
+    centers = RADIUS * jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=-1)
+    return centers + STD * jax.random.normal(k2, (n, 2))
+
+
+def init_params(key, width=64):
+    ks = jax.random.split(key, 3)
+    glorot = lambda k, i, o: jax.random.normal(k, (i, o)) * jnp.sqrt(2.0 / (i + o))
+    return {
+        "w1": glorot(ks[0], 3, width), "b1": jnp.zeros(width),
+        "w2": glorot(ks[1], width, width), "b2": jnp.zeros(width),
+        "w3": glorot(ks[2], width, 2) * 0.01, "b3": jnp.zeros(2),
+    }
+
+
+def vector_field(params):
+    def f(t, z):
+        h = jnp.concatenate([z, jnp.broadcast_to(t, z.shape[:-1] + (1,))], -1)
+        h = jnp.tanh(h @ params["w1"] + params["b1"])
+        h = jnp.tanh(h @ params["w2"] + params["b2"])
+        return h @ params["w3"] + params["b3"]
+
+    return f
+
+
+def base_logp(z):
+    return -0.5 * jnp.sum(z**2, -1) - z.shape[-1] / 2 * jnp.log(2 * jnp.pi)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--hutchinson", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    key = jax.random.PRNGKey(args.seed)
+    params = init_params(jax.random.fold_in(key, 1))
+    # clip + moderate lr: an unregularized CNF field can blow past what the
+    # fixed 16-step rk4 grid resolves, after which the NLL estimate (and then
+    # the optimization) runs away — measured at adam(1e-2) unclipped
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-3))
+    opt_state = opt.init(params)
+    span = np.asarray([T1, 0.0])  # data -> base (reverse time)
+    # explicit static grid: odeint_adjoint traces t_span through its
+    # custom_vjp, so options={'step_size': ...} cannot build a grid there —
+    # options={'grid': ...} is the under-jit form
+    solver_opts = {"grid": np.linspace(T1, 0.0, N_SOLVE + 1)}
+    solver_opts_fwd = {"grid": np.linspace(0.0, T1, N_SOLVE + 1)}
+
+    def nll(params, x, probe_keys):
+        f = vector_field(params)
+        if args.hutchinson:
+            field = cnf_aug_dynamics(f, "hutchinson", probes=1)(probe_keys)
+        else:
+            field = cnf_aug_dynamics(f, "exact")
+        # ADAPTIVE solver for training: with a fixed coarse grid the
+        # optimizer learns to exploit unresolved dynamics (measured: NLL
+        # reaches ~0.9, then the field blows past the grid and the "NLL"
+        # runs away). dopri5 + error control closes the exploit; the adjoint
+        # backward is the single-pass augmented solve.
+        zs, dlp = odeint_adjoint(
+            field, (x, jnp.zeros(x.shape[0])), span, "dopri5",
+            rtol=1e-4, atol=1e-6, time_axis=0,
+        )
+        # logp_x = logp_base(z0) + \int div = logp_base(z0) - dlp(t0)
+        return -jnp.mean(base_logp(zs[-1]) - dlp[-1])
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        kd, kp = jax.random.split(key)
+        x = ring_data(kd, args.batch)
+        probe_keys = jax.random.split(kp, args.batch)
+        loss, grads = jax.value_and_grad(nll)(params, x, probe_keys)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    x_eval = ring_data(jax.random.fold_in(key, 2), 2048)
+    keys_eval = jax.random.split(jax.random.fold_in(key, 3), 2048)
+    nll0 = float(nll(params, x_eval, keys_eval))
+    print(f"initial NLL {nll0:.3f}  (standard-normal baseline "
+          f"{float(-jnp.mean(base_logp(x_eval))):.3f})")
+
+    losses = []
+    for i in range(args.steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, jax.random.fold_in(key, 100 + i)
+        )
+        losses.append(float(loss))
+        if (i + 1) % 50 == 0:
+            print(f"step {i+1:4d}  nll {np.mean(losses[-50:]):.3f}")
+
+    nll1 = float(nll(params, x_eval, keys_eval))
+    print(f"final NLL {nll1:.3f}  (drop {nll0 - nll1:.3f})")
+
+    # sample: base -> data (forward time), exact divergence for the report
+    z = jax.random.normal(jax.random.fold_in(key, 4), (2048, 2))
+    field = cnf_aug_dynamics(vector_field(params), "exact")
+    ys, _ = odeint(field, (z, jnp.zeros(2048)), span[::-1], "rk4",
+                   time_axis=0, options=solver_opts_fwd)
+    samp = np.asarray(ys[-1])
+    dat = np.asarray(x_eval)
+    print("sample radius mean/std: "
+          f"{np.linalg.norm(samp, axis=1).mean():.3f}/"
+          f"{np.linalg.norm(samp, axis=1).std():.3f}  "
+          "data: "
+          f"{np.linalg.norm(dat, axis=1).mean():.3f}/"
+          f"{np.linalg.norm(dat, axis=1).std():.3f}")
+    return nll0, nll1
+
+
+if __name__ == "__main__":
+    main()

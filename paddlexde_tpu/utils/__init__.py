@@ -9,5 +9,10 @@ from .ode_utils import (  # noqa: F401
     sort_tvals,
 )
 from .misc import flat_to_shape  # noqa: F401
+from .divergence import (  # noqa: F401
+    cnf_aug_dynamics,
+    exact_divergence,
+    hutchinson_divergence,
+)
 from .profiling import RunningAverageMeter, Timer, trace  # noqa: F401
 from .data import prefetch  # noqa: F401
