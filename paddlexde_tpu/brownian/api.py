@@ -40,6 +40,10 @@ class LEVY_AREA_APPROXIMATIONS:
     space_time_time = "space-time-time"
     davie = "davie"
     foster = "foster"
+    # round-3 extension: bridge Fourier/KL expansion with exact-variance
+    # Gaussian tail (Wiktorsson class) — exact total variance at every term
+    # count, conditional law -> exact as levy_fourier_terms grows
+    fourier = "fourier"
 
 
 def _as_key(entropy_or_key):
@@ -98,6 +102,7 @@ class BrownianInterval(BaseBrownian):
         levy_area_approximation: str = LEVY_AREA_APPROXIMATIONS.none,
         W=None,
         H=None,
+        levy_fourier_terms: int = 8,
     ):
         del dt, pool_size, cache_size, halfway_tree, H  # stateless: no-ops
         # t0/t1 may be traced values (bm built inside jit): keep them as-is;
@@ -113,6 +118,7 @@ class BrownianInterval(BaseBrownian):
         except TypeError:
             self._depth = tol_to_depth(0.0, 1.0, tol)
         self._levy = levy_area_approximation
+        self._fourier_terms = int(levy_fourier_terms)
         self._w_total = None if W is None else jnp.asarray(W, dtype)
 
     @property
@@ -129,7 +135,7 @@ class BrownianInterval(BaseBrownian):
             if return_A:
                 raise ValueError(
                     "full Lévy area is not available from the space-time-time "
-                    "tree; construct with 'davie' or 'foster'."
+                    "tree; construct with 'davie', 'foster' or 'fourier'."
                 )
             from .virtual_tree import brownian_triple
 
@@ -149,7 +155,7 @@ class BrownianInterval(BaseBrownian):
         if return_A and self._levy in ("none", "space-time"):
             raise ValueError(
                 f"Lévy area requested but levy_area_approximation={self._levy!r}; "
-                f"construct with 'davie' or 'foster'."
+                f"construct with 'davie', 'foster' or 'fourier'."
             )
         if return_U and self._levy == "none":
             raise ValueError(
@@ -174,6 +180,7 @@ class BrownianInterval(BaseBrownian):
             self._depth,
             self._w_total,
             levy=levy_mode,
+            fourier_terms=self._fourier_terms,
         )
         if return_U and return_A:
             return w, u, a

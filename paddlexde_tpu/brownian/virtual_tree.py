@@ -42,6 +42,7 @@ __all__ = [
     "brownian_triple",
     "space_time_levy_area",
     "davie_foster_area",
+    "fourier_area",
     "h_to_u",
 ]
 
@@ -432,15 +433,83 @@ def davie_foster_area(key, ta, tb, w, h_levy, *, foster: bool = False):
     return a_mat + std * noise
 
 
+def fourier_area(key, ta, tb, w, h_levy, *, n_terms: int = 8):
+    """Full Lévy area from (W, H) via the bridge's Fourier/KL expansion
+    (Kloeden–Platen §5.8 / Wiktorsson 2001 class; no reference counterpart —
+    its menu stops at Davie/Foster, ``brownian_interval.py:81-107``).
+
+    Write W_t = (t/h)ΔW + B_t with B the bridge, expanded as
+    ``B_t = Σ_r a_r(cos(ωrt) − 1) + b_r sin(ωrt)`` (ω = 2π/h; a_r, b_r iid
+    N(0, σ_r²), σ_r² = h/(2π²r²)). Then EXACTLY (derivation in this round's
+    notes, variance-checked below):
+
+        A = ΔW αᵀ − α ΔWᵀ + π Σ_r r (a_r b_rᵀ − b_r a_rᵀ),   α = Σ_r a_r,
+
+    and α is NOT free — the tree's space-time area pins it: α = −H. The
+    first ``n_terms`` (a_r, b_r) pairs are sampled (the a's conditioned on
+    their full-series sum equalling −H), and the dropped r > n tail is
+    replaced by an antisymmetric Gaussian with its exact variance
+    (Wiktorsson's tail-matching): per entry Var = (h²/2π²)·Σ_{r>n} r⁻².
+
+    Law facts (test-pinned): total Var(A_ij) = h²/6 + h²/12 = h²/4 — the
+    exact value for EVERY n (the tail carries the exact missing variance),
+    unlike Davie's h²/3 (its +h²/12 excess is the documented overshoot in
+    the Lévy-triple test). n buys the higher/conditional moments: the exact
+    Var(A_ij | W, H) = h²/20 + (h/5)(H_i² + H_j²) (H-dependent, which no
+    constant-variance tail can represent) and Lévy's characteristic function
+    E[cos λA | ΔW=0] = (λh/2)/sinh(λh/2) are approached as n grows.
+    Per-query approximation like Davie/Foster: values do NOT chain across
+    interval splits (only their law does).
+    """
+    if w.ndim in (0, 1):
+        return jnp.zeros_like(w)
+    h = jnp.asarray(tb, w.dtype) - jnp.asarray(ta, w.dtype)
+    h = jnp.maximum(h, jnp.zeros_like(h))
+    qkey = jax.random.fold_in(_query_key(key, ta, tb), 3)
+    k_a, k_b, k_r, k_z = jax.random.split(qkey, 4)
+    m = w.shape[-1]
+    alpha = -h_levy  # Σ_r a_r, pinned by the tree's (W, U)
+
+    pair = jnp.zeros(w.shape + (m,), w.dtype)
+    if n_terms > 0:
+        r = jnp.arange(1, n_terms + 1, dtype=w.dtype)
+        sig2 = h / (2.0 * jnp.pi**2 * r**2)  # [n] (h is the scalar span)
+        sig = jnp.sqrt(sig2)
+        s_total = h / 12.0  # Var(Σ_r a_r), full series
+        bshape = w.shape[:-1] + (n_terms, m)
+        a_t = jax.random.normal(k_a, bshape, w.dtype) * sig[..., :, None]
+        s_tail = jnp.maximum(s_total - jnp.sum(sig2, -1), 0.0)
+        rest = jax.random.normal(k_r, w.shape, w.dtype) * jnp.sqrt(s_tail)
+        tot = jnp.sum(a_t, axis=-2) + rest
+        safe_s = jnp.where(s_total == 0, jnp.ones_like(s_total), s_total)
+        a = a_t + (sig2 / safe_s)[..., :, None] * (alpha - tot)[..., None, :]
+        b = jax.random.normal(k_b, bshape, w.dtype) * sig[..., :, None]
+        ra = r[..., :, None] * a
+        pair = jnp.pi * (
+            jnp.einsum("...ri,...rj->...ij", ra, b)
+            - jnp.einsum("...ri,...rj->...ij", b, ra)
+        )
+        psi_n = jnp.pi**2 / 6.0 - float(np.sum(1.0 / np.arange(1, n_terms + 1) ** 2))
+    else:
+        psi_n = jnp.pi**2 / 6.0
+    mean = w[..., :, None] * alpha[..., None, :] - alpha[..., :, None] * w[..., None, :]
+    z = jax.random.normal(k_z, w.shape + (m,), w.dtype)
+    tail = (h * jnp.sqrt(psi_n) / (2.0 * jnp.pi)) * (z - jnp.swapaxes(z, -1, -2))
+    return mean + pair + tail
+
+
 def brownian_pair(
     key, t0, t1, ta, tb, shape=(), dtype=jnp.float32, depth: int = _DEFAULT_DEPTH,
     w_total=None, levy: str = "none", foster: bool = False,
+    fourier_terms: int = 8,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """(W, U, A) over [ta, tb] — the full query the BrownianInterval API needs.
 
     With a Lévy mode, (W, U) come from the joint (W, ∫W) tree descent, so both
     are CONSISTENT under interval composition (the per-query-keyed
     :func:`space_time_levy_area` remains available as the cheap approximation).
+    ``levy='fourier'`` draws the area from :func:`fourier_area` with
+    ``fourier_terms`` Fourier pairs + exact-variance Gaussian tail.
     """
     if levy == "none":
         w = brownian_increment(key, t0, t1, ta, tb, shape, dtype, depth, w_total)
@@ -454,5 +523,8 @@ def brownian_pair(
         return w, u, None
     safe = jnp.where(delta == 0, jnp.ones_like(delta), delta)
     h_levy = jnp.where(delta == 0, jnp.zeros_like(u), u / safe - 0.5 * w)
-    a = davie_foster_area(key, ta, tb, w, h_levy, foster=(levy == "foster" or foster))
+    if levy == "fourier":
+        a = fourier_area(key, ta, tb, w, h_levy, n_terms=fourier_terms)
+    else:
+        a = davie_foster_area(key, ta, tb, w, h_levy, foster=(levy == "foster" or foster))
     return w, u, a

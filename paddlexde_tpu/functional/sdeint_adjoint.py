@@ -281,10 +281,10 @@ def sdeint_adjoint(
             "milstein_commutative" if scheme == "milstein_general"
             else "taylor15_commutative"
         )
-        if getattr(bm, "levy_area_approximation", "none") not in ("davie", "foster"):
+        if getattr(bm, "levy_area_approximation", "none") not in ("davie", "foster", "fourier"):
             raise ValueError(
                 f"{scheme} needs full Lévy areas: construct the "
-                "Brownian motion with levy_area_approximation='davie' or "
+                "Brownian motion with levy_area_approximation='davie', 'fourier' or "
                 f"'foster' (or use {commutative_alt} if the noise commutes)"
             )
         if len(getattr(bm, "shape", ())) < 2:

@@ -167,12 +167,12 @@ def sdeint_event(
         # (virtual_tree returns zeros for ndim<=1) — the scheme would
         # degrade to its commutative variant with no signal
         if getattr(bm, "levy_area_approximation", "none") not in (
-            "davie", "foster"
+            "davie", "foster", "fourier"
         ):
             raise ValueError(
                 f"{solver_name} needs full Lévy areas: construct the "
-                "Brownian motion with levy_area_approximation='davie' or "
-                "'foster'"
+                "Brownian motion with levy_area_approximation='davie', "
+                "'foster' or 'fourier'"
             )
         if len(getattr(bm, "shape", ())) < 2:
             raise ValueError(
