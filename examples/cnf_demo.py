@@ -91,10 +91,9 @@ def main(argv=None):
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(3e-3))
     opt_state = opt.init(params)
     span = np.asarray([T1, 0.0])  # data -> base (reverse time)
-    # explicit static grid: odeint_adjoint traces t_span through its
-    # custom_vjp, so options={'step_size': ...} cannot build a grid there —
-    # options={'grid': ...} is the under-jit form
-    solver_opts = {"grid": np.linspace(T1, 0.0, N_SOLVE + 1)}
+    # sampling grid (training uses adaptive dopri5 — see nll); an explicit
+    # grid is the under-jit fixed-solver form (step_size needs concrete
+    # endpoints, which odeint_adjoint's custom_vjp traces away)
     solver_opts_fwd = {"grid": np.linspace(0.0, T1, N_SOLVE + 1)}
 
     def nll(params, x, probe_keys):

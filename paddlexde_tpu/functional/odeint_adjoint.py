@@ -241,9 +241,16 @@ def odeint_adjoint(
     adjoint_options = dict(adjoint_options or {})
     adjoint_norm_opt = adjoint_options.pop("norm", "mixed")
 
+    # keep the RAW input around for static introspection: jnp.asarray STAGES
+    # even concrete numpy constants to tracers under an ambient jit trace, so
+    # anything np.asarray-ing the converted t_span silently fails there
+    # (found by review: the k_sub backward-grid refinement disabled under
+    # jit, leaving jit(grad(f)) with the coarse one-step-per-interval
+    # adjoint while eager grad(f) got the refined one)
+    t_span_static = t_span
     t_span = jnp.asarray(t_span)
     y0 = jax.tree.map(jnp.asarray, y0)
-    reverse_span = _is_decreasing(t_span)
+    reverse_span = _is_decreasing(t_span_static)
 
     converted, consts = jax.closure_convert(
         lambda t, y: func(t, y), t_span[0], y0
@@ -342,20 +349,31 @@ def odeint_adjoint(
             {"step_size", "grid", "grid_constructor"} & set(adj_opts)
         ):
             fwd_opts = dict(options or {})
+            # separate guards: the forward grid is usually a concrete numpy
+            # array even when the span is traced — one broad try would let a
+            # traced span discard an already-recovered h_fwd (review find)
+            h_fwd, width_max = fwd_opts.get("step_size"), None
             try:
-                h_fwd = fwd_opts.get("step_size")
                 if h_fwd is None and fwd_opts.get("grid") is not None:
-                    h_fwd = np.min(np.abs(np.diff(np.asarray(fwd_opts["grid"]))))
-                if h_fwd is None and fwd_opts.get("grid_constructor") is not None:
-                    g = np.asarray(fwd_opts["grid_constructor"](np.asarray(t_span)))
+                    g = np.asarray(fwd_opts["grid"])
                     h_fwd = np.min(np.abs(np.diff(g)))
-                if h_fwd is not None:
-                    widths = np.abs(np.diff(np.asarray(t_span)))
-                    k_sub = int(min(
-                        65536, max(1, np.ceil(widths.max() / float(h_fwd)))
-                    ))
+                    width_max = np.abs(g[-1] - g[0])  # bound if span is traced
             except Exception:
-                k_sub = None  # traced span/grid: keep the default behavior
+                h_fwd = None
+            try:
+                ct = np.asarray(t_span_static)
+                widths = np.abs(np.diff(ct))
+                if widths.size:
+                    width_max = widths.max()
+                if h_fwd is None and fwd_opts.get("grid_constructor") is not None:
+                    g = np.asarray(fwd_opts["grid_constructor"](ct))
+                    h_fwd = np.min(np.abs(np.diff(g)))
+            except Exception:
+                pass  # traced span: width_max may still come from the grid
+            if h_fwd is not None and width_max is not None and float(h_fwd) > 0:
+                k_sub = int(min(
+                    65536, max(1, np.ceil(float(width_max) / float(h_fwd)))
+                ))
 
         # carry: (adj_t, adj_y, adj_p); per-step inputs: indices i = T-1 .. 1
         def scan_body(carry, i):

@@ -51,14 +51,6 @@ _ADAPTIVE_KEYS = {
 _ADAMS_KEYS = {"implicit", "max_iters", "max_order", "step_size", "grid_constructor", "grid", "time_dtype", "norm"}
 
 
-def _is_decreasing(t_span) -> bool:
-    try:
-        ct = np.asarray(t_span)
-    except Exception:
-        return False  # traced t_span: assume increasing (document at API level)
-    return ct.size >= 2 and float(ct[-1]) < float(ct[0])
-
-
 def _span_direction(t_span):
     """+1 / -1 for a concrete span; None when traced (statically unknown)."""
     try:
@@ -66,6 +58,12 @@ def _span_direction(t_span):
     except Exception:
         return None
     return -1 if ct.size >= 2 and float(ct[-1]) < float(ct[0]) else 1
+
+
+def _is_decreasing(t_span) -> bool:
+    """Statically-known-decreasing (traced spans report False — callers that
+    must act on traced directions use :func:`_canonicalize_direction`)."""
+    return _span_direction(t_span) == -1
 
 
 def _negate_tree(tree):
@@ -101,14 +99,16 @@ def _signed_term(term: XDETerm, sign) -> XDETerm:
 
 
 def _scale_time_options(options: dict, sign) -> dict:
-    """Traced-sign counterpart of :func:`_negate_time_options`; step_t/jump_t
-    are re-sorted (a flipped direction reverses their order)."""
+    """Traced-sign counterpart of :func:`_negate_time_options`. Negated
+    step_t/jump_t come out reverse-ordered, but the adaptive engine
+    unconditionally re-sorts both (sort_tvals) — same invariant the static
+    path relies on, so no sort here."""
     options = dict(options)
     if options.get("grid") is not None:
         options["grid"] = sign * jnp.asarray(options["grid"])
     for k in ("step_t", "jump_t"):
         if options.get(k) is not None:
-            options[k] = jnp.sort(sign * jnp.asarray(options[k]))
+            options[k] = sign * jnp.asarray(options[k])
     gc = options.get("grid_constructor")
     if gc is not None:
         options["grid_constructor"] = lambda ts: sign * jnp.asarray(gc(sign * ts))

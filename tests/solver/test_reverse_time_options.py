@@ -130,6 +130,28 @@ def test_traced_reverse_adjoint_jit_equals_eager():
     np.testing.assert_allclose(np.asarray(g_j), np.asarray(g_e), rtol=1e-6)
 
 
+def test_adjoint_grid_refinement_survives_jit():
+    """Review find: jnp.asarray stages even concrete numpy constants to
+    tracers under an ambient jit, so the adjoint's backward-grid refinement
+    (k_sub) silently disabled under jit — jit(grad(f)) carried the coarse
+    one-step-per-interval 0.8%-class gradient error while eager grad(f) was
+    refined. jit and eager must now be bit-identical and near-exact."""
+    import jax
+
+    def loss(a):
+        ys = pxt.odeint_adjoint(
+            lambda t, y: a * y, jnp.asarray(1.3), np.asarray([0.0, 1.0]),
+            "rk4", time_axis=0, options={"grid": np.linspace(0.0, 1.0, 65)},
+        )
+        return ys[-1] ** 2
+
+    exact = 2 * 1.3**2 * np.exp(2 * 0.4)
+    g_e = float(jax.grad(loss)(jnp.asarray(0.4)))
+    g_j = float(jax.jit(jax.grad(loss))(jnp.asarray(0.4)))
+    assert g_e == g_j, (g_e, g_j)
+    np.testing.assert_allclose(g_j, exact, rtol=2e-5)
+
+
 def test_reverse_adjoint_with_explicit_grid():
     """The CNF training shape: odeint_adjoint over a decreasing span with an
     explicit grid — value AND gradient vs closed form."""
