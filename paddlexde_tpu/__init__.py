@@ -60,6 +60,7 @@ from .solver import (  # noqa: F401
     SDIRK2,
     SDIRK3,
     Kvaerno3,
+    SDIRK4Adaptive,
     Leapfrog,
     Midpoint,
     RK4,

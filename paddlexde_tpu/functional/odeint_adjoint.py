@@ -194,7 +194,15 @@ def _single_pass_backward(
     adj_y = jax.tree.map(jnp.add, adj_y, take(grad_rev, n_out - 1))
 
     grad_ts = dLd_ts.astype(ts_.dtype).at[0].set(adj_t.astype(ts_.dtype))
-    return (adj_y, grad_ts, adj_p)
+    # A failed backward (DT_UNDERFLOW / NON_FINITE / step budget) must be
+    # LOUD: a partially integrated adjoint is a silently wrong gradient
+    # (observed on-chip: a dt-underflowing f32 backward returned 0.92 where
+    # 2.48 was exact, training on garbage). Poison with NaN instead.
+    bad = (final.status != 0) | (final.t1 < s_end)
+    poison = lambda tree: jax.tree.map(
+        lambda a: jnp.where(bad, jnp.full_like(a, jnp.nan), a), tree
+    )
+    return (poison(adj_y), poison(grad_ts), poison(adj_p))
 
 
 def odeint_adjoint(
@@ -375,9 +383,9 @@ def odeint_adjoint(
                     65536, max(1, np.ceil(float(width_max) / float(h_fwd)))
                 ))
 
-        # carry: (adj_t, adj_y, adj_p); per-step inputs: indices i = T-1 .. 1
+        # carry: (adj_t, adj_y, adj_p, bad); per-step inputs: i = T-1 .. 1
         def scan_body(carry, i):
-            adj_t, adj_y, adj_p = carry
+            adj_t, adj_y, adj_p, bad = carry
             t_i = ts_[i]
             t_im1 = ts_[i - 1]
             y_i = take(sol, i)
@@ -398,7 +406,9 @@ def odeint_adjoint(
                 # of re-running the Hairer heuristic (2 NFE + a conservative
                 # tiny dt) 1x per saved output — big win on dense output grids
                 opts_i["first_step"] = 0.5 * jnp.abs(t_i - t_im1)
-            aug_sol = integrate_term(
+            if resolve_adaptive:
+                opts_i["return_stats"] = True
+            out = integrate_term(
                 bwd_term,
                 aug0,
                 s_span,
@@ -408,13 +418,19 @@ def odeint_adjoint(
                 options=opts_i,
                 time_axis=0,
             )
+            if resolve_adaptive:
+                aug_sol, st = out
+                bad = bad | (st.status != 0)
+            else:
+                aug_sol = out
             adj_t, _, adj_y, adj_p = take(aug_sol, 1)
-            return (adj_t, adj_y, adj_p), dLd_t_i
+            return (adj_t, adj_y, adj_p, bad), dLd_t_i
 
         # adj_y starts at zero; the first scan step adds grad_y[T-1].
-        init = (jnp.zeros((), ts_.dtype), jax.tree.map(jnp.zeros_like, y0), zeros_p)
+        init = (jnp.zeros((), ts_.dtype), jax.tree.map(jnp.zeros_like, y0),
+                zeros_p, jnp.zeros((), bool))
         idxs = jnp.arange(n_out - 1, 0, -1)
-        (adj_t, adj_y, adj_p), dLd_ts = jax.lax.scan(scan_body, init, idxs)
+        (adj_t, adj_y, adj_p, bad), dLd_ts = jax.lax.scan(scan_body, init, idxs)
 
         # final incoming cotangent at t_0
         adj_y = jax.tree.map(jnp.add, adj_y, take(grad_y_all, 0))
@@ -426,7 +442,12 @@ def odeint_adjoint(
         )
         grad_ts = grad_ts.at[0].set(adj_t.astype(ts_.dtype))
 
-        return (adj_y, grad_ts, adj_p)
+        # failed backward solves must be LOUD (see _single_pass_backward):
+        # NaN gradients instead of a silently truncated adjoint
+        poison = lambda tree: jax.tree.map(
+            lambda a: jnp.where(bad, jnp.full_like(a, jnp.nan), a), tree
+        )
+        return (poison(adj_y), poison(grad_ts), poison(adj_p))
 
     _solve.defvjp(_fwd, _bwd)
 

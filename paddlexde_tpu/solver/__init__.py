@@ -16,6 +16,7 @@ from .registry import (  # noqa: F401
     SDIRK2,
     SDIRK3,
     Kvaerno3,
+    SDIRK4Adaptive,
     TRBDF2,
     Midpoint,
     RK4,

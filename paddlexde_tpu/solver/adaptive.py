@@ -133,8 +133,31 @@ def make_adaptive_step(
         from .implicit import _stage_newton_solve
 
         k = jax.tree.map(
-            lambda f: jnp.zeros((n_stages,) + f.shape, f.dtype).at[0].set(f), f0_
+            lambda f: jnp.zeros((n_stages,) + f.shape, f.dtype), f0_
         )
+        g0 = float(tableau.diag[0])
+        if g0 == 0.0:
+            # ESDIRK: explicit first stage reuses the step-entry derivative
+            k = jax.tree.map(lambda kl, fl: kl.at[0].set(fl), k, f0_)
+        else:
+            # SDIRK (implicit FIRST stage, e.g. Hairer–Wanner's sdirk4):
+            # Y_0 = y0 + dt*g0*f(t0 + c1*dt, Y_0) with c1 = a11 = g0 (the
+            # row-sum convention); f0_ is not a stage derivative here
+            y0_flat, unravel0 = ravel_pytree(y0_)
+            ti0 = t0_ + g0 * dt_
+            gdt0 = jnp.asarray(g0, y0_flat.dtype) * jnp.asarray(
+                dt_, y0_flat.dtype
+            )
+
+            def f_at0(y_flat, unravel0=unravel0):
+                return ravel_pytree(term.move(ti0, dt_, unravel0(y_flat)))[0]
+
+            yf0 = _stage_newton_solve(f_at0, y0_flat, gdt0, y0_flat, newton_iters)
+            safe0 = jnp.where(gdt0 == 0, jnp.ones_like(gdt0), gdt0)
+            k = jax.tree.map(
+                lambda kl, fl: kl.at[0].set(fl), k,
+                unravel0((yf0 - y0_flat) / safe0),
+            )
         yi = y0_
         for i in range(n_stages - 1):
             alpha_i = float(tableau.alpha[i])

@@ -172,8 +172,16 @@ def _stage_newton_solve(f_at, base_flat, gamma_dt, y_init, newton_iters,
         f_val, jvp = jax.linearize(f_at, y_flat)
         residual = y_flat - base_flat - gamma_dt * f_val
         if krylov_opts is None:
-            jac = jax.vmap(jvp)(eye).T
-            delta = jnp.linalg.solve(eye - gamma_dt * jac, residual)
+            # HIGHEST matmul precision: TPU's default f32 matmul path rounds
+            # through bf16 passes, and a Newton delta solved at bf16 quality
+            # leaves O(1e-2) stage errors that large-error-weight tableaus
+            # (sdirk4's c_error reaches ±4) amplify into bogus error
+            # estimates — measured on-chip: the sdirk4 adjoint gradient came
+            # back 0.92 where 2.48 was exact, while CPU f32 was fine. The
+            # matrices here are tiny; full-precision costs nothing.
+            with jax.default_matmul_precision("highest"):
+                jac = jax.vmap(jvp)(eye).T
+                delta = jnp.linalg.solve(eye - gamma_dt * jac, residual)
         else:
             from jax.scipy.sparse.linalg import gmres
 

@@ -32,6 +32,7 @@ __all__ = [
     "SDIRK2",
     "SDIRK3",
     "Kvaerno3",
+    "SDIRK4Adaptive",
     "TRBDF2",
     "ScipyWrapperODESolver",
     "SOLVERS",
@@ -73,6 +74,9 @@ SDIRK3 = SolverSpec("sdirk3", "fixed", 3, implicit=True)
 # order-2 error estimate — stiff problems get step-size CONTROL, not just a
 # fixed grid (capability beyond the reference's scipy escape hatch)
 Kvaerno3 = SolverSpec("kvaerno3", "adaptive", 3, implicit=True)
+# Hairer-Wanner 5-stage SDIRK, gamma=1/4: L-stable order 4, adaptive via a
+# derived embedded order-3 estimator (implicit FIRST stage)
+SDIRK4Adaptive = SolverSpec("sdirk4", "adaptive", 4, implicit=True)
 TRBDF2 = SolverSpec("trbdf2", "adaptive", 2, implicit=True)
 ScipyWrapperODESolver = SolverSpec("scipy_solver", "scipy", 0)
 
@@ -102,6 +106,8 @@ SOLVERS = {
     "sdirk2_krylov": dataclasses.replace(SDIRK2, name="sdirk2_krylov"),
     "sdirk3": SDIRK3,
     "kvaerno3": Kvaerno3,
+    "sdirk4": SDIRK4Adaptive,
+    "hairer_sdirk4": SDIRK4Adaptive,
     "trbdf2": TRBDF2,
     "tr_bdf2": dataclasses.replace(TRBDF2, name="tr_bdf2"),
     "scipy_solver": ScipyWrapperODESolver,

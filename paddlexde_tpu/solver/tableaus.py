@@ -346,6 +346,66 @@ def _trbdf2():
 
 TRBDF2 = _trbdf2()
 
+
+def _sdirk4():
+    """Hairer–Wanner's 5-stage SDIRK, γ = 1/4: L-stable, stiffly accurate,
+    order 4 (HNW II, the classical "SDIRK4"). Unlike the ESDIRKs above the
+    FIRST stage is implicit (diag[0] = γ; its abscissa is c1 = a11 = γ by the
+    row-sum convention — the adaptive engine's dirk loop handles it).
+
+    The a/b constants are published rational data; all eight order-4
+    conditions and R(−∞) = 0 are pinned in tests. The embedded order-3
+    weights b̂ and the θ = 1/2 dense-output weights are DERIVED at import as
+    the least-norm solutions of their (consistent, underdetermined) order
+    conditions — residuals asserted, and b̂ is checked to genuinely FAIL
+    order 4 (a b̂ accidentally of order 4 would zero the error estimate).
+
+    NB: for this 5-stage family the error-weight DIRECTION is forced (the
+    order-3 conditions' nullspace is one-dimensional), and its entries are
+    large (±4) — in f32 the error combination cancels O(1) stage values to
+    read an O(h⁴) signal, so at very tight tolerances the noise floor can
+    dt-underflow (observed on-chip at rtol 1e-7: the backward adjoint solve
+    underflowed; gradients now come back NaN rather than silently
+    truncated). On f32 hardware use rtol ≳ 1e-5 or adjoint_solver
+    "kvaerno3"/"dopri5"; f64 is unaffected.
+    """
+    g = 0.25
+    beta_rows = [
+        [1.0 / 2.0],
+        [17.0 / 50.0, -1.0 / 25.0],
+        [371.0 / 1360.0, -137.0 / 2720.0, 15.0 / 544.0],
+        [25.0 / 24.0, -49.0 / 48.0, 125.0 / 16.0, -85.0 / 12.0],
+    ]
+    b = np.array([25.0 / 24.0, -49.0 / 48.0, 125.0 / 16.0, -85.0 / 12.0, g])
+    a_mat = np.zeros((5, 5))
+    for i, row in enumerate(beta_rows):
+        a_mat[i + 1, : len(row)] = row
+    np.fill_diagonal(a_mat, g)
+    c = a_mat.sum(1)  # [1/4, 3/4, 11/20, 1/2, 1]
+    ac = a_mat @ c
+    cond = np.stack([np.ones(5), c, c**2, ac])
+    b_hat, *_ = np.linalg.lstsq(cond, np.array([1.0, 0.5, 1 / 3, 1 / 6]),
+                                rcond=None)
+    assert float(np.abs(cond @ b_hat - [1.0, 0.5, 1 / 3, 1 / 6]).max()) < 1e-12
+    assert abs(b_hat @ c**3 - 0.25) > 1e-3  # embedded must FAIL order 4
+    th = 0.5
+    m, *_ = np.linalg.lstsq(
+        cond, np.array([th, th**2 / 2, th**3 / 3, th**3 / 6]), rcond=None
+    )
+    assert float(np.abs(cond @ m - [th, th**2 / 2, th**3 / 3, th**3 / 6]).max()) < 1e-12
+    tab = _tableau(
+        "sdirk4", 4,
+        alpha=list(c[1:]),
+        beta_rows=beta_rows,
+        c_sol=list(b),
+        c_error=list(b - b_hat),
+        c_mid=list(m),
+    )
+    return dataclasses.replace(tab, diag=np.full(5, g))
+
+
+SDIRK4 = _sdirk4()
+
 TABLEAUS = {
     "adaptive_heun": ADAPTIVE_HEUN,
     "fehlberg2": FEHLBERG2,
@@ -354,5 +414,6 @@ TABLEAUS = {
     "dopri8": DOPRI8,
     "tsit5": TSIT5,
     "kvaerno3": KVAERNO3,
+    "sdirk4": SDIRK4,
     "trbdf2": TRBDF2,
 }
