@@ -42,6 +42,8 @@ __all__ = [
     "make_weak2_term",
     "make_weak2_general_term",
     "make_heun_stratonovich_term",
+    "make_implicit_em_term",
+    "make_implicit_milstein_term",
     "make_general_euler_term",
     "make_general_milstein_term",
     "make_general_sra1_term",
@@ -78,6 +80,138 @@ def make_milstein_term(drift, diffusion, bm) -> XDETerm:
         f_val, g_dw = dy
         return jax.tree.map(
             lambda yl, fl, gl: yl + jnp.asarray(dt, yl.dtype) * fl + gl, y, f_val, g_dw
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def _drift_implicit_solve(drift, t1, dt, base, theta, newton_iters,
+                          krylov=True):
+    """Solve ``y1 = base + theta*dt*f(t1, y1)`` with the stage machinery
+    shared with the implicit ODE solvers. DEFAULT is matrix-free
+    Newton–Krylov (GMRES on the jvp operator): the flattened state of a
+    BATCHED SDE ensemble is one big vector, and a dense Jacobian there is
+    O(B²) memory and O(B) drift evals per Newton iteration — found the hard
+    way: the dense path turned a 512-path strong-order sweep into a
+    multi-minute compile. Krylov costs a handful of jvps regardless of batch
+    width (and converges in one iteration for batched-independent linear
+    drift — the Jacobian has few distinct eigenvalues). ``krylov=False``
+    restores the dense solve for small, strongly coupled states."""
+    from jax.flatten_util import ravel_pytree
+
+    from ..solver.implicit import _stage_newton_solve
+
+    base_flat, unravel = ravel_pytree(base)
+    gdt = jnp.asarray(theta, base_flat.dtype) * jnp.asarray(dt, base_flat.dtype)
+
+    def f_at(y_flat):
+        return ravel_pytree(drift(t1, unravel(y_flat)))[0]
+
+    kry = {"restart": 10, "maxiter": 2, "tol": 1e-10} if krylov else None
+    y_flat = _stage_newton_solve(f_at, base_flat, gdt, base_flat, newton_iters,
+                                 krylov_opts=kry)
+    return unravel(y_flat)
+
+
+def make_implicit_em_term(drift, diffusion, bm, *, theta: float = 1.0,
+                          newton_iters: int = 8,
+                          krylov: bool = True) -> XDETerm:
+    """Stochastic theta method — DRIFT-IMPLICIT Euler–Maruyama:
+
+        y1 = y + dt·[(1−θ) f(t0, y) + θ f(t1, y1)] + g(t0, y) ΔW
+
+    (θ = 1 fully drift-implicit; θ ≥ 1/2 is mean-square A-stable in the
+    drift — Higham 2000). The stiff-SDE workhorse the explicit zoo lacks:
+    for dy = −θ_stiff·y dt + σ dW, explicit EM's moments explode once
+    θ_stiff·h > 2 while this contracts for every h (measured, test-pinned,
+    with the h→0 stationary law matching σ²/2θ_stiff). Diffusion stays
+    explicit (diagonal contract, evaluated at the left state): strong order
+    0.5 multiplicative / 1.0 additive, like EM. The Newton solve lives
+    inside ``move``; ``fuse`` reconstructs y1 EXACTLY from the solved
+    equation (f_eff = (y1 − y − noise)/dt), so the scan driver, adaptive
+    stepping and the replay adjoint all apply unchanged. No reference
+    counterpart (its sdeint is broken explicit EM,
+    ``paddlexde/functional/sdeint.py:9-37``).
+    """
+    theta = float(theta)
+    if not 0.0 < theta <= 1.0:
+        raise ValueError(f"theta must be in (0, 1], got {theta}")
+
+    def move(t, dt, y):
+        t1 = t + dt
+        d_w = bm(t, t1)
+        f0 = drift(t, y)
+        g_val = diffusion(t, y)
+        noise = jax.tree.map(lambda g: g * d_w, g_val)
+        base = jax.tree.map(
+            lambda yl, fl, nl: yl
+            + (1.0 - theta) * jnp.asarray(dt, yl.dtype) * fl + nl,
+            y, f0, noise,
+        )
+        y1 = _drift_implicit_solve(drift, t1, dt, base, theta, newton_iters,
+                                   krylov)
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
+        f_eff = jax.tree.map(
+            lambda y1l, yl, nl, f0l: jnp.where(
+                dt == 0, f0l,
+                (y1l - yl - nl) / jnp.asarray(safe_dt, y1l.dtype),
+            ),
+            y1, y, noise, f0,
+        )
+        return (f_eff, noise)
+
+    def fuse(dy, dt, y):
+        f_val, g_dw = dy
+        return jax.tree.map(
+            lambda yl, fl, gl: yl + jnp.asarray(dt, yl.dtype) * fl + gl,
+            y, f_val, g_dw,
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_implicit_milstein_term(drift, diffusion, bm, *,
+                                newton_iters: int = 8,
+                                krylov: bool = True) -> XDETerm:
+    """Drift-implicit Milstein (diagonal noise): the theta=1 stochastic
+    theta method plus Milstein's explicit diagonal correction —
+
+        y1 = y + dt f(t1, y1) + g ΔW + 1/2 g (∂g/∂y) (ΔW² − dt)
+
+    strong order 1.0 with drift A-stability (pinned: GBM strong order on the
+    same tree path, and the stiff-drift law test EM fails)."""
+
+    def move(t, dt, y):
+        t1 = t + dt
+        d_w = bm(t, t1)
+        f0 = drift(t, y)
+        g_val, dg = jax.jvp(
+            lambda y_: diffusion(t, y_), (y,),
+            (jax.tree.map(jnp.ones_like, y),),
+        )
+        noise = jax.tree.map(
+            lambda g, d: g * d_w
+            + 0.5 * g * d * (d_w * d_w - jnp.asarray(dt, g.dtype)),
+            g_val, dg,
+        )
+        base = jax.tree.map(lambda yl, nl: yl + nl, y, noise)
+        y1 = _drift_implicit_solve(drift, t1, dt, base, 1.0, newton_iters,
+                                   krylov)
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
+        f_eff = jax.tree.map(
+            lambda y1l, yl, nl, f0l: jnp.where(
+                dt == 0, f0l,
+                (y1l - yl - nl) / jnp.asarray(safe_dt, y1l.dtype),
+            ),
+            y1, y, noise, f0,
+        )
+        return (f_eff, noise)
+
+    def fuse(dy, dt, y):
+        f_val, g_dw = dy
+        return jax.tree.map(
+            lambda yl, fl, gl: yl + jnp.asarray(dt, yl.dtype) * fl + gl,
+            y, f_val, g_dw,
         )
 
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
@@ -1216,7 +1350,7 @@ _SDE_ADAPTIVE_KEYS = {
 # exponent of the adaptive dt controller (err^(-1/order)); euler and
 # heun_stratonovich fall through to 1.0
 _SDE_LOCAL_ORDER = {
-    "milstein": 1.5, "milstein_general": 1.5, "general_milstein": 1.5,
+    "milstein": 1.5, "implicit_milstein": 1.5, "drift_implicit_milstein": 1.5, "milstein_general": 1.5, "general_milstein": 1.5,
     "milstein_commutative": 1.5, "commutative_milstein": 1.5,
     "weak2": 1.5, "platen_weak2": 1.5, "weak2_platen": 1.5,
     "weak2_general": 1.5, "general_weak2": 1.5,
@@ -1389,6 +1523,13 @@ def sdeint(
             "or retrace)"
         )
     is_milstein = solver_name == "milstein"
+    is_implicit_em = solver_name in (
+        "implicit_em", "implicit_euler_maruyama", "drift_implicit_euler",
+        "stochastic_theta",
+    )
+    is_implicit_milstein = solver_name in (
+        "implicit_milstein", "drift_implicit_milstein",
+    )
     is_sra1 = solver_name == "sra1"
     is_sriw1 = solver_name == "sriw1"
     is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
@@ -1452,7 +1593,8 @@ def sdeint(
             )
 
     if not (is_milstein or is_sra1 or is_sriw1 or is_heun_strat or is_general
-            or is_foster2 or is_taylor15 or is_weak2 or is_rev_heun):
+            or is_foster2 or is_taylor15 or is_weak2 or is_rev_heun
+            or is_implicit_em or is_implicit_milstein):
         from ..solver.registry import resolve_solver
 
         spec = resolve_solver(solver)
@@ -1554,6 +1696,15 @@ def sdeint(
             # Milstein applies unchanged for strong order 1 on the way back
             term = make_milstein_term(*_reversed_ito_fns(drift, diffusion, bm))
             solver = "euler"
+        elif is_implicit_em:
+            # reversed Itô system: the drift-implicit theta step applies
+            term = make_implicit_em_term(*_reversed_ito_fns(drift, diffusion, bm))
+            solver = "euler"
+        elif is_implicit_milstein:
+            term = make_implicit_milstein_term(
+                *_reversed_ito_fns(drift, diffusion, bm)
+            )
+            solver = "euler"
         elif is_sra1:
             # additive noise: the reversal correction g·∂g/∂y vanishes, the
             # reversed system stays additive, and ReverseBrownian supplies the
@@ -1615,6 +1766,12 @@ def sdeint(
         term = make_milstein_term(drift, diffusion, bm)
         solver = "euler"  # the update lives in move/fuse; the driver is the
         # plain one-eval-per-step fixed stepper
+    elif is_implicit_em:
+        term = make_implicit_em_term(drift, diffusion, bm)
+        solver = "euler"
+    elif is_implicit_milstein:
+        term = make_implicit_milstein_term(drift, diffusion, bm)
+        solver = "euler"
     elif is_sra1:
         term = make_sra1_term(drift, diffusion, bm)
         solver = "euler"

@@ -39,6 +39,8 @@ from .sdeint import (
     make_general_milstein_term,
     make_general_sra1_term,
     make_heun_stratonovich_term,
+    make_implicit_em_term,
+    make_implicit_milstein_term,
     make_milstein_term,
     make_sde_term,
     make_foster2_general_term,
@@ -55,6 +57,12 @@ from .solve import _is_decreasing, format_solution
 _TERM_BUILDERS = {
     None: make_sde_term,
     "milstein": make_milstein_term,
+    "implicit_em": make_implicit_em_term,
+    "implicit_euler_maruyama": make_implicit_em_term,
+    "drift_implicit_euler": make_implicit_em_term,
+    "stochastic_theta": make_implicit_em_term,
+    "implicit_milstein": make_implicit_milstein_term,
+    "drift_implicit_milstein": make_implicit_milstein_term,
     "sra1": make_sra1_term,
     "sriw1": make_sriw1_term,
     "heun_stratonovich": make_heun_stratonovich_term,
