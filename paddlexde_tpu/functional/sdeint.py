@@ -1611,8 +1611,9 @@ def sdeint(
                 f"sdeint got solver={spec.name!r}: multi-stage deterministic RK "
                 "steppers mis-weight the Brownian increment (understated noise "
                 "variance). Use 'euler' (Euler-Maruyama) or a dedicated SDE "
-                "scheme: milstein / sra1 / sriw1 / foster2 / "
-                "heun_stratonovich (+ the *_general matrix-noise variants)."
+                "scheme: milstein / implicit_em / implicit_milstein / sra1 / "
+                "sriw1 / foster2 / taylor15 / weak2 / heun_stratonovich / "
+                "reversible_heun (+ the *_general matrix-noise variants)."
             )
 
     if is_rev_heun:
