@@ -78,8 +78,9 @@ def main(argv=None):
     # stationary spatial law: Cov = sigma^2/2 (-L)^{-1}; in the DST basis the
     # k-th mode variance is sigma^2 / (2 nu mu_k), mu_k = (2-2cos(k pi hx))/hx^2
     # (exact for the DISCRETE operator). The implicit chain at finite dt is
-    # slightly underdispersed per mode by 1/(1 + nu mu_k dt) — fold it in so
-    # the comparison isolates sampling noise, not the known dt bias.
+    # slightly underdispersed: a' = (a + eta)/(1+c) with c = nu mu dt has
+    # stationary V = q/(c(2+c)) = V_cont/(1 + c/2) — fold the exact chain
+    # law in so the comparison isolates sampling noise, not the dt bias.
     x = np.arange(1, d + 1) * hx
     modes = np.stack([np.sin(k * np.pi * x) * np.sqrt(2 * hx)
                       for k in range(1, 6)])
@@ -90,7 +91,7 @@ def main(argv=None):
     got = coeffs.reshape(5, -1).var(axis=1)
     mu = (2 - 2 * np.cos(np.arange(1, 6) * np.pi * hx)) / hx**2
     theory = SIGMA**2 / (2 * NU * mu)
-    chain = theory / (1 + NU * mu * args.dt)  # finite-dt chain variance
+    chain = theory / (1 + 0.5 * NU * mu * args.dt)  # exact finite-dt chain law
     print("mode variances (slowest 5):")
     for k in range(5):
         print(f"  k={k+1}: measured {got[k]:.4f}  chain-exact {chain[k]:.4f}"

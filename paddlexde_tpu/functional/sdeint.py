@@ -140,23 +140,30 @@ def make_implicit_em_term(drift, diffusion, bm, *, theta: float = 1.0,
     def move(t, dt, y):
         t1 = t + dt
         d_w = bm(t, t1)
-        f0 = drift(t, y)
         g_val = diffusion(t, y)
         noise = jax.tree.map(lambda g: g * d_w, g_val)
-        base = jax.tree.map(
-            lambda yl, fl, nl: yl
-            + (1.0 - theta) * jnp.asarray(dt, yl.dtype) * fl + nl,
-            y, f0, noise,
-        )
+        if theta < 1.0:
+            f0 = drift(t, y)  # explicit share; skipped at theta=1 (review
+            # find: it fed only the dt==0 guard there — one wasted drift
+            # eval per step/attempt)
+            base = jax.tree.map(
+                lambda yl, fl, nl: yl
+                + (1.0 - theta) * jnp.asarray(dt, yl.dtype) * fl + nl,
+                y, f0, noise,
+            )
+        else:
+            base = jax.tree.map(lambda yl, nl: yl + nl, y, noise)
         y1 = _drift_implicit_solve(drift, t1, dt, base, theta, newton_iters,
                                    krylov)
         safe_dt = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
+        # dt==0 guard returns a ZERO derivative (fuse is exact regardless;
+        # SDE paths have no meaningful zero-width derivative to report)
         f_eff = jax.tree.map(
-            lambda y1l, yl, nl, f0l: jnp.where(
-                dt == 0, f0l,
+            lambda y1l, yl, nl: jnp.where(
+                dt == 0, jnp.zeros_like(y1l),
                 (y1l - yl - nl) / jnp.asarray(safe_dt, y1l.dtype),
             ),
-            y1, y, noise, f0,
+            y1, y, noise,
         )
         return (f_eff, noise)
 
@@ -184,7 +191,6 @@ def make_implicit_milstein_term(drift, diffusion, bm, *,
     def move(t, dt, y):
         t1 = t + dt
         d_w = bm(t, t1)
-        f0 = drift(t, y)
         g_val, dg = jax.jvp(
             lambda y_: diffusion(t, y_), (y,),
             (jax.tree.map(jnp.ones_like, y),),
@@ -199,11 +205,11 @@ def make_implicit_milstein_term(drift, diffusion, bm, *,
                                    krylov)
         safe_dt = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
         f_eff = jax.tree.map(
-            lambda y1l, yl, nl, f0l: jnp.where(
-                dt == 0, f0l,
+            lambda y1l, yl, nl: jnp.where(
+                dt == 0, jnp.zeros_like(y1l),
                 (y1l - yl - nl) / jnp.asarray(safe_dt, y1l.dtype),
             ),
-            y1, y, noise, f0,
+            y1, y, noise,
         )
         return (f_eff, noise)
 
@@ -1552,6 +1558,20 @@ def sdeint(
                   or is_general_sra1 or is_general_foster2 or is_general_weak2
                   or is_general_taylor15 or is_comm_taylor15)
 
+    # scheme-construction knobs ride in options and are POPPED here (the
+    # driver/adaptive option validators must not see them)
+    implicit_kw = {}
+    if is_implicit_em or is_implicit_milstein:
+        options = dict(options or {})
+        for kname in ("theta", "newton_iters", "krylov"):
+            if kname in options:
+                implicit_kw[kname] = options.pop(kname)
+        if is_implicit_milstein and "theta" in implicit_kw:
+            raise ValueError(
+                "theta applies to implicit_em/stochastic_theta only "
+                "(implicit_milstein is the theta=1 form)"
+            )
+
     need_levy = (is_sra1 or is_sriw1 or is_general_sra1 or is_taylor15
                  or is_comm_taylor15)
     need_k = is_foster2 or is_general_foster2
@@ -1699,11 +1719,13 @@ def sdeint(
             solver = "euler"
         elif is_implicit_em:
             # reversed Itô system: the drift-implicit theta step applies
-            term = make_implicit_em_term(*_reversed_ito_fns(drift, diffusion, bm))
+            term = make_implicit_em_term(
+                *_reversed_ito_fns(drift, diffusion, bm), **implicit_kw
+            )
             solver = "euler"
         elif is_implicit_milstein:
             term = make_implicit_milstein_term(
-                *_reversed_ito_fns(drift, diffusion, bm)
+                *_reversed_ito_fns(drift, diffusion, bm), **implicit_kw
             )
             solver = "euler"
         elif is_sra1:
@@ -1768,10 +1790,10 @@ def sdeint(
         solver = "euler"  # the update lives in move/fuse; the driver is the
         # plain one-eval-per-step fixed stepper
     elif is_implicit_em:
-        term = make_implicit_em_term(drift, diffusion, bm)
+        term = make_implicit_em_term(drift, diffusion, bm, **implicit_kw)
         solver = "euler"
     elif is_implicit_milstein:
-        term = make_implicit_milstein_term(drift, diffusion, bm)
+        term = make_implicit_milstein_term(drift, diffusion, bm, **implicit_kw)
         solver = "euler"
     elif is_sra1:
         term = make_sra1_term(drift, diffusion, bm)

@@ -180,6 +180,22 @@ def sdeint_adjoint(
             "O(steps)-memory exact backprop), or use another scheme here"
         )
     scheme = solver_name if solver_name in _TERM_BUILDERS else None
+    builder_override = None
+    if scheme in ("implicit_em", "implicit_euler_maruyama",
+                  "drift_implicit_euler", "stochastic_theta",
+                  "implicit_milstein", "drift_implicit_milstein"):
+        # scheme-construction knobs ride in options; pop them BEFORE any
+        # option validation/forwarding and bake them into the builder
+        import functools as _ft
+
+        _ikw = {}
+        _opts = dict(options or {})
+        for _k in ("theta", "newton_iters", "krylov"):
+            if _k in _opts:
+                _ikw[_k] = _opts.pop(_k)
+        options = _opts or None
+        if _ikw:
+            builder_override = _ft.partial(_TERM_BUILDERS[scheme], **_ikw)
     if scheme is None:
         spec = resolve_solver(solver)
         if spec.kind != "fixed" or spec.implicit or spec.name != "euler":
@@ -335,7 +351,7 @@ def sdeint_adjoint(
     diff_c, diff_consts = jax.closure_convert(lambda t, y: diffusion(t, y), t0, y0)
     drift_consts, diff_consts = tuple(drift_consts), tuple(diff_consts)
 
-    term_builder = _TERM_BUILDERS[scheme]
+    term_builder = builder_override or _TERM_BUILDERS[scheme]
 
     def one_step(y, t_a, t_b, d_consts, g_consts):
         term = term_builder(

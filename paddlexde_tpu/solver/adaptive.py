@@ -194,9 +194,13 @@ def make_adaptive_step(
         y1_error = _combine(k, tableau.c_error, dt_)
         return y1_, f1_, y1_error, k
 
-    def interp_fit_step(y0_, y1_, k, dt_):
+    def interp_fit_step(y0_, y1_, k, dt_, f0_):
+        """Quartic dense-output fit. The LEFT-endpoint slope is the step's
+        entry derivative f(t0, y0) — NOT k[0]: for an implicit-first-stage
+        tableau (sdirk4) k[0] = f(t0 + c1·dt, Y0), an O(h)-wrong endpoint
+        slope that silently degrades the interpolant (review find). For
+        explicit/ESDIRK tableaus f0_ == k[0] and nothing changes."""
         y_mid = _combine(k, tableau.c_mid, dt_, y0_)
-        f0_ = jax.tree.map(lambda kl: kl[0], k)
         f1_ = jax.tree.map(lambda kl: kl[-1], k)
         return interp_fit(y0_, y1_, y_mid, f0_, f1_, dt_)
 
@@ -233,7 +237,7 @@ def make_adaptive_step(
         accept = jnp.where(dt_ > max_step_a, False, accept)
         accept = jnp.where(dt_ <= min_step_a, True, accept)
 
-        coeff_new = interp_fit_step(y0_, y1_, k, dt_)
+        coeff_new = interp_fit_step(y0_, y1_, k, dt_, f0_)
 
         sel = lambda a, b: jax.tree.map(lambda x, y: jnp.where(accept, x, y), a, b)
         y_next = sel(y1_, y0_)
@@ -273,7 +277,10 @@ def make_adaptive_step(
             interp_coeff=coeff,
             next_step_index=next_step_index,
             next_jump_index=next_jump_index,
-            nfe=s.nfe + (n_stages - 1) * (newton_iters if implicit else 1)
+            # implicit FIRST stage (sdirk4) costs its own Newton solve
+            nfe=s.nfe
+            + (n_stages - 1 + (1 if implicit and float(tableau.diag[0]) != 0.0 else 0))
+            * (newton_iters if implicit else 1)
             + nfe_extra,
             n_accept=s.n_accept + accept.astype(jnp.int32),
             n_reject=s.n_reject + (~accept).astype(jnp.int32),

@@ -64,8 +64,13 @@ def make_implicit_euler_step(newton_iters: int = 6):
         def newton_body(_, y_flat):
             f_val, jvp = jax.linearize(f_flat, y_flat)
             residual = y_flat - y0_flat - dt_f * f_val
-            jac = jax.vmap(jvp)(eye).T  # column i = J @ e_i
-            delta = jnp.linalg.solve(eye - dt_f * jac, residual)
+            # HIGHEST precision: same rationale as _stage_newton_solve —
+            # TPU's default f32 matmul path rounds through bf16 passes,
+            # leaving bf16-quality Newton deltas (review find: the fix
+            # belongs at every dense Newton site, not one)
+            with jax.default_matmul_precision("highest"):
+                jac = jax.vmap(jvp)(eye).T  # column i = J @ e_i
+                delta = jnp.linalg.solve(eye - dt_f * jac, residual)
             return y_flat - delta
 
         # warm start from an explicit Euler predictor; dy0 doubles as the
