@@ -139,6 +139,17 @@ def test_reverse_wrapper_composes():
     np.testing.assert_allclose(np.asarray(a), -np.asarray(a0), atol=1e-12)
 
 
+def test_default_bm_accepts_fourier():
+    """sdeint's default-bm path honors levy_area_approximation='fourier'
+    (terms default 8); milstein_general runs end to end."""
+    f = lambda t, y: jnp.zeros_like(y)
+    g_mat = lambda t, y: jnp.stack([y, 0.5 * y], axis=-1)
+    sol = sdeint(f, g_mat, jnp.ones((4, 2)), jnp.linspace(0.0, 1.0, 5),
+                 "milstein_general", key=1, noise_dim=2,
+                 levy_area_approximation="fourier", time_axis=0)
+    assert bool(jnp.all(jnp.isfinite(sol)))
+
+
 def test_scalar_channel_area_is_zero():
     a = fourier_area(jax.random.key(0), 0.0, 1.0, jnp.ones(()), jnp.ones(()))
     assert float(a) == 0.0
