@@ -44,6 +44,10 @@ __all__ = [
     "make_heun_stratonovich_term",
     "make_implicit_em_term",
     "make_implicit_milstein_term",
+    "make_implicit_sra1_term",
+    "make_implicit_sra1_general_term",
+    "make_implicit_foster2_term",
+    "make_implicit_foster2_general_term",
     "make_general_euler_term",
     "make_general_milstein_term",
     "make_general_sra1_term",
@@ -313,6 +317,216 @@ def make_general_sra1_term(drift, diffusion, bm) -> XDETerm:
         return (f_comb, noise)
 
     return XDETerm(move=move, fuse=_general_fuse, additive=True, kind="sde")
+
+
+# --- drift-implicit additive ladder (round-4 candidate #6) -----------------
+#
+# SDIRK2 core for implicit_sra1: Alexander's L-stable 2-stage SDIRK
+# (gamma = 1 - sqrt(2)/2, b = (1-gamma, gamma), stiffly accurate). The
+# noise-in-stage coefficients B = (B1, B2) are DERIVED from the additive
+# strong-1.5 order conditions (same conditions SRA1 satisfies with its
+# alpha=(1/3,2/3), B=(0,3/2): alpha.B = 1, alpha.B^2 = 3/2):
+#
+#   sum_i b_i B_i   = 1    (matches the f_y.g.I10 double integral)
+#   sum_i b_i B_i^2 = 3/2  (matches the mean of the f_yy.g^2 O(h^2) term:
+#                           E[h * 1/2 f_yy g^2 sum b_i B_i^2 (I10/h)^2]
+#                           = h^2/6 sum b_i B_i^2 f_yy g^2, truth h^2/4)
+#
+# With b = (1-g, g): B2 = 1 + sqrt((1-g)/(2g)), B1 = (1 - g*B2)/(1 - g).
+_ISRA1_GAMMA = 1.0 - 0.5 * 2.0**0.5
+_ISRA1_B2 = 1.0 + ((1.0 - _ISRA1_GAMMA) / (2.0 * _ISRA1_GAMMA)) ** 0.5
+_ISRA1_B1 = (1.0 - _ISRA1_GAMMA * _ISRA1_B2) / (1.0 - _ISRA1_GAMMA)
+
+
+def make_implicit_sra1_term(drift, diffusion, bm, *, newton_iters: int = 8,
+                            krylov: bool = True) -> XDETerm:
+    """DRIFT-IMPLICIT strong-1.5 scheme for ADDITIVE diagonal noise — the
+    stiff rung of the additive ladder (sra1 is the explicit 1.5; implicit_em
+    the stiff strong-1.0-additive theta method; this is both at once).
+
+    L-stable SDIRK2 drift core (Alexander, gamma = 1−√2/2, stiffly accurate
+    — R(−∞)=0, so dy = −θ_stiff y dt + σ(t) dW contracts at ANY dt where
+    explicit SRA1's moments explode once θ_stiff·h ≳ 2), with the Brownian
+    tree's (W, I10) pair entering the stages and the final noise:
+
+        H1 = y + γh f(t+γh, H1) + B1 g(t0) I10/h
+        H2 = y + (1−γ)h f1 + γh f(t1, H2) + B2 g(t0) I10/h
+        y1 = y + h[(1−γ) f1 + γ f2] + g(t1)(W − I10/h) + g(t0) I10/h
+
+    The final noise is SRA1's exact Itô form (ΔW weight on g(t1) — see
+    :func:`make_sra1_term`'s round-3 fix note); B1/B2 are derived above from
+    the strong-1.5 order conditions. Stage solves share the implicit-ODE
+    Newton machinery (matrix-free Krylov default — a batched ensemble's
+    dense Jacobian is O(B²); ``options={'krylov': False}`` for small coupled
+    states, ``newton_iters`` to tune). Strong order ~1.5 and the stiff
+    contraction are test-pinned against the same-path OU closed form. No
+    reference counterpart (its sdeint is broken explicit EM,
+    ``paddlexde/functional/sdeint.py:9-37``).
+    """
+    g_c = _ISRA1_GAMMA
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u = bm(t, t1, return_U=True)
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
+        i10_h = jax.tree.map(lambda ul: ul / jnp.asarray(safe_dt, ul.dtype), u)
+        g0 = diffusion(t, y)
+        g1 = diffusion(t1, y)
+
+        base1 = jax.tree.map(
+            lambda yl, gl, il: yl + _ISRA1_B1 * gl * il, y, g0, i10_h
+        )
+        h1 = _drift_implicit_solve(drift, t + g_c * dt, dt, base1, g_c,
+                                   newton_iters, krylov)
+        gdt = jnp.asarray(g_c, jnp.result_type(dt)) * safe_dt
+        f1 = jax.tree.map(
+            lambda hl, bl: jnp.where(
+                dt == 0, jnp.zeros_like(hl),
+                (hl - bl) / jnp.asarray(gdt, hl.dtype),
+            ),
+            h1, base1,
+        )
+        base2 = jax.tree.map(
+            lambda yl, fl, gl, il: yl
+            + (1.0 - g_c) * jnp.asarray(dt, yl.dtype) * fl
+            + _ISRA1_B2 * gl * il,
+            y, f1, g0, i10_h,
+        )
+        h2 = _drift_implicit_solve(drift, t1, dt, base2, g_c,
+                                   newton_iters, krylov)
+        f2 = jax.tree.map(
+            lambda hl, bl: jnp.where(
+                dt == 0, jnp.zeros_like(hl),
+                (hl - bl) / jnp.asarray(gdt, hl.dtype),
+            ),
+            h2, base2,
+        )
+        noise = jax.tree.map(
+            lambda g0l, g1l, wl, il: g1l * (wl - il) + g0l * il,
+            g0, g1, w, i10_h,
+        )
+        f_comb = jax.tree.map(
+            lambda a, b: (1.0 - g_c) * a + g_c * b, f1, f2
+        )
+        return (f_comb, noise)
+
+    def fuse(dy, dt, y):
+        f_val, noise = dy
+        return jax.tree.map(
+            lambda yl, fl, nl: yl + jnp.asarray(dt, yl.dtype) * fl + nl,
+            y, f_val, noise,
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_implicit_sra1_general_term(drift, diffusion, bm, *,
+                                    newton_iters: int = 8,
+                                    krylov: bool = True) -> XDETerm:
+    """Drift-implicit strong-1.5 scheme for GENERAL (matrix) ADDITIVE noise:
+    :func:`make_implicit_sra1_term` with ``G(t) -> [..., D, M]`` against an
+    M-dimensional Brownian motion — per-channel (W, I10) enter through the
+    einsum contraction (HIGHEST precision; the additive columns are
+    independent so the scalar derivation applies per column)."""
+    g_c = _ISRA1_GAMMA
+    mv = lambda g, z: jnp.einsum("...dm,...m->...d", g, z,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u = bm(t, t1, return_U=True)  # [..., M] each
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
+        i10_h = u / jnp.asarray(safe_dt, u.dtype)
+        g0 = diffusion(t, y)
+        g1 = diffusion(t1, y)
+
+        base1 = y + _ISRA1_B1 * mv(g0, i10_h)
+        h1 = _drift_implicit_solve(drift, t + g_c * dt, dt, base1, g_c,
+                                   newton_iters, krylov)
+        gdt = jnp.asarray(g_c, jnp.result_type(dt)) * safe_dt
+        f1 = jnp.where(dt == 0, jnp.zeros_like(h1),
+                       (h1 - base1) / jnp.asarray(gdt, h1.dtype))
+        base2 = (y + (1.0 - g_c) * jnp.asarray(dt, y.dtype) * f1
+                 + _ISRA1_B2 * mv(g0, i10_h))
+        h2 = _drift_implicit_solve(drift, t1, dt, base2, g_c,
+                                   newton_iters, krylov)
+        f2 = jnp.where(dt == 0, jnp.zeros_like(h2),
+                       (h2 - base2) / jnp.asarray(gdt, h2.dtype))
+        noise = mv(g1, w - i10_h) + mv(g0, i10_h)
+        return ((1.0 - g_c) * f1 + g_c * f2, noise)
+
+    def fuse(dy, dt, y):
+        f_val, noise = dy
+        return jax.tree.map(
+            lambda yl, fl, nl: yl + jnp.asarray(dt, yl.dtype) * fl + nl,
+            y, f_val, noise,
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+# Hairer–Wanner's 5-stage SDIRK4 (γ = 1/4; HNW II Table 6.5): L-stable,
+# stiffly accurate, ORDER 4 — the same published tableau the adaptive ODE
+# ladder's "sdirk4" uses (solver/tableaus.py:_sdirk4). Order 4 (not 2 or 3)
+# is LOAD-BEARING for the implicit polynomial-path schemes below, for the
+# same reason foster2 uses RK4 and not a cheaper core:
+#   - the b-quadrature is degree-3 exact (b·cᵏ = 1/(k+1), k ≤ 3), so the
+#     cubic path's quadratic q′ integrates EXACTLY (constant-g telescopes
+#     to g·W; an order-2 quadrature leaves a per-step O(√h) noise error
+#     that floors at fixed substeps);
+#   - the drift-noise coupling chain F_y·F_θθ ∝ h·f_y·g·q''' is a 4-node
+#     tree: an order-3 core misses it — O(h^{3/2}) zero-mean per step ⇒
+#     the whole scheme degrades to strong order ~1.0 (measured, SDIRK3
+#     core: slope 0.9 where RK4's is 1.9). Order 4 matches it, and the
+#     5-node chains vanish (q'''' ≡ 0 — the cubic path lies in the
+#     order-4 exactness kernel, exactly as for RK4).
+_SDIRK4_G = 0.25
+_SDIRK4_A = (
+    (),
+    (0.5,),
+    (17.0 / 50.0, -1.0 / 25.0),
+    (371.0 / 1360.0, -137.0 / 2720.0, 15.0 / 544.0),
+    (25.0 / 24.0, -49.0 / 48.0, 125.0 / 16.0, -85.0 / 12.0),
+)
+_SDIRK4_C = tuple(sum(row) + _SDIRK4_G for row in _SDIRK4_A)
+
+
+def _sdirk4_theta(F, y, substeps: int, newton_iters: int, krylov: bool):
+    """HW SDIRK4 (L-stable, order 4) over θ ∈ [0, 1] in ``substeps`` equal
+    substeps; stage equations Y = base + γ·dθ·F(θ_s, Y) via the shared
+    Newton machinery (matrix-free Krylov default). Stiffly accurate:
+    y⁺ = Y₅."""
+    from jax.flatten_util import ravel_pytree
+
+    from ..solver.implicit import _stage_newton_solve
+
+    y_flat, unravel = ravel_pytree(y)
+    kry = {"restart": 10, "maxiter": 2, "tol": 1e-10} if krylov else None
+    dth = 1.0 / substeps
+
+    def f_at(theta):
+        def f(v):
+            return ravel_pytree(F(theta, unravel(v)))[0]
+
+        return f
+
+    gdt_f = _SDIRK4_G * dth
+    for i in range(substeps):
+        th = i * dth
+        gdt = jnp.asarray(gdt_f, y_flat.dtype)
+        fs = []
+        y_stage = y_flat
+        for s in range(5):
+            base = y_flat
+            for a_coef, f_prev in zip(_SDIRK4_A[s], fs):
+                base = base + (a_coef * dth) * f_prev
+            y_stage = _stage_newton_solve(
+                f_at(th + _SDIRK4_C[s] * dth), base, gdt, y_stage,
+                newton_iters, kry,
+            )
+            fs.append((y_stage - base) / gdt)
+        y_flat = y_stage  # stiffly accurate: b equals the last A row
+    return unravel(y_flat)
 
 
 def make_heun_stratonovich_term(drift, diffusion, bm) -> XDETerm:
@@ -624,35 +838,96 @@ def make_reversible_heun_term(drift, diffusion, bm, *, inverse: bool = False):
                    additive=False, kind="sde")
 
 
-def _levy_triple_integrals(d_w, u, a_mat, h):
+def _strat_sig23(w, a_mat):
+    """Level-2/3 Stratonovich signature of one interval from its (ΔW, A)
+    with zero level-3 Lie component: S2 = ½ΔW⊗ΔW + A,
+    S3 = ΔW⊗³/6 + (ΔW⊗A + A⊗ΔW)/2 (the level-3 term of exp(ΔW + A))."""
+    s2 = 0.5 * w[..., :, None] * w[..., None, :]
+    j3 = (
+        w[..., :, None, None] * w[..., None, :, None] * w[..., None, None, :]
+    ) / 6.0
+    if a_mat is not None:
+        s2 = s2 + a_mat
+        j3 = j3 + 0.5 * (
+            w[..., :, None, None] * a_mat[..., None, :, :]
+            + a_mat[..., :, :, None] * w[..., None, None, :]
+        )
+    return s2, j3
+
+
+def _chen_levels(bm, t, t1, substeps: int):
+    """(ΔW, A, J3) over [t, t1] by CHEN-composing the level-≤3 Stratonovich
+    signatures of ``substeps`` equal tree sub-intervals.
+
+    Each sub-interval contributes its tree increment (exact, additive), its
+    per-query area sample, and a ZERO level-3 Lie component; Chen's identity
+    S([a,c]) = S([a,b]) ⊗ S([b,c]) then composes them exactly. The composed
+    signature is group-like (shuffle identities hold exactly, tested), and
+    the law error sits only in the per-sub-interval truncations, both of
+    which SHRINK with the substep count k:
+
+    - area: Davie's per-query excess Var is (h/k)²/12 per sub-interval,
+      k independent pieces ⇒ total excess h²/(12k) (fourier sub-areas have
+      none — their total variance is exact at any k);
+    - level-3 Lie: the missing per-sub Lie triple has std O((h/k)^{3/2}),
+      k independent pieces ⇒ composed-L3 law error O(h^{3/2}/k), while the
+      Chen cross terms of sub-(ΔW, A) BUILD the nonzero Lie component the
+      k=1 construction zeroes (measured: E[I3²] moments converge to the
+      exact h³ · 1/6 of the Itô isometry as k grows).
+
+    k=1 reproduces :func:`_strat_sig23` on the whole step bit-exactly (the
+    previous construction). Cost: 2k tree descents + k area samples per
+    step — a correctness dial for strongly non-commuting noise.
+    """
+    dt = t1 - t
+    s1 = None  # running ΔW
+    s2 = None
+    s3 = None
+    for i in range(substeps):
+        ta = t + (i / substeps) * dt
+        tb = t + ((i + 1) / substeps) * dt if i < substeps - 1 else t1
+        w, _u, a = bm(ta, tb, return_U=True, return_A=True)
+        p2, p3 = _strat_sig23(w, a)
+        if s1 is None:
+            s1, s2, s3 = w, p2, p3
+        else:
+            s3 = (
+                s3
+                + s2[..., :, :, None] * w[..., None, None, :]
+                + s1[..., :, None, None] * p2[..., None, :, :]
+                + p3
+            )
+            s2 = s2 + s1[..., :, None] * w[..., None, :] + p2
+            s1 = s1 + w
+    a_total = s2 - 0.5 * s1[..., :, None] * s1[..., None, :]
+    return s1, a_total, s3
+
+
+def _levy_triple_integrals(d_w, u, a_mat, h, j3=None):
     """Level-3 iterated Itô integrals ``I(a,b,c)`` from the tree's
     ``(ΔW, U, A)`` via the zero-Lie-component log-signature extension:
 
         J3[a,b,c] = ΔW_aΔW_bΔW_c/6 + (ΔW_a·A_{bc} + A_{ab}·ΔW_c)/2
         I3[a,b,c] = J3[a,b,c] − ½δ_{ab}·I(0,c) − ½δ_{bc}·I(a,0)
 
-    with ``I(a,0) = U_a`` and ``I(0,c) = hΔW_c − U_c``. Satisfies every
+    with ``I(a,0) = U_a`` and ``I(0,c) = hΔW_c − U_c``. (The level-3
+    Itô↔Stratonovich conversion is COMPLETE with these two δ-terms: on the
+    diagonal it reproduces the exact (ΔW³−3hΔW)/6.) Satisfies every
     shuffle/insertion identity exactly (tested); the fully-symmetrized part
     equals the true integrals' (Lie elements symmetrize to zero), so
     contractions with permutation-symmetric coefficient tensors — the
     commutative-noise case — are exact given exact A. ``a_mat=None`` drops
-    the area terms (the commutative contract).
+    the area terms (the commutative contract). A precomputed Stratonovich
+    ``j3`` (e.g. :func:`_chen_levels`' composed level 3, which carries a
+    sampled nonzero Lie component) overrides the zero-Lie construction.
 
     Args: ``d_w``/``u``: ``[..., M]``; ``a_mat``: ``[..., M, M]``
     antisymmetric or None; ``h``: step. Returns ``[..., M, M, M]``.
     """
     m = d_w.shape[-1]
     eye = jnp.eye(m, dtype=d_w.dtype)
-    j3 = (
-        d_w[..., :, None, None]
-        * d_w[..., None, :, None]
-        * d_w[..., None, None, :]
-    ) / 6.0
-    if a_mat is not None:
-        j3 = j3 + 0.5 * (
-            d_w[..., :, None, None] * a_mat[..., None, :, :]
-            + a_mat[..., :, :, None] * d_w[..., None, None, :]
-        )
+    if j3 is None:
+        _, j3 = _strat_sig23(d_w, a_mat)
     i0c = h * d_w - u
     return (
         j3
@@ -662,7 +937,7 @@ def _levy_triple_integrals(d_w, u, a_mat, h):
 
 
 def make_general_taylor15_term(
-    drift, diffusion, bm, *, use_area: bool = True
+    drift, diffusion, bm, *, use_area: bool = True, triple_substeps: int = 1
 ) -> XDETerm:
     """Strong order-1.5 Itô–Taylor scheme for GENERAL (matrix) multiplicative
     noise (Kloeden–Platen 10.4.1): ``dy = f dt + G dW`` with ``G(t, y) ->
@@ -703,22 +978,40 @@ def make_general_taylor15_term(
       matrix-exponential closed form (``use_area=False`` — exposed as
       ``taylor15_commutative`` — is then exact-equivalent and needs only a
       space-time bm).
-    - NON-commutative noise: accuracy is bounded by the Davie/Foster area
-      law approximation and the dropped Lie-triple component (std O(h^1.5)
-      per step) — strong order degrades toward milstein_general's ~1.0 in
-      the strongly non-commuting directions, while all commuting directions
-      keep the 1.5 behaviour. True order-1.5 coupling for arbitrary noise
-      requires the Fourier/KL joint expansion of (ΔW, A, I3) with
-      O(1/h) terms per step (KP 5.8), deliberately out of scope.
+    - NON-commutative noise: with the default ``triple_substeps=1`` the
+      accuracy is bounded by the area law approximation and the dropped
+      Lie-triple component (std O(h^1.5) per step) — strong order degrades
+      toward milstein_general's ~1.0 in the strongly non-commuting
+      directions, while all commuting directions keep the 1.5 behaviour.
+      ``triple_substeps=k`` (``options={'triple_substeps': k}``) replaces
+      the per-query (A, zero-Lie J3) with :func:`_chen_levels`' composed
+      sample: the area excess shrinks as h²/(12k) (zero with 'fourier'
+      areas) and the Lie-triple law error as O(h^{3/2}/k) — the measured
+      E[I3²] moments converge to the exact Itô-isometry h³/6 (the k=1
+      middle-word moment sits at 0.53 of truth; k=4 restores it). Cost:
+      2k tree descents + k area samples per step. TRUE order-1.5 coupling
+      at k=1 for arbitrary noise would need the joint (ΔW, A, I3) KL
+      expansion with O(1/h) terms per step (KP 5.8) — the k-dial is the
+      convergent, test-pinned version of that trade.
 
     Contract: single-array state ``[..., D]``; ``bm`` of size
-    ``y.shape[:-1] + (M,)`` with ``levy_area_approximation`` davie/foster
-    (``use_area=True``) or space-time (``use_area=False``).
+    ``y.shape[:-1] + (M,)`` with ``levy_area_approximation``
+    davie/foster/fourier (``use_area=True``) or space-time
+    (``use_area=False``).
     """
 
     def move(t, dt, y):
         t1 = t + dt
-        if use_area:
+        j3 = None
+        if use_area and triple_substeps > 1:
+            # Chen-composed (ΔW, A, J3) over tree sub-intervals: the area
+            # excess shrinks as h²/(12k) and the level-3 Lie component —
+            # zeroed by the k=1 construction — is BUILT by the composition
+            # (law → exact as k grows; see _chen_levels). One consistent
+            # sample feeds the pair AND triple integrals.
+            d_w, a_mat, j3 = _chen_levels(bm, t, t1, triple_substeps)
+            _, u = bm(t, t1, return_U=True)  # exact tree I(j,0)
+        elif use_area:
             d_w, u, a_mat = bm(t, t1, return_U=True, return_A=True)
         else:
             d_w, u = bm(t, t1, return_U=True)
@@ -781,7 +1074,7 @@ def make_general_taylor15_term(
         if a_mat is not None:
             i2 = i2 + a_mat
         i0c = h * d_w - u  # I(0,c) per channel
-        i3 = _levy_triple_integrals(d_w, u, a_mat, h)
+        i3 = _levy_triple_integrals(d_w, u, a_mat, h, j3)
 
         mv = lambda g, z: jnp.einsum("...dm,...m->...d", g, z, precision=hi)
         pair = jnp.einsum("j...dk,...jk->...d", dg_all, i2, precision=hi)
@@ -1115,6 +1408,87 @@ def make_foster2_general_term(drift, diffusion, bm, substeps: int = 1) -> XDETer
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
+def make_implicit_foster2_term(drift, diffusion, bm, *, substeps: int = 1,
+                               newton_iters: int = 8,
+                               krylov: bool = True) -> XDETerm:
+    """DRIFT-IMPLICIT cubic polynomial-path method for ADDITIVE diagonal
+    noise — strong order ~2.0 with an L-STABLE core: the top of the stiff
+    additive ladder (implicit_em 1.0 → implicit_sra1 1.5 → this).
+
+    Same construction as :func:`make_foster2_term` — each step replaces the
+    Brownian path by the cubic q(θ) matching the tree's (W, I10, K) triple
+    and integrates dy/dθ = h·f + g·q′(θ) — but the θ-ODE is solved with
+    Hairer–Wanner's 5-stage L-stable stiffly-accurate SDIRK4 instead of RK4,
+    so arbitrarily stiff drift (SPDE operators at dt ≫ the explicit
+    stability limit) is damped, not amplified. The ORDER-4 choice is
+    load-bearing (see the tableau comment above :func:`_sdirk4_theta`):
+    degree-3-exact quadrature keeps constant-g telescoping exact, and order
+    4 captures the h·f_y·g·q''' coupling chain that degraded a measured
+    SDIRK3 core to strong ~1.0 (q'''' ≡ 0 then kills the 5-node chains —
+    the cubic path sits in the order-4 exactness kernel, as for RK4).
+    Strong order vs the same-path OU oracle and the stiff contraction
+    explicit foster2 fails are test-pinned.
+    Knobs (via ``options``): substeps / newton_iters / krylov (matrix-free
+    default — batched ensembles, see :func:`_drift_implicit_solve`).
+    """
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u, k = bm(t, t1, return_U=True, return_K=True)
+        a, b, c = _cubic_path_coeffs(w, u, k, dt)
+
+        def F(theta, yv):
+            f_val = drift(t + theta * dt, yv)
+            g_val = diffusion(t + theta * dt, yv)
+            return jax.tree.map(
+                lambda fl, gl, al, bl, cl: (
+                    jnp.asarray(dt, fl.dtype) * fl
+                    + gl * (3 * al * theta**2 + 2 * bl * theta + cl)
+                ),
+                f_val, g_val, a, b, c,
+            )
+
+        y1 = _sdirk4_theta(F, y, substeps, newton_iters, krylov)
+        return jax.tree.map(jnp.subtract, y1, y)
+
+    def fuse(dy, dt, y):
+        del dt  # the increment already integrated over the step
+        return jax.tree.map(jnp.add, y, dy)
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_implicit_foster2_general_term(drift, diffusion, bm, *,
+                                       substeps: int = 1,
+                                       newton_iters: int = 8,
+                                       krylov: bool = True) -> XDETerm:
+    """Drift-implicit cubic polynomial-path method for GENERAL (matrix)
+    ADDITIVE noise: :func:`make_implicit_foster2_term` with ``G(t) ->
+    [..., D, M]`` (per-channel cubic paths, HIGHEST-precision contraction)."""
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u, k = bm(t, t1, return_U=True, return_K=True)  # [..., M] each
+        a, b, c = _cubic_path_coeffs(w, u, k, dt)
+        mv = lambda g, z: jnp.einsum("...dm,...m->...d", g, z,
+                                     precision=jax.lax.Precision.HIGHEST)
+
+        def F(theta, yv):
+            f_val = drift(t + theta * dt, yv)
+            g_val = diffusion(t + theta * dt, yv)
+            qp = 3 * a * theta**2 + 2 * b * theta + c
+            return jnp.asarray(dt, f_val.dtype) * f_val + mv(g_val, qp)
+
+        y1 = _sdirk4_theta(F, y, substeps, newton_iters, krylov)
+        return y1 - y
+
+    def fuse(dy, dt, y):
+        del dt
+        return jax.tree.map(jnp.add, y, dy)
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
 def _span_bounds(t_span):
     """(t_lo, t_hi) for a default BrownianInterval — CONCRETE floats whenever
     t_span's values are known, even under an ambient jit trace.
@@ -1361,6 +1735,10 @@ _SDE_LOCAL_ORDER = {
     "weak2": 1.5, "platen_weak2": 1.5, "weak2_platen": 1.5,
     "weak2_general": 1.5, "general_weak2": 1.5,
     "sra1": 2.0, "sra1_general": 2.0, "general_sra1": 2.0,
+    "implicit_sra1": 2.0, "drift_implicit_sra1": 2.0,
+    "implicit_sra1_general": 2.0, "general_implicit_sra1": 2.0,
+    "implicit_foster2": 2.5, "drift_implicit_foster2": 2.5,
+    "implicit_foster2_general": 2.5, "general_implicit_foster2": 2.5,
     "sriw1": 2.0, "taylor15": 2.0, "ito_taylor15": 2.0,
     "taylor15_general": 2.0, "general_taylor15": 2.0,
     "taylor15_commutative": 2.0, "commutative_taylor15": 2.0,
@@ -1398,9 +1776,13 @@ def _default_bm_for_scheme(
     need_levy = solver_name in (
         "sra1", "sriw1", "sra1_general", "general_sra1", "taylor15",
         "ito_taylor15", "taylor15_commutative", "commutative_taylor15",
+        "implicit_sra1", "drift_implicit_sra1",
+        "implicit_sra1_general", "general_implicit_sra1",
     )
     need_k = solver_name in (
-        "foster2", "foster", "foster2_general", "general_foster2"
+        "foster2", "foster", "foster2_general", "general_foster2",
+        "implicit_foster2", "drift_implicit_foster2",
+        "implicit_foster2_general", "general_implicit_foster2",
     )
     need_area = solver_name in (
         "milstein_general", "general_milstein", "taylor15_general",
@@ -1412,6 +1794,8 @@ def _default_bm_for_scheme(
         "sra1_general", "general_sra1", "foster2_general", "general_foster2",
         "weak2_general", "general_weak2", "taylor15_general",
         "general_taylor15", "taylor15_commutative", "commutative_taylor15",
+        "implicit_sra1_general", "general_implicit_sra1",
+        "implicit_foster2_general", "general_implicit_foster2",
     )
     if need_levy and levy_area_approximation == "none":
         levy_area_approximation = "space-time"
@@ -1477,7 +1861,11 @@ def sdeint(
             1.5), taylor15 (SCALAR noise — one Brownian channel, arbitrary
             non-diagonal multiplicative g — strong 1.5 via the autodiff
             Itô–Taylor expansion), foster2 (additive, ~2.0 — cubic
-            polynomial path on the tree's (W, I10, K) triple), weak2
+            polynomial path on the tree's (W, I10, K) triple), the
+            DRIFT-IMPLICIT stiff ladder implicit_em (theta method, strong
+            0.5/1.0-additive) / implicit_milstein (1.0) / implicit_sra1
+            (additive 1.5, L-stable SDIRK2 core) / implicit_foster2
+            (additive ~2.0, L-stable SDIRK3 on the cubic path ODE), weak2
             (Platen's derivative-free WEAK order-2.0 scheme — O(h²) in
             distribution for expectations/moments; pathwise accuracy is
             not the goal), heun_stratonovich (Stratonovich),
@@ -1537,6 +1925,16 @@ def sdeint(
         "implicit_milstein", "drift_implicit_milstein",
     )
     is_sra1 = solver_name == "sra1"
+    is_implicit_sra1 = solver_name in ("implicit_sra1", "drift_implicit_sra1")
+    is_general_implicit_sra1 = solver_name in (
+        "implicit_sra1_general", "general_implicit_sra1",
+    )
+    is_implicit_foster2 = solver_name in (
+        "implicit_foster2", "drift_implicit_foster2",
+    )
+    is_general_implicit_foster2 = solver_name in (
+        "implicit_foster2_general", "general_implicit_foster2",
+    )
     is_sriw1 = solver_name == "sriw1"
     is_heun_strat = solver_name in ("heun_stratonovich", "stratonovich_heun")
     is_foster2 = solver_name in ("foster2", "foster")
@@ -1556,25 +1954,38 @@ def sdeint(
     )
     is_general = (is_general_euler or is_general_milstein or is_comm_milstein
                   or is_general_sra1 or is_general_foster2 or is_general_weak2
-                  or is_general_taylor15 or is_comm_taylor15)
+                  or is_general_taylor15 or is_comm_taylor15
+                  or is_general_implicit_sra1 or is_general_implicit_foster2)
 
     # scheme-construction knobs ride in options and are POPPED here (the
     # driver/adaptive option validators must not see them)
     implicit_kw = {}
-    if is_implicit_em or is_implicit_milstein:
+    if (is_implicit_em or is_implicit_milstein or is_implicit_sra1
+            or is_general_implicit_sra1 or is_implicit_foster2
+            or is_general_implicit_foster2):
         options = dict(options or {})
-        for kname in ("theta", "newton_iters", "krylov"):
+        knobs = ("theta", "newton_iters", "krylov")
+        if is_implicit_foster2 or is_general_implicit_foster2:
+            knobs = ("newton_iters", "krylov", "substeps")
+        for kname in knobs:
             if kname in options:
                 implicit_kw[kname] = options.pop(kname)
-        if is_implicit_milstein and "theta" in implicit_kw:
+        if not is_implicit_em and "theta" in implicit_kw:
             raise ValueError(
                 "theta applies to implicit_em/stochastic_theta only "
-                "(implicit_milstein is the theta=1 form)"
+                "(the other drift-implicit schemes are fully implicit forms)"
             )
+    taylor_kw = {}
+    if is_general_taylor15:
+        options = dict(options or {})
+        if "triple_substeps" in options:
+            taylor_kw["triple_substeps"] = int(options.pop("triple_substeps"))
 
     need_levy = (is_sra1 or is_sriw1 or is_general_sra1 or is_taylor15
-                 or is_comm_taylor15)
-    need_k = is_foster2 or is_general_foster2
+                 or is_comm_taylor15 or is_implicit_sra1
+                 or is_general_implicit_sra1)
+    need_k = (is_foster2 or is_general_foster2 or is_implicit_foster2
+              or is_general_implicit_foster2)
     if bm is None:
         t_lo, t_hi = _span_bounds(t_span)
         bm = _default_bm_for_scheme(
@@ -1614,7 +2025,8 @@ def sdeint(
 
     if not (is_milstein or is_sra1 or is_sriw1 or is_heun_strat or is_general
             or is_foster2 or is_taylor15 or is_weak2 or is_rev_heun
-            or is_implicit_em or is_implicit_milstein):
+            or is_implicit_em or is_implicit_milstein or is_implicit_sra1
+            or is_implicit_foster2):
         from ..solver.registry import resolve_solver
 
         spec = resolve_solver(solver)
@@ -1632,7 +2044,8 @@ def sdeint(
                 "steppers mis-weight the Brownian increment (understated noise "
                 "variance). Use 'euler' (Euler-Maruyama) or a dedicated SDE "
                 "scheme: milstein / implicit_em / implicit_milstein / sra1 / "
-                "sriw1 / foster2 / taylor15 / weak2 / heun_stratonovich / "
+                "implicit_sra1 / sriw1 / foster2 / implicit_foster2 / "
+                "taylor15 / weak2 / heun_stratonovich / "
                 "reversible_heun (+ the *_general matrix-noise variants)."
             )
 
@@ -1695,6 +2108,12 @@ def sdeint(
                 term = make_weak2_general_term(*rev)
             elif is_general_sra1:
                 term = make_general_sra1_term(*rev)
+            elif is_general_implicit_sra1:
+                # additive G: matrix correction vanishes; the drift-implicit
+                # stages apply to the reversed system unchanged
+                term = make_implicit_sra1_general_term(*rev, **implicit_kw)
+            elif is_general_implicit_foster2:
+                term = make_implicit_foster2_general_term(*rev, **implicit_kw)
             elif is_general_foster2:
                 # additive G: the matrix correction vanishes, the reversed
                 # system stays additive, ReverseBrownian supplies the exact
@@ -1705,7 +2124,7 @@ def sdeint(
                 # SDE; the Taylor scheme applies with ReverseBrownian's
                 # (ΔW̃, Ũ, Ã) algebra
                 term = make_general_taylor15_term(
-                    *rev, use_area=is_general_taylor15
+                    *rev, use_area=is_general_taylor15, **taylor_kw
                 )
             else:
                 term = make_general_milstein_term(
@@ -1734,6 +2153,19 @@ def sdeint(
             # exact reversed (ΔW̃, Ĩ10) pair — SRA1 applies unchanged.
             # Strong order ~1.5 on the reversed path is pinned by test.
             term = make_sra1_term(*_reversed_ito_fns(drift, diffusion, bm))
+            solver = "euler"
+        elif is_implicit_sra1:
+            # additive: same reversal algebra as sra1 (correction vanishes)
+            term = make_implicit_sra1_term(
+                *_reversed_ito_fns(drift, diffusion, bm), **implicit_kw
+            )
+            solver = "euler"
+        elif is_implicit_foster2:
+            # additive: reversed system stays additive; ReverseBrownian
+            # supplies the exact reversed (ΔW̃, Ĩ10, K̃) triple
+            term = make_implicit_foster2_term(
+                *_reversed_ito_fns(drift, diffusion, bm), **implicit_kw
+            )
             solver = "euler"
         elif is_foster2:
             # additive: reversed system stays additive; ReverseBrownian
@@ -1798,6 +2230,20 @@ def sdeint(
     elif is_sra1:
         term = make_sra1_term(drift, diffusion, bm)
         solver = "euler"
+    elif is_implicit_sra1:
+        term = make_implicit_sra1_term(drift, diffusion, bm, **implicit_kw)
+        solver = "euler"
+    elif is_general_implicit_sra1:
+        term = make_implicit_sra1_general_term(drift, diffusion, bm,
+                                               **implicit_kw)
+        solver = "euler"
+    elif is_implicit_foster2:
+        term = make_implicit_foster2_term(drift, diffusion, bm, **implicit_kw)
+        solver = "euler"
+    elif is_general_implicit_foster2:
+        term = make_implicit_foster2_general_term(drift, diffusion, bm,
+                                                  **implicit_kw)
+        solver = "euler"
     elif is_sriw1:
         term = make_sriw1_term(drift, diffusion, bm)
         solver = "euler"
@@ -1832,7 +2278,8 @@ def sdeint(
         term = make_general_milstein_term(drift, diffusion, bm, use_area=False)
         solver = "euler"
     elif is_general_taylor15:
-        term = make_general_taylor15_term(drift, diffusion, bm, use_area=True)
+        term = make_general_taylor15_term(drift, diffusion, bm, use_area=True,
+                                          **taylor_kw)
         solver = "euler"
     elif is_comm_taylor15:
         term = make_general_taylor15_term(drift, diffusion, bm, use_area=False)

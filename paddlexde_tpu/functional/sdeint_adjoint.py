@@ -40,7 +40,11 @@ from .sdeint import (
     make_general_sra1_term,
     make_heun_stratonovich_term,
     make_implicit_em_term,
+    make_implicit_foster2_general_term,
+    make_implicit_foster2_term,
     make_implicit_milstein_term,
+    make_implicit_sra1_general_term,
+    make_implicit_sra1_term,
     make_milstein_term,
     make_sde_term,
     make_foster2_general_term,
@@ -63,6 +67,10 @@ _TERM_BUILDERS = {
     "stochastic_theta": make_implicit_em_term,
     "implicit_milstein": make_implicit_milstein_term,
     "drift_implicit_milstein": make_implicit_milstein_term,
+    "implicit_sra1": make_implicit_sra1_term,
+    "implicit_sra1_general": make_implicit_sra1_general_term,
+    "implicit_foster2": make_implicit_foster2_term,
+    "implicit_foster2_general": make_implicit_foster2_general_term,
     "sra1": make_sra1_term,
     "sriw1": make_sriw1_term,
     "heun_stratonovich": make_heun_stratonovich_term,
@@ -84,7 +92,7 @@ _TERM_BUILDERS = {
     "weak2_general": make_weak2_general_term,
 }
 
-_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general", "foster2_general", "weak2_general", "taylor15_general", "taylor15_commutative"}
+_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general", "foster2_general", "weak2_general", "taylor15_general", "taylor15_commutative", "implicit_sra1_general", "implicit_foster2_general"}
 _SCHEME_ALIASES = {
     "stratonovich_heun": "heun_stratonovich",
     "general_sra1": "sra1_general",
@@ -93,6 +101,10 @@ _SCHEME_ALIASES = {
     "commutative_milstein": "milstein_commutative",
     "foster": "foster2",
     "general_foster2": "foster2_general",
+    "drift_implicit_sra1": "implicit_sra1",
+    "general_implicit_sra1": "implicit_sra1_general",
+    "drift_implicit_foster2": "implicit_foster2",
+    "general_implicit_foster2": "implicit_foster2_general",
     "ito_taylor15": "taylor15",
     "general_taylor15": "taylor15_general",
     "commutative_taylor15": "taylor15_commutative",
@@ -183,19 +195,38 @@ def sdeint_adjoint(
     builder_override = None
     if scheme in ("implicit_em", "implicit_euler_maruyama",
                   "drift_implicit_euler", "stochastic_theta",
-                  "implicit_milstein", "drift_implicit_milstein"):
+                  "implicit_milstein", "drift_implicit_milstein",
+                  "implicit_sra1", "implicit_sra1_general",
+                  "implicit_foster2", "implicit_foster2_general"):
         # scheme-construction knobs ride in options; pop them BEFORE any
         # option validation/forwarding and bake them into the builder
         import functools as _ft
 
+        _knobs = ("theta", "newton_iters", "krylov")
+        if scheme in ("implicit_foster2", "implicit_foster2_general"):
+            _knobs = ("newton_iters", "krylov", "substeps")
+        elif scheme in ("implicit_sra1", "implicit_sra1_general"):
+            _knobs = ("newton_iters", "krylov")
         _ikw = {}
         _opts = dict(options or {})
-        for _k in ("theta", "newton_iters", "krylov"):
+        for _k in _knobs:
             if _k in _opts:
                 _ikw[_k] = _opts.pop(_k)
         options = _opts or None
         if _ikw:
             builder_override = _ft.partial(_TERM_BUILDERS[scheme], **_ikw)
+    elif scheme == "taylor15_general":
+        # the Chen-composition dial for the triple integrals (see
+        # _chen_levels) also rides in options
+        import functools as _ft
+
+        _opts = dict(options or {})
+        if "triple_substeps" in _opts:
+            builder_override = _ft.partial(
+                _TERM_BUILDERS[scheme],
+                triple_substeps=int(_opts.pop("triple_substeps")),
+            )
+            options = _opts or None
     if scheme is None:
         spec = resolve_solver(solver)
         if spec.kind != "fixed" or spec.implicit or spec.name != "euler":
@@ -269,12 +300,14 @@ def sdeint_adjoint(
             f"state (got a pytree with {len(leaves)} leaves)"
         )
     if scheme in (
-        "sra1", "sriw1", "sra1_general", "taylor15", "taylor15_commutative"
+        "sra1", "sriw1", "sra1_general", "taylor15", "taylor15_commutative",
+        "implicit_sra1", "implicit_sra1_general",
     ) and (
         levy_area_approximation == "none" and bm is None
     ):
         levy_area_approximation = "space-time"
-    if scheme in ("foster2", "foster2_general") and bm is None:
+    if scheme in ("foster2", "foster2_general", "implicit_foster2",
+                  "implicit_foster2_general") and bm is None:
         levy_area_approximation = "space-time-time"  # (W, I10, K) triple
     if scheme in ("milstein_general", "taylor15_general") and bm is None and (
         levy_area_approximation in ("none", "space-time")
