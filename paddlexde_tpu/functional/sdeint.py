@@ -792,9 +792,12 @@ def make_reversible_heun_term(drift, diffusion, bm, *, inverse: bool = False):
     Diagonal-noise contract (``g(t, y)`` has y's shape); state is the PAIR
     pytree — :func:`sdeint` lifts ``y₀ → (y₀, y₀)`` and projects the y
     component back out. Gradients: ``sdeint`` is a ``lax.scan``, so direct
-    backprop works (O(steps) memory); the O(1)-memory reversible backward
-    of the paper is future work and ``sdeint_adjoint`` refuses this scheme
-    with a pointer here.
+    backprop works (O(steps) memory); ``sdeint_adjoint`` implements the
+    paper's O(1)-MEMORY reversible backward (round 3) — the backward pass
+    reconstructs each previous (y, z) pair with one exact inverse step and
+    vjps that single forward step, storing nothing per step
+    (``sdeint_adjoint._reversible_heun_adjoint``; pinned machine-equal to
+    direct backprop, incl. the ``step_size`` fine-grid path).
     """
 
     def _f_combined(t, z, d_w, dt):

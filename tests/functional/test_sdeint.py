@@ -1828,7 +1828,13 @@ def test_reversible_heun_direct_backprop_grads():
     ref = sdeint(f, g, y0, ts, "reversible_heun", bm=bm, time_axis=0)[-1] / y0
     np.testing.assert_allclose(np.asarray(gr), np.asarray(ref), rtol=1e-12)
 
+    # sdeint_adjoint now routes this scheme through the O(1)-memory
+    # reversible backward (round 3) — full pins live in
+    # tests/functional/test_sdeint_adjoint.py::test_reversible_heun_adjoint_*
     from paddlexde_tpu import sdeint_adjoint
 
-    with pytest.raises(ValueError, match="reversible_heun"):
-        sdeint_adjoint(f, g, y0, ts, "reversible_heun", bm=bm, time_axis=0)
+    lo_adj = lambda y: jnp.sum(
+        sdeint_adjoint(f, g, y, ts, "reversible_heun", bm=bm, time_axis=0)[-1]
+    )
+    np.testing.assert_allclose(np.asarray(jax.grad(lo_adj)(y0)),
+                               np.asarray(ref), rtol=1e-10)
