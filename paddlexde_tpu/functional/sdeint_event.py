@@ -42,6 +42,12 @@ from .sdeint import (
     make_general_sra1_term,
     make_general_taylor15_term,
     make_heun_stratonovich_term,
+    make_implicit_em_term,
+    make_implicit_foster2_general_term,
+    make_implicit_foster2_term,
+    make_implicit_milstein_term,
+    make_implicit_sra1_general_term,
+    make_implicit_sra1_term,
     make_milstein_term,
     make_sde_term,
     make_sra1_term,
@@ -87,6 +93,22 @@ _TERM_FACTORIES = {
     "commutative_taylor15": lambda d, g, bm: make_general_taylor15_term(
         d, g, bm, use_area=False
     ),
+    # drift-implicit (stiff) schemes: first passage through stiff systems —
+    # the march and every bracket-refinement probe take Newton-in-move steps
+    "implicit_em": make_implicit_em_term,
+    "implicit_euler_maruyama": make_implicit_em_term,
+    "drift_implicit_euler": make_implicit_em_term,
+    "stochastic_theta": make_implicit_em_term,
+    "implicit_milstein": make_implicit_milstein_term,
+    "drift_implicit_milstein": make_implicit_milstein_term,
+    "implicit_sra1": make_implicit_sra1_term,
+    "drift_implicit_sra1": make_implicit_sra1_term,
+    "implicit_sra1_general": make_implicit_sra1_general_term,
+    "general_implicit_sra1": make_implicit_sra1_general_term,
+    "implicit_foster2": make_implicit_foster2_term,
+    "drift_implicit_foster2": make_implicit_foster2_term,
+    "implicit_foster2_general": make_implicit_foster2_general_term,
+    "general_implicit_foster2": make_implicit_foster2_general_term,
 }
 
 
@@ -119,10 +141,14 @@ def sdeint_event(
         event_fn: scalar function; the event fires at the first sign change
             relative to ``event_fn(t0, y0)`` (a zero at t0 fires at t0).
         solver: any pathwise sdeint scheme — euler / milstein / sra1 /
-            sriw1 / heun_stratonovich / taylor15 / foster2 and the matrix-
+            sriw1 / heun_stratonovich / taylor15 / foster2, the matrix-
             noise ``*_general`` / ``*_commutative`` variants (pass
-            ``noise_dim=M`` as in :func:`sdeint`). weak2 (distributional)
-            and reversible_heun (paired state) are excluded.
+            ``noise_dim=M`` as in :func:`sdeint`), and the drift-implicit
+            stiff family implicit_em / implicit_milstein / implicit_sra1 /
+            implicit_foster2 (+ ``_general``) — first passage through
+            stiff systems where an explicit march at the same h explodes.
+            weak2 (distributional) and reversible_heun (paired state) are
+            excluded.
         t_max: integration horizon (REQUIRED — a Brownian path may never
             cross; ``event_fired=False`` when the horizon is hit).
         step_size: the march step h. The event time's accuracy is NOT
