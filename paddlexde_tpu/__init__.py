@@ -25,6 +25,7 @@ from .functional import (  # noqa: F401
     ddeint,
     ddeint_adjoint,
     odeint,
+    odeint_dense,
     odeint_per_element,
     odeint_adjoint,
     odeint_event,

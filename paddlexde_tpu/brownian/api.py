@@ -83,6 +83,16 @@ class BrownianInterval(BaseBrownian):
 
     Signature parity with the reference ctor (``brownian_interval.py:361+``);
     ``entropy`` may also be a JAX PRNG key (``key=`` alias).
+
+    .. warning:: the domain ``[t0, t1]`` must COVER every query: the tree
+       CLIPS out-of-domain times to the boundary (raising is impossible
+       under jit), so ``W`` freezes there while interval formulas keep
+       using the unclipped ``tb − ta`` — the returned (W, U, K) triple
+       turns mutually inconsistent and schemes integrate a bogus constant
+       forcing (observed: a stiff solve's stationary m2 off by 100x from a
+       bm built over a fifth of the span). ``sdeint``'s default bm derives
+       its bounds from ``t_span``; only explicitly-constructed intervals
+       can be mis-sized.
     """
 
     def __init__(

@@ -2,7 +2,7 @@ from .cdeint import cdeint  # noqa: F401
 from .ddeint import ddeint  # noqa: F401
 from .ddeint_mos import ddeint_mos  # noqa: F401
 from .ddeint_adjoint import ddeint_adjoint  # noqa: F401
-from .odeint import odeint, odeint_per_element  # noqa: F401
+from .odeint import odeint, odeint_dense, odeint_per_element  # noqa: F401
 from .odeint_adjoint import odeint_adjoint  # noqa: F401
 from .sdeint import sdeint  # noqa: F401
 from .sdeint_adjoint import sdeint_adjoint  # noqa: F401

@@ -22,7 +22,7 @@ import jax
 from ..xde.term import ode_term
 from .solve import integrate_term
 
-__all__ = ["odeint", "odeint_per_element"]
+__all__ = ["odeint", "odeint_dense", "odeint_per_element"]
 
 
 def odeint(
@@ -66,6 +66,82 @@ def odeint(
         atol=atol,
         options=options,
         time_axis=time_axis,
+    )
+
+
+def odeint_dense(
+    func,
+    y0,
+    t_span,
+    solver="dopri5",
+    *,
+    rtol=1e-7,
+    atol=1e-9,
+    options: Optional[dict] = None,
+):
+    """Integrate ONCE, get a continuous solution — a callable
+    :class:`~paddlexde_tpu.solver.adaptive_dense.DenseSolution`.
+
+    One buffered-dense adaptive pass over ``[t_span[0], t_span[-1]]``
+    records every accepted step's quartic dense-output coefficients;
+    the returned object evaluates the interpolant at ARBITRARY times
+    (``sol(t)``, scalar or array — no grid chosen up front) and its exact
+    time derivative (``sol.derivative(t)``). It is a registered pytree
+    (jit/vmap-compatible) and differentiates through evaluation
+    (``jax.grad(lambda t: sol(t))``); for parameter gradients at fixed
+    output times use :func:`odeint_adjoint`. Times outside the span clamp.
+    No reference counterpart (the reference interpolates privately inside
+    the solve loop, ``base_adaptive_solver.py:24-31``); the surface matches
+    diffrax's ``SaveAt(dense=True)``.
+
+    Args:
+        func, y0, rtol, atol: as :func:`odeint`.
+        t_span: INCREASING times; only the endpoints matter (the buffer
+            covers the whole interval).
+        solver: an ADAPTIVE solver name/marker (dopri5/tsit5/bosh3/...).
+        options: ``max_steps`` (accepted-step buffer, default 512 —
+            exceeded sets ``stats.status`` to MAX_STEPS_EXCEEDED and the
+            tail clamps) plus the usual adaptive knobs (first_step /
+            safety / ifactor / dfactor / min_step / max_step / norm /
+            return_stats).
+
+    Returns:
+        ``DenseSolution`` (or ``(DenseSolution, AdaptiveStats)`` with
+        ``options={"return_stats": True}``).
+    """
+    import jax.numpy as jnp
+
+    from ..solver.adaptive_dense import solve_adaptive_dense
+    from ..solver.registry import resolve_solver
+
+    spec = resolve_solver(solver)
+    if spec.kind != "adaptive":
+        raise ValueError(
+            f"odeint_dense needs an adaptive solver (got {spec.name!r}); "
+            "fixed-step solutions are already dense on their own grid"
+        )
+    t_span = jnp.asarray(t_span)
+    from .solve import _is_decreasing
+
+    if _is_decreasing(t_span):
+        raise ValueError(
+            "odeint_dense runs increasing spans; integrate the reversed "
+            "system (odeint handles decreasing spans) and query in "
+            "reversed time"
+        )
+    opts = dict(options or {})
+    allowed = {"max_steps", "first_step", "safety", "ifactor", "dfactor",
+               "min_step", "max_step", "norm", "return_stats", "time_dtype"}
+    unknown = set(opts) - allowed
+    if unknown:
+        raise ValueError(
+            f"odeint_dense got unknown option(s) {sorted(unknown)}; "
+            f"known: {sorted(allowed)}"
+        )
+    term = ode_term(func)
+    return solve_adaptive_dense(
+        term, y0, t_span, method=spec.name, rtol=rtol, atol=atol,
+        return_dense=True, **opts,
     )
 
 

@@ -36,7 +36,122 @@ from .adaptive import (
 )
 from . import adaptive as _engine
 
-__all__ = ["solve_adaptive_dense"]
+__all__ = ["solve_adaptive_dense", "DenseSolution"]
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseSolution:
+    """Callable continuous solution from one buffered-dense adaptive solve.
+
+    Wraps the recorded accepted-step boundaries and quartic dense-output
+    coefficients; ``sol(t)`` evaluates the interpolant at ARBITRARY times
+    (scalar or array) with one vectorized searchsorted + Horner pass, and
+    ``sol.derivative(t)`` evaluates its exact time derivative (the quartic's
+    derivative over the covering step — a 4th-order approximation of
+    ``func(t, y(t))``). No reference counterpart (its dense output is a
+    per-call interpolation helper, ``base_adaptive_solver.py:24-31`` in
+    DrownFish19/PaddleXDE); the shape matches diffrax's ``SaveAt(dense=True)``.
+
+    The object is a registered pytree: it crosses ``jit`` boundaries, vmaps,
+    and differentiates THROUGH EVALUATION (``jax.grad(lambda t: sol(t))`` is
+    the dense derivative). Gradients w.r.t. the vector field's parameters do
+    not flow through the solve itself (the buffers come out of a
+    ``lax.while_loop``; use :func:`~paddlexde_tpu.functional.odeint_adjoint`
+    for parameter gradients at the output times). Times outside
+    ``[t0, t_end]`` CLAMP to the boundary values.
+    """
+
+    def __init__(self, t_lo, t_end, buf_t0, buf_t1, buf_coeff, n_steps, y0):
+        self.t_lo = t_lo
+        self.t_end = t_end
+        self.buf_t0 = buf_t0
+        self.buf_t1 = buf_t1
+        self.buf_coeff = buf_coeff  # list of 5 pytrees, leading axis = slots
+        self.n_steps = n_steps
+        self.y0 = y0
+
+    @property
+    def interval(self):
+        return (self.t_lo, self.t_end)
+
+    def tree_flatten(self):
+        return (
+            (self.t_lo, self.t_end, self.buf_t0, self.buf_t1,
+             self.buf_coeff, self.n_steps, self.y0),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+    def _locate(self, t):
+        tq = jnp.atleast_1d(jnp.asarray(t, self.buf_t1.dtype))
+        idx = jnp.clip(
+            jnp.searchsorted(self.buf_t1, tq, side="left"),
+            0, jnp.maximum(self.n_steps - 1, 0),
+        )
+        seg_t0 = self.buf_t0[idx]
+        seg_t1 = self.buf_t1[idx]
+        # the final accepted step may overshoot t_end — clamp queries to the
+        # REQUESTED domain, not the recorded step end
+        t_eval = jnp.clip(tq, self.t_lo,
+                          jnp.minimum(seg_t1, jnp.asarray(self.t_end,
+                                                          tq.dtype)))
+        span = seg_t1 - seg_t0
+        x = jnp.where(span == 0, jnp.zeros_like(t_eval),
+                      (t_eval - seg_t0) / jnp.where(span == 0, 1.0, span))
+        x = jnp.where(jnp.isfinite(x), x, jnp.zeros_like(x))
+        return tq, idx, x, span
+
+    def __call__(self, t):
+        scalar = jnp.ndim(t) == 0
+        tq, idx, x, _ = self._locate(t)
+
+        def horner(e, d, c, b, a):
+            xx = x.reshape(x.shape + (1,) * (e.ndim - 1)).astype(e.dtype)
+            return e + xx * (d + xx * (c + xx * (b + xx * a)))
+
+        gathered = [
+            jax.tree.map(lambda buf: buf[idx], self.buf_coeff[i])
+            for i in range(5)
+        ]
+        sol = jax.tree.map(horner, *gathered)
+        # exact left endpoint (x = 0 on the first slot evaluates its constant
+        # term, which is y(t0) only after at least one accepted step)
+        at_lo = tq == jnp.asarray(self.t_lo, tq.dtype)
+        sol = jax.tree.map(
+            lambda sl, y0l: jnp.where(
+                at_lo.reshape(at_lo.shape + (1,) * (sl.ndim - 1)),
+                y0l.astype(sl.dtype), sl,
+            ),
+            sol, self.y0,
+        )
+        if scalar:
+            sol = jax.tree.map(lambda sl: sl[0], sol)
+        return sol
+
+    def derivative(self, t):
+        """d/dt of the interpolant (order-4 approximation of f(t, y(t)))."""
+        scalar = jnp.ndim(t) == 0
+        _, idx, x, span = self._locate(t)
+
+        def dhorner(e, d, c, b, a):
+            del e
+            xx = x.reshape(x.shape + (1,) * (d.ndim - 1)).astype(d.dtype)
+            sp = span.reshape(span.shape + (1,) * (d.ndim - 1)).astype(d.dtype)
+            poly = d + xx * (2.0 * c + xx * (3.0 * b + xx * 4.0 * a))
+            return poly / jnp.where(sp == 0, jnp.ones_like(sp), sp)
+
+        gathered = [
+            jax.tree.map(lambda buf: buf[idx], self.buf_coeff[i])
+            for i in range(5)
+        ]
+        out = jax.tree.map(dhorner, *gathered)
+        if scalar:
+            out = jax.tree.map(lambda o: o[0], out)
+        return out
 
 
 def solve_adaptive_dense(
@@ -58,8 +173,10 @@ def solve_adaptive_dense(
     return_stats: bool = False,
     time_dtype=None,
     newton_iters: int = 6,
+    return_dense: bool = False,
 ):
-    """Adaptive solve with buffered dense output; returns ``[T, ...]``."""
+    """Adaptive solve with buffered dense output; returns ``[T, ...]``
+    (or a callable :class:`DenseSolution` with ``return_dense=True``)."""
     tableau = TABLEAUS[method] if isinstance(method, str) else method
 
     t_span = jnp.asarray(t_span)
@@ -138,6 +255,16 @@ def solve_adaptive_dense(
     )
     hit_cap = (final.t1 < t_end) & (n_steps >= max_steps)
     status = final.status | jnp.where(hit_cap, MAX_STEPS_EXCEEDED, 0)
+
+    if return_dense:
+        dense = DenseSolution(t0, t_end, buf_t0, buf_t1, buf_coeff,
+                              n_steps, y0)
+        if return_stats:
+            return dense, AdaptiveStats(
+                nfe=final.nfe, n_accept=final.n_accept,
+                n_reject=final.n_reject, status=status,
+            )
+        return dense
 
     # vectorized dense output: locate each requested time's covering step
     idx = jnp.clip(

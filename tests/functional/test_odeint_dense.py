@@ -1,0 +1,102 @@
+"""odeint_dense: one adaptive pass -> a callable DenseSolution.
+
+Pinned: arbitrary-time evaluation accuracy (the interpolant's own 4th order
+between knots — max_step caps it), agreement with the buffered-dense grid
+path, derivative == f(t, y(t)) at interpolant order, differentiation through
+the evaluation time, jit/pytree crossing, clamping, and the refusals.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from paddlexde_tpu import odeint, odeint_dense
+
+
+def _exp_sol(**opts):
+    f = lambda t, y: y
+    y0 = jnp.ones((3,), jnp.float64)
+    return odeint_dense(f, y0, jnp.array([0.0, 2.0]), "dopri5",
+                        rtol=1e-8, atol=1e-10, options=opts or None)
+
+
+def test_dense_arbitrary_time_accuracy():
+    """Between-knot error is the quartic interpolant's O(h^4), so capping
+    max_step tightens it: free steps ~1e-3 rel on y'=y over [0,2];
+    max_step=0.05 pins 1e-7."""
+    ts = jnp.array([0.0, 0.137, 0.5, 1.234567, 1.999, 2.0], jnp.float64)
+    exact = jnp.exp(ts)[:, None] * jnp.ones(3)
+
+    sol = _exp_sol()
+    rel = float(jnp.max(jnp.abs(sol(ts) - exact) / exact))
+    assert rel < 5e-3, rel
+
+    sol_fine = _exp_sol(max_step=0.05)
+    rel_fine = float(jnp.max(jnp.abs(sol_fine(ts) - exact) / exact))
+    assert rel_fine < 1e-7, rel_fine
+
+    # exact left endpoint; clamping beyond the span
+    np.testing.assert_allclose(np.asarray(sol(0.0)), 1.0, rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(sol(2.5)), np.asarray(sol(2.0)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol(-1.0)), np.asarray(sol(0.0)),
+                               rtol=1e-12)
+
+
+def test_dense_matches_grid_path():
+    """sol(t_span) agrees with odeint's buffered-dense engine output (same
+    recorded buffers, same Horner evaluation)."""
+    f = lambda t, y: jnp.sin(y) - 0.3 * y
+    y0 = jnp.asarray([0.5, 1.5], jnp.float64)
+    ts = jnp.linspace(0.0, 4.0, 37)
+    grid = odeint(f, y0, ts, "dopri5", options={"max_steps": 256},
+                  time_axis=0)
+    sol = odeint_dense(f, y0, ts, "dopri5", options={"max_steps": 256})
+    np.testing.assert_allclose(np.asarray(sol(ts)), np.asarray(grid),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_dense_derivative_and_grad_through_time():
+    sol = _exp_sol(max_step=0.05)
+    t1 = jnp.float64(0.7)
+    d = sol.derivative(t1)
+    np.testing.assert_allclose(np.asarray(d), np.exp(0.7), rtol=1e-6)
+    g = jax.grad(lambda t: sol(t)[0])(t1)
+    np.testing.assert_allclose(float(g), np.exp(0.7), rtol=1e-6)
+    # vectorized derivative
+    ts = jnp.array([0.3, 1.1], jnp.float64)
+    np.testing.assert_allclose(np.asarray(sol.derivative(ts)),
+                               np.exp(np.asarray(ts))[:, None] * np.ones(3),
+                               rtol=1e-6)
+
+
+def test_dense_pytree_jit_and_state():
+    f = lambda t, y: {"a": y["b"], "b": -y["a"]}
+    y0 = {"a": jnp.ones((), jnp.float64), "b": jnp.zeros((), jnp.float64)}
+    sol, stats = odeint_dense(f, y0, jnp.array([0.0, np.pi]),
+                              options={"return_stats": True,
+                                       "max_steps": 256})
+    assert int(stats.status) == 0
+
+    @jax.jit
+    def eval_at(s, t):
+        return s(t)["a"]
+
+    np.testing.assert_allclose(float(eval_at(sol, jnp.float64(np.pi))),
+                               -1.0, atol=1e-6)
+    leaves, treedef = jax.tree.flatten(sol)
+    sol2 = jax.tree.unflatten(treedef, leaves)
+    np.testing.assert_allclose(float(sol2(1.0)["a"]), float(sol(1.0)["a"]))
+
+
+def test_dense_refusals():
+    f = lambda t, y: y
+    y0 = jnp.ones(())
+    with pytest.raises(ValueError, match="increasing"):
+        odeint_dense(f, y0, jnp.array([1.0, 0.0]))
+    with pytest.raises(ValueError, match="adaptive"):
+        odeint_dense(f, y0, jnp.array([0.0, 1.0]), "rk4")
+    with pytest.raises(ValueError, match="unknown option"):
+        odeint_dense(f, y0, jnp.array([0.0, 1.0]),
+                     options={"step_t": jnp.array([0.5])})
