@@ -77,7 +77,18 @@ def ddeint_mos(
             the solution's own lag-dependence; FD-exact at generic lags,
             one-sided exactly at grid-ALIGNED lags where every query sits
             on an interpolation knot — perturb the lag or the step off the
-            alignment if that kink matters).
+            alignment if that kink matters) — or a CALLABLE
+            ``lags(t, y) -> [L]`` for STATE-DEPENDENT delays (round 3;
+            RADAR5/JiTCDDE territory, far beyond the reference's fixed
+            pre-t0 window). The callable is evaluated at every stage on
+            the stage state, so the delay's own dynamics are integrated at
+            the solver's order; gradients flow through its parameters.
+            Contract: ``τ(t, y) ≥ step_size`` along the solution (not
+            statically checkable — a violation CLAMPS the query to the
+            current step's start, the newest fully-written knot, instead
+            of reading unwritten future); the returned vector must be
+            shape ``[L]`` (for BATCHED states with per-element delays,
+            ``jax.vmap`` the whole solve — everything inside is jnp).
         his / his_span: pre-t0 history knots ``[..., T_h, D]`` / ``[T_h]``
             with ``his_span[-1] == t_span[0]`` (the history must reach t0);
             interpolated with a cubic Hermite spline.
@@ -90,7 +101,9 @@ def ddeint_mos(
     """
     t_span = jnp.asarray(t_span)
     y0 = jnp.asarray(y0)
-    lags_arr = jnp.atleast_1d(jnp.asarray(lags))
+    lags_callable = callable(lags)
+    if not lags_callable:
+        lags_arr = jnp.atleast_1d(jnp.asarray(lags))
     his = jnp.asarray(his)
     his_span = jnp.asarray(his_span)
     import numpy as np
@@ -104,13 +117,24 @@ def ddeint_mos(
     h = float(step_size)
     if h <= 0:
         raise ValueError("step_size must be positive")
-    min_lag = float(np.min(np.asarray(jax.lax.stop_gradient(lags_arr))))
-    if min_lag < h - 1e-12:
-        raise ValueError(
-            f"method of steps needs step_size <= min(lags) (got h={h}, "
-            f"min lag={min_lag}): an overlapping delay would read the "
-            "current step's own output — shrink step_size"
-        )
+    if lags_callable:
+        probe = jnp.atleast_1d(jnp.asarray(lags(jnp.asarray(t0), y0)))
+        if probe.ndim != 1:
+            raise ValueError(
+                "state-dependent lags(t, y) must return a rank-1 [L] "
+                f"vector (got shape {probe.shape}); for batched states "
+                "with per-element delays, jax.vmap the whole solve"
+            )
+        # tau >= h is a DYNAMIC contract for callable lags (documented
+        # clamp-to-step-start on violation); no static check possible
+    else:
+        min_lag = float(np.min(np.asarray(jax.lax.stop_gradient(lags_arr))))
+        if min_lag < h - 1e-12:
+            raise ValueError(
+                f"method of steps needs step_size <= min(lags) (got h={h}, "
+                f"min lag={min_lag}): an overlapping delay would read the "
+                "current step's own output — shrink step_size"
+            )
     if abs(float(np.asarray(his_span)[-1]) - t0) > 1e-9:
         raise ValueError(
             f"his_span must end at t_span[0]={t0} (got {float(np.asarray(his_span)[-1])})"
@@ -143,7 +167,11 @@ def ddeint_mos(
         return jax.vmap(one, out_axes=-2)(t_q)  # [..., L, D]
 
     def f_eval(buf_y, buf_f, k_written, t, y):
-        y_lags = lagged(buf_y, buf_f, k_written, t - lags_arr)
+        taus = (
+            jnp.atleast_1d(jnp.asarray(lags(t, y)))
+            if lags_callable else lags_arr
+        )
+        y_lags = lagged(buf_y, buf_f, k_written, t - taus)
         return func(t, y, y_lags)
 
     if solver not in ("euler", "midpoint", "rk4"):

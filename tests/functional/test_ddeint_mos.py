@@ -125,3 +125,93 @@ def test_guards():
     with pytest.raises(ValueError, match="euler/midpoint/rk4"):
         pxt.ddeint_mos(F, Y0, ts, [1.0], HIS, HIS_SPAN, solver="dopri5",
                        step_size=0.25)
+
+
+# --- state-dependent delays (round 3): lags as a callable lags(t, y) -------
+
+
+def test_state_dependent_delay_manufactured():
+    """Manufactured solution y(t) = sin(t)·1: with τ(t, y) = 1.1 +
+    0.3·tanh(mean y) (honestly state-dependent — it reads the solution),
+    the RHS f = cos(t) + 0.8·(y_lag − sin(t − τ(t, y))) has y = sin as its
+    exact solution. rk4 + Hermite buffer reproduce it to ~3e-6 at h=0.1
+    over [0, 4] (error is NOT cleanly 4th-order in h — state-dependent
+    breaking points move with the grid — so the pin is absolute)."""
+    D = 3
+
+    def tau_fn(t, y):
+        return jnp.atleast_1d(1.1 + 0.3 * jnp.tanh(jnp.mean(y)))
+
+    def f(t, y, ylags):
+        tau = tau_fn(t, y)[0]
+        return (jnp.cos(t) * jnp.ones_like(y)
+                + 0.8 * (ylags[..., 0, :] - jnp.sin(t - tau)))
+
+    ts_h = jnp.linspace(-2.0, 0.0, 41)
+    his = jnp.sin(ts_h)[:, None] * jnp.ones(D)
+    y0 = jnp.zeros((D,), jnp.float64)
+    ts = jnp.linspace(0.0, 4.0, 9)
+    sol = pxt.ddeint_mos(f, y0, ts, tau_fn, his, ts_h, solver="rk4",
+                     step_size=0.1, time_axis=0)
+    err = float(jnp.max(jnp.abs(sol - jnp.sin(ts)[:, None])))
+    assert err < 1e-4, err
+
+
+def test_state_dependent_constant_matches_static():
+    """A constant callable reproduces the static-lag path (1-ulp trace-order
+    dust only), and a rank-2 return is rejected loudly."""
+    D = 3
+    ts_h = jnp.linspace(-2.0, 0.0, 41)
+    y0 = jnp.ones((D,), jnp.float64)
+    his1 = jnp.ones((41, D), jnp.float64)
+    f2 = lambda t, y, ylags: -ylags[..., 0, :]
+    ts = jnp.linspace(0.0, 3.0, 7)
+    a = pxt.ddeint_mos(f2, y0, ts, lambda t, y: jnp.array([1.3]), his1, ts_h,
+                   solver="rk4", step_size=0.1, time_axis=0)
+    b = pxt.ddeint_mos(f2, y0, ts, jnp.array([1.3]), his1, ts_h,
+                   solver="rk4", step_size=0.1, time_axis=0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-14)
+
+    with pytest.raises(ValueError, match="rank-1"):
+        pxt.ddeint_mos(f2, y0, ts, lambda t, y: jnp.ones((2, 2)), his1, ts_h,
+                   step_size=0.1)
+
+
+def test_state_dependent_delay_gradients_and_vmap():
+    """Gradients flow through the delay law's parameters (matches central
+    FD), and per-element delays batch via vmap-of-solve."""
+    D = 3
+    ts_h = jnp.linspace(-2.0, 0.0, 41)
+    his = jnp.sin(ts_h)[:, None] * jnp.ones(D)
+    y0 = jnp.zeros((D,), jnp.float64)
+    ts = jnp.linspace(0.0, 4.0, 9)
+
+    def f(t, y, ylags):
+        return (jnp.cos(t) * jnp.ones_like(y)
+                + 0.8 * (ylags[..., 0, :]
+                         - jnp.sin(t - (1.1 + 0.3 * jnp.tanh(jnp.mean(y))))))
+
+    def loss(a):
+        tfn = lambda t, y: jnp.atleast_1d(a + 0.3 * jnp.tanh(jnp.mean(y)))
+        sol = pxt.ddeint_mos(f, y0, ts, tfn, his, ts_h, solver="rk4",
+                         step_size=0.07, time_axis=0)
+        return jnp.sum(sol[-1] ** 2)
+
+    a = jnp.float64(1.1)
+    g = float(jax.grad(loss)(a))
+    eps = 1e-5
+    fd = float((loss(a + eps) - loss(a - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+    # vmap-of-solve: per-element delay offsets
+    def solve_one(a):
+        tfn = lambda t, y: jnp.atleast_1d(a + 0.3 * jnp.tanh(jnp.mean(y)))
+        return pxt.ddeint_mos(f, y0, ts, tfn, his, ts_h, solver="rk4",
+                          step_size=0.1, time_axis=0)
+
+    offsets = jnp.array([1.0, 1.1, 1.2], jnp.float64)
+    batch = jax.vmap(solve_one)(offsets)
+    assert batch.shape == (3, 9, D)
+    single = solve_one(jnp.float64(1.1))
+    np.testing.assert_allclose(np.asarray(batch[1]), np.asarray(single),
+                               rtol=1e-12)
