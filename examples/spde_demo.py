@@ -98,6 +98,48 @@ def main(argv=None):
               f"  continuum {theory[k]:.4f}")
     rel = np.abs(got - chain) / chain
     print(f"max rel deviation vs chain-exact law: {rel.max():.3f}")
+
+    # --- the stiff-additive ladder at the same big dt (round 3) ---------
+    # implicit_em (strong 1.0-additive) -> implicit_sra1 (1.5, L-stable
+    # SDIRK2 core) -> implicit_foster2 (~2.0, SDIRK4 on the cubic path).
+    # Path error vs a FINE implicit_foster2 reference on the SAME tree.
+    d2 = min(d, 64)
+    hx2 = 1.0 / (d2 + 1)
+    f2 = lambda t, u: NU * laplacian(u, hx2)
+    g2 = lambda t, u: (SIGMA / np.sqrt(hx2)) * jnp.ones_like(u)
+    t_end, dt2 = 1.0, 0.05
+    n2 = int(t_end / dt2) + 1
+    ts2 = jnp.linspace(0.0, t_end, n2)
+
+    def bm2():
+        return BrownianInterval(0.0, t_end, size=(32, d2),
+                                key=jax.random.key(7),
+                                levy_area_approximation="space-time-time")
+
+    u02 = jnp.zeros((32, d2))
+    ts_ref = jnp.linspace(0.0, t_end, (n2 - 1) * 8 + 1)
+    ref = sdeint(f2, g2, u02, ts_ref, "implicit_foster2", bm=bm2(),
+                 time_axis=0)[-1]
+    print(f"\nstiff-additive ladder at dt={dt2} "
+          f"({dt2/(hx2**2/(2*NU)):.0f}x past the explicit limit, D={d2}; "
+          f"error vs a dt/8 reference on the same noise):")
+    errs = {}
+    for scheme in ("implicit_em", "implicit_sra1", "implicit_foster2"):
+        sol = sdeint(f2, g2, u02, ts2, scheme, bm=bm2(), time_axis=0)
+        errs[scheme] = float(jnp.mean(jnp.abs(sol[-1] - ref)))
+        print(f"  {scheme:18s} mean|err| = {errs[scheme]:.2e}")
+    # Honest reading (measured): implicit_foster2 wins outright — its
+    # SDIRK4-on-the-cubic-path step keeps a near-exact noise response at
+    # ANY lambda*dt. implicit_sra1's strong-1.5 advantage is an h->0
+    # statement: at lambda*dt ~ 40 on the FAST modes its noise-in-stage
+    # response OVERdisperses (the same 6x-at-theta*h=10 stationary
+    # overshoot the unit test pins), so on white-in-space noise it can
+    # trail even implicit_em, whose theta=1 step underdisperses (damps)
+    # fast modes. For strongly stiff SPDEs prefer implicit_foster2 (or
+    # implicit_em when only boundedness matters); implicit_sra1 shines in
+    # the moderately stiff regime its order test exercises.
+    assert errs["implicit_foster2"] < errs["implicit_em"]
+    assert errs["implicit_foster2"] < errs["implicit_sra1"]
     return float(rel.max())
 
 

@@ -362,6 +362,14 @@ def make_implicit_sra1_term(drift, diffusion, bm, *, newton_iters: int = 8,
     contraction are test-pinned against the same-path OU closed form. No
     reference counterpart (its sdeint is broken explicit EM,
     ``paddlexde/functional/sdeint.py:9-37``).
+
+    Regime note (measured, examples/spde_demo.py): the 1.5 advantage is an
+    h→0 statement. At EXTREME stiffness (λ·dt ≳ 10 on the noisy modes) the
+    noise-in-stage response OVERdisperses (~6x stationary m2 overshoot at
+    θ·h=10, test-pinned), so on white-noise-forced SPDE fast modes this
+    scheme can trail implicit_em's damped step — use
+    :func:`make_implicit_foster2_term` there (its polynomial-path step
+    keeps a near-exact noise response at any λ·dt).
     """
     g_c = _ISRA1_GAMMA
 
