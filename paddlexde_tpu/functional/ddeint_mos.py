@@ -151,11 +151,17 @@ def ddeint_mos(
 
         def one(tq):
             from_hist = hist.evaluate(jnp.reshape(jnp.minimum(tq, t0), ()))
-            # buffer segment: i = floor((tq−t0)/h), clipped to written range
+            # buffer segment: i = floor((tq−t0)/h), clipped to written range.
+            # A query beyond the written knots (a tau < h contract
+            # violation) lands on the LAST written segment with s clipped
+            # to 1 — i.e. it reads the newest written knot, the documented
+            # clamp; at k_written == 0 nothing is written past y0, so the
+            # clamp is y0 itself (s forced to 0 on segment 0).
             pos = (tq - t0) / h
             i = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0,
                          jnp.maximum(k_written - 1, 0))
             s = jnp.clip(pos - i.astype(pos.dtype), 0.0, 1.0)
+            s = jnp.where(jnp.asarray(k_written) == 0, jnp.zeros_like(s), s)
             ya = jnp.take(buf_y, i, axis=0)
             yb = jnp.take(buf_y, i + 1, axis=0)
             fa = jnp.take(buf_f, i, axis=0)
@@ -201,10 +207,15 @@ def ddeint_mos(
         t = t0 + k.astype(jnp.float64) * h
         y1 = step(buf_y, buf_f, k, t, y, f_t)
         buf_y = buf_y.at[k + 1].set(y1)
-        # knot derivative for the NEXT step's Hermite segments: evaluated
-        # with the buffer as written so far (its own lag queries reach at
-        # most t1 − min_lag ≤ t, all written)
-        f1 = f_eval(buf_y, buf_f, k + 1, t + h, y1)
+        # knot derivative for the NEXT step's Hermite segments. k_written
+        # stays k (NOT k+1): compliant lag queries from t+h reach at most
+        # t = knot k, and both clip choices evaluate knot values
+        # bit-identically (Hermite at s=1 is exactly yb) — but passing k+1
+        # would let a tau < h VIOLATION interpolate into segment [k, k+1]
+        # whose buf_f slot is still zero (review-caught: a silent
+        # zero-derivative blend instead of the documented clamp to the
+        # newest written knot).
+        f1 = f_eval(buf_y, buf_f, k, t + h, y1)
         buf_f = buf_f.at[k + 1].set(f1)
         return (buf_y, buf_f, y1, f1), None
 

@@ -134,8 +134,16 @@ def langevin_baoab(
     if bm is None:
         from .sdeint import _span_bounds
 
+        leaves = jax.tree.leaves(q0)
+        if len(leaves) != 1:
+            raise ValueError(
+                "langevin_baoab's default Brownian motion covers a "
+                f"single-array q (got a pytree with {len(leaves)} leaves); "
+                "pass bm= a callable returning a MATCHING pytree of "
+                "increments per (ta, tb) query"
+            )
         t_lo, t_hi = _span_bounds(t_span)
-        leaf = jax.tree.leaves(q0)[0]
+        leaf = leaves[0]
         bm = BrownianInterval(t_lo, t_hi, size=leaf.shape, dtype=leaf.dtype,
                               key=key)
     step = make_baoab_step(force, gamma, beta, mass, bm)

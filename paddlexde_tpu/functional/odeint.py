@@ -121,9 +121,23 @@ def odeint_dense(
             "fixed-step solutions are already dense on their own grid"
         )
     t_span = jnp.asarray(t_span)
-    from .solve import _is_decreasing
+    # the direction check must be CONCRETE: a traced decreasing span would
+    # sail past _is_decreasing (it reports False under trace) and the
+    # while_loop would exit immediately — a zero-step DenseSolution
+    # silently returning the zero-coefficient init (the review-caught
+    # silent-wrong-result class). The buffer API has no reversed-time
+    # story anyway, so concrete endpoints are a fair requirement.
+    import numpy as _np
 
-    if _is_decreasing(t_span):
+    try:
+        t_host = _np.asarray(t_span, dtype=_np.float64)
+    except (TypeError, jax.errors.TracerArrayConversionError) as exc:
+        raise ValueError(
+            "odeint_dense needs a concrete t_span (the span direction and "
+            "the step buffer are static properties); pass the endpoints "
+            "outside jit"
+        ) from exc
+    if t_host[-1] <= t_host[0]:
         raise ValueError(
             "odeint_dense runs increasing spans; integrate the reversed "
             "system (odeint handles decreasing spans) and query in "

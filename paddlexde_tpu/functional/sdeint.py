@@ -1876,7 +1876,7 @@ def sdeint(
             DRIFT-IMPLICIT stiff ladder implicit_em (theta method, strong
             0.5/1.0-additive) / implicit_milstein (1.0) / implicit_sra1
             (additive 1.5, L-stable SDIRK2 core) / implicit_foster2
-            (additive ~2.0, L-stable SDIRK3 on the cubic path ODE), weak2
+            (additive ~2.0, L-stable SDIRK4 on the cubic path ODE), weak2
             (Platen's derivative-free WEAK order-2.0 scheme — O(h²) in
             distribution for expectations/moments; pathwise accuracy is
             not the goal), heun_stratonovich (Stratonovich),

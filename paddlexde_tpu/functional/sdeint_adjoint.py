@@ -116,6 +116,25 @@ _SCHEME_ALIASES = {
 __all__ = ["sdeint_adjoint"]
 
 
+def _substeps_from_step_size(t_span, h_max):
+    """Uniform sub-steps per output interval for options={'step_size': h}
+    (shared by the replay and reversible adjoints): ceil(max interval / h),
+    static — so it needs a concrete t_span."""
+    h_max = float(h_max)
+    if h_max <= 0:
+        raise ValueError("step_size must be positive")
+    try:
+        import numpy as _np
+
+        dts = _np.abs(_np.diff(_np.asarray(t_span, dtype=_np.float64)))
+        return max(1, int(_np.ceil(float(dts.max()) / h_max)))
+    except (TypeError, jax.errors.TracerArrayConversionError) as exc:
+        raise ValueError(
+            "options={'step_size': ...} needs a concrete t_span (the "
+            "sub-step count must be static under jit)"
+        ) from exc
+
+
 def sdeint_adjoint(
     drift,
     diffusion,
@@ -282,19 +301,7 @@ def sdeint_adjoint(
         )
     n_sub = 1
     if options and "step_size" in options:
-        h_max = float(options["step_size"])
-        if h_max <= 0:
-            raise ValueError("step_size must be positive")
-        try:
-            import numpy as _np
-
-            dts = _np.abs(_np.diff(_np.asarray(t_span, dtype=_np.float64)))
-            n_sub = max(1, int(_np.ceil(float(dts.max()) / h_max)))
-        except (TypeError, jax.errors.TracerArrayConversionError) as exc:
-            raise ValueError(
-                "options={'step_size': ...} needs a concrete t_span (the "
-                "sub-step count must be static under jit)"
-            ) from exc
+        n_sub = _substeps_from_step_size(t_span, options["step_size"])
 
     t_span = jnp.asarray(t_span)
     y0 = jax.tree.map(jnp.asarray, y0)
@@ -639,19 +646,7 @@ def _reversible_heun_adjoint(
     n_sub = 1
     opts = dict(options or {})
     if "step_size" in opts:
-        h_max = float(opts.pop("step_size"))
-        if h_max <= 0:
-            raise ValueError("step_size must be positive")
-        try:
-            import numpy as _np
-
-            dts = _np.abs(_np.diff(_np.asarray(t_span, dtype=_np.float64)))
-            n_sub = max(1, int(_np.ceil(float(dts.max()) / h_max)))
-        except (TypeError, jax.errors.TracerArrayConversionError) as exc:
-            raise ValueError(
-                "options={'step_size': ...} needs a concrete t_span (the "
-                "sub-step count must be static under jit)"
-            ) from exc
+        n_sub = _substeps_from_step_size(t_span, opts.pop("step_size"))
     if opts:
         raise ValueError(
             f"reversible_heun adjoint got unknown option(s) {sorted(opts)}; "

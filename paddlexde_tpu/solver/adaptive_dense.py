@@ -95,10 +95,13 @@ class DenseSolution:
         seg_t0 = self.buf_t0[idx]
         seg_t1 = self.buf_t1[idx]
         # the final accepted step may overshoot t_end — clamp queries to the
-        # REQUESTED domain, not the recorded step end
-        t_eval = jnp.clip(tq, self.t_lo,
-                          jnp.minimum(seg_t1, jnp.asarray(self.t_end,
-                                                          tq.dtype)))
+        # REQUESTED domain, not the recorded step end. where-based clamp,
+        # not jnp.clip: clip's max/min split the tie subgradient at an
+        # exact boundary query (measured d/dt = 0.5 at t_lo), while
+        # where's strict comparisons keep it 1 there.
+        hi = jnp.minimum(seg_t1, jnp.asarray(self.t_end, tq.dtype))
+        lo = jnp.asarray(self.t_lo, tq.dtype)
+        t_eval = jnp.where(tq < lo, lo, jnp.where(tq > hi, hi, tq))
         span = seg_t1 - seg_t0
         x = jnp.where(span == 0, jnp.zeros_like(t_eval),
                       (t_eval - seg_t0) / jnp.where(span == 0, 1.0, span))
@@ -119,12 +122,18 @@ class DenseSolution:
         ]
         sol = jax.tree.map(horner, *gathered)
         # exact left endpoint (x = 0 on the first slot evaluates its constant
-        # term, which is y(t0) only after at least one accepted step)
+        # term, which is y(t0) only after at least one accepted step). The
+        # correction is applied under stop_gradient so d/dt at EXACTLY t_lo
+        # stays the interpolant's derivative (a plain where() would zero the
+        # tangent through the constant branch — review-caught, inconsistent
+        # with .derivative(t_lo)).
         at_lo = tq == jnp.asarray(self.t_lo, tq.dtype)
         sol = jax.tree.map(
-            lambda sl, y0l: jnp.where(
-                at_lo.reshape(at_lo.shape + (1,) * (sl.ndim - 1)),
-                y0l.astype(sl.dtype), sl,
+            lambda sl, y0l: sl + jax.lax.stop_gradient(
+                jnp.where(
+                    at_lo.reshape(at_lo.shape + (1,) * (sl.ndim - 1)),
+                    y0l.astype(sl.dtype) - sl, jnp.zeros_like(sl),
+                )
             ),
             sol, self.y0,
         )

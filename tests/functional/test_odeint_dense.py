@@ -100,3 +100,21 @@ def test_dense_refusals():
     with pytest.raises(ValueError, match="unknown option"):
         odeint_dense(f, y0, jnp.array([0.0, 1.0]),
                      options={"step_t": jnp.array([0.5])})
+
+
+def test_dense_boundary_gradients_and_traced_span():
+    """Review regressions: (a) d/dt at EXACTLY t_lo / t_end equals the
+    interpolant's derivative (jnp.clip's tie subgradient halved it; the
+    y0 endpoint correction rides under stop_gradient); (b) a TRACED span
+    raises instead of silently returning the zero-coefficient init."""
+    f = lambda t, y: y
+    sol = odeint_dense(f, jnp.ones((2,), jnp.float64),
+                       jnp.array([0.0, 1.0]), options={"max_step": 0.05})
+    for t in (0.0, 1.0):
+        g = float(jax.grad(lambda tt: sol(tt)[0])(jnp.float64(t)))
+        np.testing.assert_allclose(g, np.exp(t), rtol=1e-5)
+
+    with pytest.raises(ValueError, match="concrete t_span"):
+        jax.jit(
+            lambda ts: odeint_dense(f, jnp.ones(2), ts)(ts[-1])
+        )(jnp.array([1.0, 0.0]))
