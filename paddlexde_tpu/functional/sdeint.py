@@ -2086,10 +2086,18 @@ def sdeint(
                 from ..utils.norms import rms_norm
 
                 opts["norm"] = lambda ratio: rms_norm(ratio[0])
+            want_stats = bool(opts.get("return_stats"))
             out = _solve_adaptive_sde(
                 term, state0, span, solver_name, rtol, atol, opts
             )
-            sol, stats = out if isinstance(out, tuple) else (out, None)
+            # the state here is ITSELF a tuple (the (y, z) pair), so the
+            # isinstance(out, tuple) unpack the scalar-state paths use
+            # would shear the pair into (sol, stats) — review-era bug:
+            # without return_stats this returned (y[0], z) garbage
+            if want_stats:
+                sol, stats = out
+            else:
+                sol = out
         else:
             sol = integrate_term(
                 term, state0, span, "euler", rtol=rtol, atol=atol,

@@ -213,7 +213,7 @@ def sdeint_adjoint(
         return _reversible_heun_adjoint(
             drift, diffusion, y0, t_span, reverse=reverse,
             adaptive=adaptive, options=options, bm=bm, key=key,
-            time_axis=time_axis,
+            time_axis=time_axis, rtol=rtol, atol=atol,
         )
     scheme = solver_name if solver_name in _TERM_BUILDERS else None
     builder_override = None
@@ -595,7 +595,7 @@ def sdeint_adjoint(
 
 def _reversible_heun_adjoint(
     drift, diffusion, y0, t_span, *, reverse, adaptive, options, bm, key,
-    time_axis,
+    time_axis, rtol=1e-7, atol=1e-9,
 ):
     """O(1)-memory exact adjoint for the algebraically reversible Heun scheme
     (Kidger, Foster, Li, Lyons 2021 — "Efficient and accurate gradients for
@@ -616,21 +616,22 @@ def _reversible_heun_adjoint(
     1e-8 over hundreds of steps — in f32 prefer short chains or the direct
     scan).
 
+    ``adaptive=True`` composes the two designs: phase 1 discovers the
+    accepted grid under ``stop_gradient`` with the y-channel-only norm
+    (exactly :func:`~.sdeint.sdeint`'s adaptive reversible_heun — the
+    forward value is bit-equal), phase 2 walks the RECORDED grid backward
+    by exact inversion — no replay-from-left, the residual stays the final
+    pair (the pair state never fit the replay adjoint; it fits this one).
+    ``options`` then takes the adaptive vocabulary + ``grid_buffer``/
+    ``return_stats`` as the replay path.
+
     Contract: INCREASING spans only (a reverse solve is itself the exact
-    inverse map — differentiate :func:`~.sdeint.sdeint` directly);
-    ``adaptive`` is not supported for this scheme (the pair state does not
-    fit the recorded-grid replay; use a fixed grid). Accepts plain ``y0``
-    (lifts z = y, returns the y channel) or the ``(y, z)`` pair.
+    inverse map — differentiate :func:`~.sdeint.sdeint` directly). Accepts
+    plain ``y0`` (lifts z = y, returns the y channel) or the ``(y, z)``
+    pair.
     """
     from .sdeint import make_reversible_heun_term
 
-    if adaptive:
-        raise ValueError(
-            "sdeint_adjoint(adaptive=True) does not support reversible_heun "
-            "(pair state does not fit the recorded-grid replay); use a "
-            "fixed grid with options={'step_size': h} — the reversible "
-            "backward is O(1)-memory at any grid resolution"
-        )
     t_span = jnp.asarray(t_span)
     if reverse or _is_decreasing(t_span):
         raise ValueError(
@@ -645,13 +646,51 @@ def _reversible_heun_adjoint(
 
     n_sub = 1
     opts = dict(options or {})
-    if "step_size" in opts:
-        n_sub = _substeps_from_step_size(t_span, opts.pop("step_size"))
-    if opts:
-        raise ValueError(
-            f"reversible_heun adjoint got unknown option(s) {sorted(opts)}; "
-            "known: ['step_size']"
+    adaptive_opts = None
+    grid_buffer = 0
+    want_stats = False
+    if adaptive:
+        if "step_size" in opts:
+            raise ValueError(
+                "adaptive=True and options={'step_size': ...} are mutually "
+                "exclusive (the adaptive engine chooses the internal grid)"
+            )
+        grid_buffer = int(opts.pop("grid_buffer", 64))
+        if grid_buffer < 2:
+            raise ValueError(
+                "grid_buffer must be >= 2 (2 recorded sub-times per "
+                "accepted step)"
+            )
+        want_stats = bool(opts.pop("return_stats", False))
+        allowed = _SDE_ADAPTIVE_KEYS - {"return_stats", "time_dtype"}
+        unknown = set(opts) - allowed
+        if unknown:
+            raise ValueError(
+                f"sdeint_adjoint(adaptive=True) got unknown option(s) "
+                f"{sorted(unknown)}; known: {sorted(allowed)} + "
+                "['grid_buffer']"
+            )
+        adaptive_opts = opts
+        adaptive_opts.setdefault(
+            "error_order", _SDE_LOCAL_ORDER.get("reversible_heun", 1.0)
         )
+        if "norm" not in adaptive_opts:
+            # y-channel-only error control, exactly sdeint's adaptive
+            # reversible_heun (the z channel differs between full and half
+            # steps at the noise scale — controlling it starves the
+            # controller; measured there)
+            from ..utils.norms import rms_norm
+
+            adaptive_opts["norm"] = lambda ratio: rms_norm(ratio[0])
+    else:
+        if "step_size" in opts:
+            n_sub = _substeps_from_step_size(t_span, opts.pop("step_size"))
+        if opts:
+            raise ValueError(
+                f"reversible_heun adjoint got unknown option(s) "
+                f"{sorted(opts)}; known: ['step_size'] "
+                "(+ the adaptive vocabulary with adaptive=True)"
+            )
 
     if bm is None:
         t_lo, t_hi = _span_bounds(t_span)
@@ -764,6 +803,123 @@ def _reversible_heun_adjoint(
         return (adj, jnp.zeros_like(ts_), ad, ag)
 
     _solve.defvjp(_fwd, _bwd)
+
+    if adaptive:
+        # --- recorded-grid reversible walk ------------------------------
+        def seg_times(t_a, t_b, row):
+            # effective monotone sub-time sequence of one output interval
+            # (cummax absorbs padding and any post-overflow clobber, same
+            # contract as the replay path's one_grid_segment)
+            sub = jnp.concatenate([t_a[None], row, t_b[None]])
+            return jax.lax.cummax(sub)
+
+        def seg_fwd_rows(st, t_a, t_b, row, dc, gc):
+            eff = seg_times(t_a, t_b, row)
+
+            def body(s, j):
+                t0s, t1s = eff[j], eff[j + 1]
+                s1 = jax.lax.cond(
+                    t1s > t0s,
+                    lambda a: fwd_step(t0s, t1s, a, dc, gc),
+                    lambda a: a,
+                    s,
+                )
+                return s1, None
+
+            out, _ = jax.lax.scan(body, st, jnp.arange(eff.shape[0] - 1))
+            return out
+
+        @jax.custom_vjp
+        def _solve_rows(state0_, ts_, rows_, dc, gc):
+            def body(st, x):
+                t_pair, row = x
+                st1 = seg_fwd_rows(st, t_pair[0], t_pair[1], row, dc, gc)
+                return st1, st1
+
+            t_pairs = jnp.stack([ts_[:-1], ts_[1:]], axis=-1)
+            _, sts = jax.lax.scan(body, state0_, (t_pairs, rows_))
+            return jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                state0_, sts,
+            )
+
+        def _fwd_rows(state0_, ts_, rows_, dc, gc):
+            sol = _solve_rows(state0_, ts_, rows_, dc, gc)
+            st_final = jax.tree.map(lambda a: a[-1], sol)
+            return sol, (st_final, ts_, rows_, dc, gc)
+
+        def _bwd_rows(res, g_sol):
+            st_final, ts_, rows_, dc, gc = res
+            n = ts_.shape[0]
+            take = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
+            add = lambda a, b: jax.tree.map(jnp.add, a, b)
+
+            def one_step_bwd(carry, t0s, t1s):
+                st, adj, ad, ag = carry
+                st_prev = inv_step(t0s, t1s, st, dc, gc)
+                _, vjp = jax.vjp(
+                    lambda s, d_, g_: fwd_step(t0s, t1s, s, d_, g_),
+                    st_prev, dc, gc,
+                )
+                g_s, g_d, g_g = vjp(adj)
+                return (st_prev, g_s, add(ad, g_d), add(ag, g_g))
+
+            def outer(carry, i):
+                st, adj, ad, ag = carry
+                adj = add(adj, take(g_sol, i))
+                eff = seg_times(ts_[i - 1], ts_[i], rows_[i - 1])
+
+                def inner(c, j):
+                    t0s, t1s = eff[j], eff[j + 1]
+                    c1 = jax.lax.cond(
+                        t1s > t0s,
+                        lambda a: one_step_bwd(a, t0s, t1s),
+                        lambda a: a,
+                        c,
+                    )
+                    return c1, None
+
+                carry2, _ = jax.lax.scan(
+                    inner, (st, adj, ad, ag),
+                    jnp.arange(eff.shape[0] - 2, -1, -1),
+                )
+                return carry2, None
+
+            init = (
+                st_final,
+                jax.tree.map(jnp.zeros_like, st_final),
+                jax.tree.map(jnp.zeros_like, dc),
+                jax.tree.map(jnp.zeros_like, gc),
+            )
+            (_, adj, ad, ag), _ = jax.lax.scan(
+                outer, init, jnp.arange(n - 1, 0, -1)
+            )
+            adj = add(adj, take(g_sol, 0))
+            return (adj, jnp.zeros_like(ts_), jnp.zeros_like(rows_), ad, ag)
+
+        _solve_rows.defvjp(_fwd_rows, _bwd_rows)
+
+        # phase 1: grid discovery under stop_gradient (primal-only data)
+        sg = jax.lax.stop_gradient
+        term_sg = make_reversible_heun_term(
+            lambda t, y_: drift_c(t, y_, *sg(drift_consts)),
+            lambda t, y_: diff_c(t, y_, *sg(diff_consts)),
+            bm, inverse=False,
+        )
+        out = solve_sde_adaptive(
+            term_sg, sg(state0), sg(t_span), rtol=rtol, atol=atol,
+            grid_buffer=grid_buffer, return_stats=want_stats,
+            **adaptive_opts,
+        )
+        if want_stats:
+            _, stats, rows = out
+        else:
+            _, rows = out
+        sol = _solve_rows(state0, t_span, rows, drift_consts, diff_consts)
+        if not pair_in:
+            sol = sol[0]
+        sol = format_solution(sol, time_axis)
+        return (sol, stats) if want_stats else sol
 
     sol = _solve(state0, t_span, drift_consts, diff_consts)
     if not pair_in:

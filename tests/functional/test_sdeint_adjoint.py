@@ -149,9 +149,68 @@ def test_reversible_heun_adjoint_refusals():
     with pytest.raises(ValueError, match="increasing"):
         sdeint_adjoint(f_of(1.0), g, y0, ts[::-1], "reversible_heun",
                        bm=make_bm())
-    with pytest.raises(ValueError, match="adaptive"):
+    # adaptive=True is now SUPPORTED (recorded-grid reversible walk) but
+    # excludes step_size, exactly like the replay path
+    with pytest.raises(ValueError, match="mutually"):
         sdeint_adjoint(f_of(1.0), g, y0, ts, "reversible_heun",
-                       adaptive=True, bm=make_bm())
+                       adaptive=True, bm=make_bm(),
+                       options={"step_size": 0.1})
     with pytest.raises(ValueError, match="unknown option"):
         sdeint_adjoint(f_of(1.0), g, y0, ts, "reversible_heun",
                        bm=make_bm(), options={"grid": ts})
+
+
+def test_reversible_heun_adaptive_adjoint():
+    """adaptive=True for reversible_heun: phase-1 grid discovery (y-channel
+    norm, forward BIT-EQUAL to sdeint's adaptive path — which also pins the
+    review-era sdeint bug where the (y, z) pair was sheared into a
+    (sol, stats) unpack without return_stats), then the reversible backward
+    over the recorded grid. With a forced-uniform accepted grid the
+    gradient is machine-equal to direct backprop through the equivalent
+    fixed-grid solve (midpoint+endpoint recording => h/2 steps)."""
+    y0, make_bm, f_of, g = _rev_heun_setup()
+    ts = jnp.array([0.0, 0.5, 1.0], jnp.float64)
+    a = jnp.asarray(1.3, jnp.float64)
+    kw = dict(rtol=1e-3, atol=1e-5)
+
+    s1 = sdeint(f_of(a), g, y0, ts, "reversible_heun", adaptive=True,
+                bm=make_bm(), time_axis=0, **kw)
+    assert not isinstance(s1, tuple)  # the sheared-pair bug returned one
+    s2 = sdeint_adjoint(f_of(a), g, y0, ts, "reversible_heun",
+                        adaptive=True, bm=make_bm(), time_axis=0, **kw)
+    assert bool(jnp.all(s1 == s2))
+
+    forced = {"first_step": 0.125, "max_step": 0.125, "ifactor": 1.0}
+
+    def loss_adj(av):
+        sol = sdeint_adjoint(f_of(av), g, y0, ts, "reversible_heun",
+                             adaptive=True, bm=make_bm(), time_axis=0,
+                             rtol=1e3, atol=1e3, options=dict(forced))
+        return jnp.mean(sol[-1] ** 2)
+
+    def loss_fix(av):
+        ts_f = jnp.linspace(0.0, 1.0, 17)
+        sol = sdeint(f_of(av), g, y0, ts_f, "reversible_heun",
+                     bm=make_bm(), time_axis=0)
+        return jnp.mean(sol[-1] ** 2)
+
+    va, ga = jax.value_and_grad(loss_adj)(a)
+    vf, gf = jax.value_and_grad(loss_fix)(a)
+    assert float(va) == float(vf)
+    np.testing.assert_allclose(float(ga), float(gf), rtol=1e-12)
+
+    # stats surface + jit(grad) on the genuinely adaptive path
+    sol_s, stats = sdeint_adjoint(
+        f_of(a), g, y0, ts, "reversible_heun", adaptive=True, bm=make_bm(),
+        time_axis=0, options={"return_stats": True}, **kw)
+    assert int(stats.status) == 0
+    assert bool(jnp.all(sol_s == s1))
+
+    def loss_free(av):
+        sol = sdeint_adjoint(f_of(av), g, y0, ts, "reversible_heun",
+                             adaptive=True, bm=make_bm(), time_axis=0, **kw)
+        return jnp.mean(sol[-1] ** 2)
+
+    g_e = float(jax.grad(loss_free)(a))
+    g_j = float(jax.jit(jax.grad(loss_free))(a))
+    np.testing.assert_allclose(g_j, g_e, rtol=1e-12)
