@@ -96,8 +96,11 @@ def odeint_dense(
 
     Args:
         func, y0, rtol, atol: as :func:`odeint`.
-        t_span: INCREASING times; only the endpoints matter (the buffer
-            covers the whole interval).
+        t_span: only the endpoints matter (the buffer covers the whole
+            interval). DECREASING spans solve the reversed system over
+            s = −t and the returned object maps queries (and d/dt)
+            through the substitution — ask it for times inside the given
+            reversed span.
         solver: an ADAPTIVE solver name/marker (dopri5/tsit5/bosh3/...).
         options: ``max_steps`` (accepted-step buffer, default 512 —
             exceeded sets ``stats.status`` to MAX_STEPS_EXCEEDED and the
@@ -121,12 +124,12 @@ def odeint_dense(
             "fixed-step solutions are already dense on their own grid"
         )
     t_span = jnp.asarray(t_span)
-    # the direction check must be CONCRETE: a traced decreasing span would
-    # sail past _is_decreasing (it reports False under trace) and the
-    # while_loop would exit immediately — a zero-step DenseSolution
-    # silently returning the zero-coefficient init (the review-caught
-    # silent-wrong-result class). The buffer API has no reversed-time
-    # story anyway, so concrete endpoints are a fair requirement.
+    # the direction handling must be CONCRETE: a traced decreasing span
+    # would sail past the direction check (tracers read as "not
+    # decreasing") and the while_loop would exit immediately — a zero-step
+    # DenseSolution silently returning the zero-coefficient init (the
+    # review-caught silent-wrong-result class). The t→−s substitution and
+    # the static max_steps buffer both want concrete endpoints anyway.
     import numpy as _np
 
     try:
@@ -137,12 +140,19 @@ def odeint_dense(
             "the step buffer are static properties); pass the endpoints "
             "outside jit"
         ) from exc
+    sign = 1.0
     if t_host[-1] <= t_host[0]:
-        raise ValueError(
-            "odeint_dense runs increasing spans; integrate the reversed "
-            "system (odeint handles decreasing spans) and query in "
-            "reversed time"
+        if t_host[-1] == t_host[0]:
+            raise ValueError("odeint_dense needs a non-degenerate span")
+        # reversed time: the same t→−s canonicalization every engine uses —
+        # solve ỹ(s) = y(−s) (dỹ/ds = −f(−s, ỹ)) on the increasing −t_span
+        # and mark the DenseSolution to map queries (and d/dt) through s=−t
+        sign = -1.0
+        inner = func
+        func = lambda s, y: jax.tree.map(
+            jnp.negative, inner(-s, y)
         )
+        t_span = -t_span
     opts = dict(options or {})
     allowed = {"max_steps", "first_step", "safety", "ifactor", "dfactor",
                "min_step", "max_step", "norm", "return_stats", "time_dtype"}
@@ -153,10 +163,19 @@ def odeint_dense(
             f"known: {sorted(allowed)}"
         )
     term = ode_term(func)
-    return solve_adaptive_dense(
+    out = solve_adaptive_dense(
         term, y0, t_span, method=spec.name, rtol=rtol, atol=atol,
         return_dense=True, **opts,
     )
+    if sign == 1.0:
+        return out
+    from ..solver.adaptive_dense import DenseSolution
+
+    dense, stats = out if isinstance(out, tuple) else (out, None)
+    dense = DenseSolution(dense.t_lo, dense.t_end, dense.buf_t0,
+                          dense.buf_t1, dense.buf_coeff, dense.n_steps,
+                          dense.y0, sign=sign)
+    return (dense, stats) if stats is not None else dense
 
 
 def odeint_per_element(func, y0, t_span, solver="dopri5", *, rtol=1e-7,

@@ -61,7 +61,8 @@ class DenseSolution:
     ``[t0, t_end]`` CLAMP to the boundary values.
     """
 
-    def __init__(self, t_lo, t_end, buf_t0, buf_t1, buf_coeff, n_steps, y0):
+    def __init__(self, t_lo, t_end, buf_t0, buf_t1, buf_coeff, n_steps, y0,
+                 sign: float = 1.0):
         self.t_lo = t_lo
         self.t_end = t_end
         self.buf_t0 = buf_t0
@@ -69,25 +70,30 @@ class DenseSolution:
         self.buf_coeff = buf_coeff  # list of 5 pytrees, leading axis = slots
         self.n_steps = n_steps
         self.y0 = y0
+        # −1.0 for a reversed-time solve: the buffers live in s = −t (the
+        # t→−s canonicalization every engine uses); queries map through it
+        self.sign = float(sign)
 
     @property
     def interval(self):
-        return (self.t_lo, self.t_end)
+        # in USER time: (t at s_lo, t at s_end)
+        return (self.sign * self.t_lo, self.sign * self.t_end)
 
     def tree_flatten(self):
         return (
             (self.t_lo, self.t_end, self.buf_t0, self.buf_t1,
              self.buf_coeff, self.n_steps, self.y0),
-            None,
+            self.sign,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        del aux
-        return cls(*children)
+        return cls(*children, sign=aux)
 
     def _locate(self, t):
-        tq = jnp.atleast_1d(jnp.asarray(t, self.buf_t1.dtype))
+        tq = jnp.atleast_1d(
+            self.sign * jnp.asarray(t, self.buf_t1.dtype)
+        )
         idx = jnp.clip(
             jnp.searchsorted(self.buf_t1, tq, side="left"),
             0, jnp.maximum(self.n_steps - 1, 0),
@@ -151,7 +157,9 @@ class DenseSolution:
             xx = x.reshape(x.shape + (1,) * (d.ndim - 1)).astype(d.dtype)
             sp = span.reshape(span.shape + (1,) * (d.ndim - 1)).astype(d.dtype)
             poly = d + xx * (2.0 * c + xx * (3.0 * b + xx * 4.0 * a))
-            return poly / jnp.where(sp == 0, jnp.ones_like(sp), sp)
+            # d/dt = sign * d/ds (chain rule through the s = sign*t map)
+            return self.sign * poly / jnp.where(sp == 0, jnp.ones_like(sp),
+                                                sp)
 
         gathered = [
             jax.tree.map(lambda buf: buf[idx], self.buf_coeff[i])

@@ -93,13 +93,38 @@ def test_dense_pytree_jit_and_state():
 def test_dense_refusals():
     f = lambda t, y: y
     y0 = jnp.ones(())
-    with pytest.raises(ValueError, match="increasing"):
-        odeint_dense(f, y0, jnp.array([1.0, 0.0]))
+    with pytest.raises(ValueError, match="non-degenerate"):
+        odeint_dense(f, y0, jnp.array([1.0, 1.0]))
     with pytest.raises(ValueError, match="adaptive"):
         odeint_dense(f, y0, jnp.array([0.0, 1.0]), "rk4")
     with pytest.raises(ValueError, match="unknown option"):
         odeint_dense(f, y0, jnp.array([0.0, 1.0]),
                      options={"step_t": jnp.array([0.5])})
+
+
+def test_dense_reversed_span():
+    """A decreasing span solves the reversed system over s = −t; the
+    returned object maps queries and d/dt through the substitution.
+    y' = y from y(2) = 1 backward: y(t) = e^{t−2} at arbitrary t."""
+    f = lambda t, y: y
+    sol = odeint_dense(f, jnp.ones((2,), jnp.float64),
+                       jnp.array([2.0, 0.0]), options={"max_step": 0.05})
+    ts = np.array([2.0, 1.3, 0.5, 0.0])
+    for t in ts:
+        np.testing.assert_allclose(float(sol(jnp.float64(t))[0]),
+                                   np.exp(t - 2.0), rtol=1e-7)
+    d = float(sol.derivative(jnp.float64(1.3))[0])
+    g = float(jax.grad(lambda t: sol(t)[0])(jnp.float64(1.3)))
+    np.testing.assert_allclose(d, np.exp(1.3 - 2.0), rtol=1e-6)
+    np.testing.assert_allclose(g, np.exp(1.3 - 2.0), rtol=1e-6)
+    # the user-time interval reports in the given orientation; queries
+    # beyond it clamp
+    lo, hi = sol.interval
+    assert float(lo) == 2.0 and float(hi) == 0.0
+    np.testing.assert_allclose(np.asarray(sol(-1.0)), np.asarray(sol(0.0)),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(sol(3.0)), np.asarray(sol(2.0)),
+                               rtol=1e-12)
 
 
 def test_dense_boundary_gradients_and_traced_span():
