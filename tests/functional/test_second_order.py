@@ -81,3 +81,48 @@ def test_hessian_vector_product_neural_field():
     np.testing.assert_allclose(
         float(jnp.vdot(v, hu)), float(jnp.vdot(u, hv)), rtol=1e-4
     )
+
+
+def test_sde_second_order_grad_of_grad():
+    """SDE hessians (round 3): grad-of-grad composes through the replay
+    adjoint AND the reversible adjoint, matching direct backprop through
+    the scan bit-exactly (reverse-over-reverse differentiates the
+    custom_vjp backward; forward-over-reverse raises the documented
+    custom_vjp limit — use direct sdeint for jax.hessian/jvp)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from paddlexde_tpu import BrownianInterval, sdeint, sdeint_adjoint
+
+    key = jax.random.key(3)
+    y0 = jnp.ones((8,), jnp.float64)
+    ts = jnp.linspace(0.0, 1.0, 9)
+
+    def make_bm(levy="none"):
+        return BrownianInterval(0.0, 1.0, size=(8,), key=key,
+                                dtype=jnp.float64,
+                                levy_area_approximation=levy)
+
+    def loss(a, fn, scheme, levy="none"):
+        f = lambda t, y: -a * y + 0.3 * jnp.sin(y)
+        g = (lambda t, y: 0.2 * y) if scheme == "milstein" else (
+            lambda t, y: 0.2 + 0.0 * y)
+        return jnp.mean(
+            fn(f, g, y0, ts, scheme, bm=make_bm(levy), time_axis=0)[-1] ** 2
+        )
+
+    a = jnp.float64(0.8)
+    for scheme, levy in [("milstein", "none"), ("sra1", "space-time"),
+                         ("implicit_sra1", "space-time"),
+                         ("reversible_heun", "none")]:
+        h_d = float(jax.grad(jax.grad(
+            lambda x: loss(x, sdeint, scheme, levy)))(a))
+        h_a = float(jax.grad(jax.grad(
+            lambda x: loss(x, sdeint_adjoint, scheme, levy)))(a))
+        np.testing.assert_allclose(h_a, h_d, rtol=1e-12, err_msg=scheme)
+
+    # the forward-over-reverse limit is loud, not silent
+    with pytest.raises(TypeError, match="custom_vjp"):
+        jax.hessian(lambda x: loss(x, sdeint_adjoint, "milstein"))(a)
