@@ -46,6 +46,13 @@ __all__ = ["sdeint_weak_mc", "WeakEstimate"]
 # component break the level-2 weak moment conditions at O(h^2)/step.
 _WEAK_ORDER = {
     "euler": 1.0, "milstein": 1.0, "heun_stratonovich": 1.0,
+    # drift-implicit theta methods: textbook weak order 1.0 (like EM).
+    # implicit_sra1/implicit_foster2 are deliberately ABSENT: their weak
+    # order is unmeasured here (pass order= explicitly after validating
+    # with a coupled estimator — see the repo's weak-order discipline)
+    "implicit_em": 1.0, "implicit_euler_maruyama": 1.0,
+    "drift_implicit_euler": 1.0, "stochastic_theta": 1.0,
+    "implicit_milstein": 1.0, "drift_implicit_milstein": 1.0,
     "reversible_heun": 1.0, "heun_reversible": 1.0,
     "stratonovich_heun": 1.0, "euler_general": 1.0, "general_euler": 1.0,
     "milstein_general": 1.0, "general_milstein": 1.0,

@@ -234,3 +234,21 @@ def test_taylor15_is_weak_order_two():
     extra_closed = abs((4 * t15_mean(8) - t15_mean(4)) / 3.0 - EXACT)
     assert extra_closed < coarse_bias / 8  # p=2 cancellation in closed form
     assert abs(float(est.mean[0]) - EXACT) < extra_closed + 4 * float(est.stderr[0])
+
+
+def test_weak_mc_implicit_schemes():
+    """The theta methods carry their textbook weak order 1.0 in the table
+    (Richardson at p=1); the higher implicit-additive rungs are deliberately
+    ABSENT — unmeasured weak order raises loudly with an order= pointer."""
+    f = lambda t, y: -2.0 * y
+    g = lambda t, y: 0.5 * jnp.ones_like(y)
+    est = pxt.sdeint_weak_mc(f, g, jnp.ones((1,), jnp.float64), 1.0,
+                             lambda y: y[..., 0], solver="implicit_em",
+                             n_paths=512, n_steps=16, key=0)
+    import numpy as np
+
+    assert np.isfinite(float(est.mean))
+    with pytest.raises(ValueError, match="order"):
+        pxt.sdeint_weak_mc(f, g, jnp.ones((1,), jnp.float64), 1.0,
+                           lambda y: y[..., 0], solver="implicit_sra1",
+                           n_paths=64, n_steps=8, key=0)
