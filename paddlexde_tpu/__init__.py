@@ -40,6 +40,7 @@ from .functional import (  # noqa: F401
     piecewise_logsignature,
     piecewise_logsignature3,
     piecewise_signature3,
+    langevin,
     langevin_baoab,
     sdeint_event,
     sdeint_mlmc,

@@ -1,36 +1,52 @@
-"""Kinetic (underdamped) Langevin dynamics — the BAOAB family.
+"""Kinetic (underdamped) Langevin dynamics — the BAOAB splitting family.
 
     dq = M⁻¹ p dt
     dp = F(q) dt − γ p dt + √(2γ/β) M^{1/2} dW
 
-Sampling-oriented splitting integrators (Leimkuhler–Matthews 2013): the
+Sampling-oriented splitting integrators (Leimkuhler–Matthews 2013): a
 step is a palindromic composition of exactly-solvable pieces —
 
-    B: p ← p + (h/2) F(q)          (kick)
-    A: q ← q + (h/2) M⁻¹ p         (drift)
-    O: p ← c₁ p + c₂ M^{1/2} ξ     (exact OU flow: c₁ = e^{−γh},
-                                    c₂ = √((1 − c₁²)/β))
+    B(s): p ← p + s F(q)             (kick)
+    A(s): q ← q + s M⁻¹ p            (drift)
+    O(s): p ← c₁ p + c₂ M^{1/2} ξ    (exact OU flow: c₁ = e^{−γs},
+                                      c₂ = √((1 − c₁²)/β))
 
-BAOAB's configurational sampling bias is O(h²) generally and EXACTLY ZERO
-for harmonic potentials at every stable h (the Leimkuhler–Matthews
-"superconvergence": the discrete chain's Var(q) equals 1/(βω²) to machine
-precision — test-pinned via the exact discrete Lyapunov solution, with the
-kinetic marginal's known (1 − h²ω²/4)/β bias also pinned); at γ = 0 the
-O-step is the identity and the scheme IS velocity Verlet (test-pinned). The ξ draw is the virtual tree's increment
-normalized per step (ξ = ΔW/√h — a standard normal, bit-reproducible per
-key, replayable, vmappable), so the whole chain is one ``lax.scan`` with
-exact direct backprop.
+Three orderings are provided (``scheme=``):
+
+- ``"baoab"`` — B(h/2) A(h/2) O(h) A(h/2) B(h/2). Configurational bias is
+  O(h²) generally and EXACTLY ZERO for harmonic potentials at every stable
+  h (the Leimkuhler–Matthews "superconvergence": the discrete chain's
+  Var(q) equals 1/(βω²) to machine precision — test-pinned via the exact
+  discrete Lyapunov solution, with the kinetic marginal's known
+  (1 − h²ω²/4)/β bias also pinned). One ξ draw per step. γ = 0 is
+  velocity Verlet (kick-drift-kick), bit-pinned.
+- ``"obabo"`` — O(h/2) B(h/2) A(h) B(h/2) O(h/2) (Bussi–Parrinello). TWO
+  independent ξ draws per step, taken as the tree's increments over
+  [t, t+h/2] and [t+h/2, t+h] so replay/bit-reproducibility still hold.
+  The harmonic KINETIC marginal is exact at every stable h (Var(p)=1/β);
+  the configurational one carries the (1/(βω²))/(1 − h²ω²/4) bias —
+  both closed forms test-pinned via the Lyapunov solution. γ = 0 is
+  velocity Verlet (the O half-steps become identities).
+- ``"aboba"`` — A(h/2) B(h/2) O(h) B(h/2) A(h/2). One ξ draw per step.
+  Like BAOAB the harmonic CONFIGURATIONAL marginal is exact at every
+  stable h, with kinetic bias (1/β)/(1 − h²ω²/4) (test-pinned closed
+  forms); γ = 0 is POSITION Verlet (drift-kick-drift), bit-pinned.
+
+The ξ draw is the virtual tree's increment normalized per (sub)step
+(ξ = ΔW/√s — a standard normal, bit-reproducible per key, replayable,
+vmappable), so the whole chain is one ``lax.scan`` with exact direct
+backprop. ``mass`` is a scalar or pytree-of-diagonals: the target law is
+∝ e^{−β(V(q) + ½pᵀM⁻¹p)}, so Var(q) is mass-independent and Var(p) = M/β
+(Lyapunov-pinned in the tests).
 
 No reference counterpart (DrownFish19/PaddleXDE has no sampling schemes;
 its sdeint is broken EM, ``paddlexde/functional/sdeint.py:9-37``). The
-harmonic-chain stationary covariance is pinned against the EXACT discrete
-Lyapunov solution of the linear update map (not an h→0 approximation), and
-the O(h²) configurational bias (vs EM's O(h)) is measured.
+harmonic-chain stationary covariance of every scheme is pinned against
+the EXACT discrete Lyapunov solution of its linear update map (not an
+h→0 approximation).
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,60 +54,14 @@ import jax.numpy as jnp
 from ..brownian.api import BrownianInterval
 from .solve import format_solution
 
-__all__ = ["langevin_baoab", "make_baoab_step"]
+__all__ = [
+    "langevin",
+    "langevin_baoab",
+    "make_langevin_step",
+    "make_baoab_step",
+]
 
-
-def make_baoab_step(force, gamma, beta=1.0, mass=1.0, bm=None):
-    """One BAOAB step ``(t, dt, (q, p)) -> (q1, p1)``.
-
-    ``force(t, q) -> -∇V`` (pytree like q). ``mass`` is a scalar or a
-    pytree-of-diagonals like q (diagonal mass matrix). ``bm`` supplies the
-    O-step's standard normal via ``ΔW/√h`` (shape = q's shape)."""
-    gamma = float(gamma)
-    beta = float(beta)
-    if gamma < 0.0:
-        raise ValueError(f"gamma must be >= 0, got {gamma}")
-    if beta <= 0.0:
-        raise ValueError(f"beta must be > 0, got {beta}")
-
-    def inv_m(leaf, m_leaf):
-        return leaf / m_leaf
-
-    def step(t, dt, state):
-        q, p = state
-        h = dt
-        half = 0.5 * h
-        f0 = force(t, q)
-        p = jax.tree.map(lambda pl, fl: pl + jnp.asarray(half, pl.dtype) * fl,
-                         p, f0)
-        q = jax.tree.map(
-            lambda ql, pl, ml: ql + jnp.asarray(half, ql.dtype) * inv_m(pl, ml),
-            q, p, _mass_tree(mass, q),
-        )
-        # O: exact OU update; xi = ΔW/√h from the tree (standard normal,
-        # reproducible per (key, step)); dt == 0 degrades to the identity
-        c1 = jnp.exp(-gamma * jnp.asarray(h, jnp.result_type(float)))
-        c2 = jnp.sqrt(jnp.maximum(1.0 - c1 * c1, 0.0) / beta)
-        safe_h = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
-        d_w = bm(t, t + dt)
-        xi = jax.tree.map(
-            lambda wl: wl / jnp.sqrt(jnp.asarray(safe_h, wl.dtype)), d_w
-        )
-        p = jax.tree.map(
-            lambda pl, xl, ml: jnp.asarray(c1, pl.dtype) * pl
-            + jnp.asarray(c2, pl.dtype) * jnp.sqrt(ml) * xl,
-            p, xi, _mass_tree(mass, p),
-        )
-        q = jax.tree.map(
-            lambda ql, pl, ml: ql + jnp.asarray(half, ql.dtype) * inv_m(pl, ml),
-            q, p, _mass_tree(mass, q),
-        )
-        f1 = force(t + dt, q)
-        p = jax.tree.map(lambda pl, fl: pl + jnp.asarray(half, pl.dtype) * fl,
-                         p, f1)
-        return (q, p)
-
-    return step
+_SCHEMES = ("baoab", "obabo", "aboba")
 
 
 def _mass_tree(mass, like):
@@ -100,7 +70,89 @@ def _mass_tree(mass, like):
     return mass
 
 
-def langevin_baoab(
+def make_langevin_step(force, gamma, beta=1.0, mass=1.0, bm=None,
+                       scheme="baoab"):
+    """One splitting step ``(t, dt, (q, p)) -> (q1, p1)``.
+
+    ``force(t, q) -> -∇V`` (pytree like q). ``mass`` is a scalar or a
+    pytree-of-diagonals like q (diagonal mass matrix). ``bm`` supplies the
+    O-step's standard normal(s) via ``ΔW/√s`` (shape = q's shape; OBABO
+    queries the two half-intervals)."""
+    gamma = float(gamma)
+    beta = float(beta)
+    if gamma < 0.0:
+        raise ValueError(f"gamma must be >= 0, got {gamma}")
+    if beta <= 0.0:
+        raise ValueError(f"beta must be > 0, got {beta}")
+    if scheme not in _SCHEMES:
+        raise ValueError(f"scheme must be one of {_SCHEMES}, got {scheme!r}")
+
+    def kick(p, f, s):
+        return jax.tree.map(
+            lambda pl, fl: pl + jnp.asarray(s, pl.dtype) * fl, p, f)
+
+    def drift(q, p, s):
+        return jax.tree.map(
+            lambda ql, pl, ml: ql + jnp.asarray(s, ql.dtype) * pl / ml,
+            q, p, _mass_tree(mass, q))
+
+    def ou(p, t_a, t_b):
+        # exact OU update over [t_a, t_b]; xi = ΔW/√s from the tree
+        # (standard normal, reproducible per (key, interval)); s == 0
+        # degrades to the identity (c2 -> 0 and safe_s guards the /√s)
+        s = t_b - t_a
+        c1 = jnp.exp(-gamma * jnp.asarray(s, jnp.result_type(float)))
+        c2 = jnp.sqrt(jnp.maximum(1.0 - c1 * c1, 0.0) / beta)
+        safe_s = jnp.where(s == 0, jnp.ones_like(jnp.asarray(s)), s)
+        d_w = bm(t_a, t_b)
+        xi = jax.tree.map(
+            lambda wl: wl / jnp.sqrt(jnp.asarray(safe_s, wl.dtype)), d_w)
+        return jax.tree.map(
+            lambda pl, xl, ml: jnp.asarray(c1, pl.dtype) * pl
+            + jnp.asarray(c2, pl.dtype) * jnp.sqrt(ml) * xl,
+            p, xi, _mass_tree(mass, p))
+
+    def step_baoab(t, dt, state):
+        q, p = state
+        half = 0.5 * dt
+        p = kick(p, force(t, q), half)
+        q = drift(q, p, half)
+        p = ou(p, t, t + dt)
+        q = drift(q, p, half)
+        p = kick(p, force(t + dt, q), half)
+        return (q, p)
+
+    def step_obabo(t, dt, state):
+        q, p = state
+        half = 0.5 * dt
+        mid = t + half
+        p = ou(p, t, mid)
+        p = kick(p, force(t, q), half)
+        q = drift(q, p, dt)
+        p = kick(p, force(t + dt, q), half)
+        p = ou(p, mid, t + dt)
+        return (q, p)
+
+    def step_aboba(t, dt, state):
+        q, p = state
+        half = 0.5 * dt
+        q = drift(q, p, half)
+        p = kick(p, force(t + half, q), half)
+        p = ou(p, t, t + dt)
+        p = kick(p, force(t + half, q), half)
+        q = drift(q, p, half)
+        return (q, p)
+
+    return {"baoab": step_baoab, "obabo": step_obabo,
+            "aboba": step_aboba}[scheme]
+
+
+def make_baoab_step(force, gamma, beta=1.0, mass=1.0, bm=None):
+    """One BAOAB step (back-compat alias of :func:`make_langevin_step`)."""
+    return make_langevin_step(force, gamma, beta, mass, bm, scheme="baoab")
+
+
+def langevin(
     force,
     y0,
     t_span,
@@ -110,25 +162,28 @@ def langevin_baoab(
     mass=1.0,
     bm=None,
     key=None,
+    scheme: str = "baoab",
     time_axis: int = 0,
 ):
-    """Integrate kinetic Langevin dynamics with BAOAB over ``t_span``.
+    """Integrate kinetic Langevin dynamics over ``t_span``.
 
     Args:
         force: ``F(t, q) = -∇V(q)`` (pytree like q).
         y0: ``(q0, p0)`` tuple.
         t_span: output times (also the step grid, as :func:`sdeint`).
-        gamma: friction. γ = 0 reduces to velocity Verlet exactly.
+        gamma: friction. γ = 0 reduces the O-step to the identity
+            (velocity Verlet for baoab/obabo, position Verlet for aboba).
         beta: inverse temperature (target law ∝ e^{−β(V(q) + ½pᵀM⁻¹p)}).
         mass: scalar or pytree-of-diagonals like q.
         bm / key: Brownian motion over the span (shape = q's shape) or the
             PRNG entropy for the default one.
+        scheme: ``"baoab"`` (default) / ``"obabo"`` / ``"aboba"``.
         time_axis: output layout (as the other integrators).
 
     Returns ``(q_path, p_path)`` stacked along ``time_axis``.
     """
     if not (isinstance(y0, tuple) and len(y0) == 2):
-        raise ValueError("langevin_baoab takes y0 = (q0, p0)")
+        raise ValueError("langevin takes y0 = (q0, p0)")
     t_span = jnp.asarray(t_span)
     q0, p0 = jax.tree.map(jnp.asarray, y0)
     if bm is None:
@@ -137,7 +192,7 @@ def langevin_baoab(
         leaves = jax.tree.leaves(q0)
         if len(leaves) != 1:
             raise ValueError(
-                "langevin_baoab's default Brownian motion covers a "
+                "langevin's default Brownian motion covers a "
                 f"single-array q (got a pytree with {len(leaves)} leaves); "
                 "pass bm= a callable returning a MATCHING pytree of "
                 "increments per (ta, tb) query"
@@ -146,7 +201,7 @@ def langevin_baoab(
         leaf = leaves[0]
         bm = BrownianInterval(t_lo, t_hi, size=leaf.shape, dtype=leaf.dtype,
                               key=key)
-    step = make_baoab_step(force, gamma, beta, mass, bm)
+    step = make_langevin_step(force, gamma, beta, mass, bm, scheme=scheme)
 
     def scan_body(state, ts):
         t_a, t_b = ts
@@ -160,3 +215,10 @@ def langevin_baoab(
         init, path,
     )
     return format_solution(full, time_axis)
+
+
+def langevin_baoab(force, y0, t_span, *, gamma, beta=1.0, mass=1.0, bm=None,
+                   key=None, time_axis: int = 0):
+    """BAOAB chain (back-compat alias of :func:`langevin`)."""
+    return langevin(force, y0, t_span, gamma=gamma, beta=beta, mass=mass,
+                    bm=bm, key=key, scheme="baoab", time_axis=time_axis)

@@ -1,23 +1,30 @@
-"""BAOAB kinetic Langevin integrator (functional/langevin.py).
+"""Kinetic Langevin splitting family (functional/langevin.py).
 
 Pinned:
-- EXACT harmonic-chain stationary covariance: the BAOAB update on
-  V = w^2 q^2/2 is linear (x1 = T x + b xi), so the chain's stationary
-  covariance solves the 2x2 discrete Lyapunov equation S = T S T' + b b' —
+- EXACT harmonic-chain stationary covariance for EVERY scheme (baoab /
+  obabo / aboba, with and without a mass matrix): each update on
+  V = k q^2/2 is linear (x1 = T x + B xi), so the chain's stationary
+  covariance solves the 2x2 discrete Lyapunov equation S = T S T' + B B' —
   solved directly in the test (no h->0 approximation) and matched by the
   simulated ensemble;
-- the configurational bias |Var(q) - 1/(beta w^2)| is O(h^2) (halving h
-  cuts it ~4x) where an EM discretization of the same SDE carries O(h);
-- gamma = 0 IS velocity Verlet (bit-level agreement with a hand-rolled
-  kick-drift-kick chain);
-- reproducibility per key; direct backprop through the scan matches FD.
+- the exact marginal STRUCTURE of the family on the harmonic chain
+  (closed-form-pinned): baoab and aboba sample the CONFIGURATIONAL
+  marginal exactly (kinetic biases (1 - h^2 w^2/4)/beta and its
+  reciprocal), obabo samples the KINETIC marginal exactly (config bias
+  1/(beta w^2 (1 - h^2 w^2/4))); an EM discretization carries O(h);
+- gamma = 0 IS velocity Verlet for baoab/obabo and POSITION Verlet for
+  aboba (agreement with hand-rolled chains);
+- mass-matrix marginals: Var(q) = 1/(beta k) independent of mass,
+  Var(p) = m/beta (Lyapunov h->0 + simulated at moderate h);
+- reproducibility per key; direct backprop through the scan matches FD
+  (incl. obabo's two-draws-per-step path).
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paddlexde_tpu import BrownianInterval, langevin_baoab
+from paddlexde_tpu import BrownianInterval, langevin, langevin_baoab
 
 
 def _baoab_lyapunov(w, gamma, beta, h):
@@ -32,6 +39,45 @@ def _baoab_lyapunov(w, gamma, beta, h):
     rhs = np.outer(b, b)
     K = np.eye(4) - np.kron(T, T)
     sigma = np.linalg.solve(K, rhs.reshape(-1)).reshape(2, 2)
+    return sigma
+
+
+def _lyapunov(scheme, k, gamma, beta, h, m=1.0):
+    """Exact stationary covariance of the harmonic chain for any scheme.
+
+    Force = -k q, diagonal mass m: B(s) = [[1,0],[-k s,1]],
+    A(s) = [[1,s/m],[0,1]], O(s) = diag(1, c1(s)) with noise column
+    [0, c2(s) sqrt(m)]. Ops compose right-to-left in time."""
+
+    def M_B(s):
+        return np.array([[1.0, 0.0], [-k * s, 1.0]])
+
+    def M_A(s):
+        return np.array([[1.0, s / m], [0.0, 1.0]])
+
+    def ou(s):
+        c1 = np.exp(-gamma * s)
+        c2 = np.sqrt(max(1.0 - c1 * c1, 0.0) / beta)
+        return np.diag([1.0, c1]), np.array([0.0, c2 * np.sqrt(m)])
+
+    half = h / 2.0
+    if scheme == "baoab":
+        M_O, b = ou(h)
+        T = M_B(half) @ M_A(half) @ M_O @ M_A(half) @ M_B(half)
+        B = (M_B(half) @ M_A(half) @ b)[:, None]
+    elif scheme == "obabo":
+        M_O, b = ou(half)
+        mid = M_B(half) @ M_A(h) @ M_B(half)
+        T = M_O @ mid @ M_O
+        B = np.stack([M_O @ mid @ b, b], axis=1)
+    elif scheme == "aboba":
+        M_O, b = ou(h)
+        T = M_A(half) @ M_B(half) @ M_O @ M_B(half) @ M_A(half)
+        B = (M_A(half) @ M_B(half) @ b)[:, None]
+    else:
+        raise ValueError(scheme)
+    K = np.eye(4) - np.kron(T, T)
+    sigma = np.linalg.solve(K, (B @ B.T).reshape(-1)).reshape(2, 2)
     return sigma
 
 
@@ -124,6 +170,148 @@ def _run_chain_start(w, q0, h, nstep):
     ts = jnp.linspace(0.0, h * nstep, nstep + 1)
     return langevin_baoab(force, (q0, p0), ts, gamma=0.0, beta=1.0,
                           key=0, time_axis=0)
+
+
+def test_lyapunov_oracle_self_consistent():
+    # the generalized oracle reproduces the original BAOAB one at m=1
+    w, gamma, beta, h = 1.3, 2.0, 1.5, 0.25
+    np.testing.assert_allclose(
+        _lyapunov("baoab", w * w, gamma, beta, h),
+        _baoab_lyapunov(w, gamma, beta, h), rtol=1e-12)
+
+
+def _run_scheme(scheme, k, gamma, beta, h, nstep, n_paths, mass=1.0, seed=0):
+    force = lambda t, q: -k * q
+    q0 = jnp.zeros((n_paths,), jnp.float64)
+    p0 = jnp.zeros((n_paths,), jnp.float64)
+    ts = jnp.linspace(0.0, h * nstep, nstep + 1)
+    bm = BrownianInterval(0.0, float(h * nstep), size=(n_paths,),
+                          key=jax.random.key(seed), dtype=jnp.float64)
+    return langevin(force, (q0, p0), ts, gamma=gamma, beta=beta, mass=mass,
+                    bm=bm, scheme=scheme, time_axis=0)
+
+
+def test_obabo_aboba_stationary_covariance_matches_lyapunov():
+    k, gamma, beta, h = 1.3 * 1.3, 2.0, 1.5, 0.25
+    for scheme in ("obabo", "aboba"):
+        q, p = _run_scheme(scheme, k, gamma, beta, h, nstep=4000,
+                           n_paths=4096, seed=7)
+        qs = np.asarray(q[2000::20]).ravel()
+        ps = np.asarray(p[2000::20]).ravel()
+        sigma = _lyapunov(scheme, k, gamma, beta, h)
+        np.testing.assert_allclose(np.var(qs), sigma[0, 0], rtol=0.04,
+                                   err_msg=scheme)
+        np.testing.assert_allclose(np.var(ps), sigma[1, 1], rtol=0.04,
+                                   err_msg=scheme)
+        # both Lyapunov solutions approach the Gibbs marginals at h -> 0
+        sigma_small = _lyapunov(scheme, k, gamma, beta, 1e-4)
+        np.testing.assert_allclose(sigma_small[0, 0], 1.0 / (beta * k),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(sigma_small[1, 1], 1.0 / beta, rtol=1e-5)
+
+
+def test_scheme_marginal_structure_closed_form():
+    """Which marginal each scheme gets EXACTLY right on the harmonic chain
+    (deterministic, Lyapunov-only — found by solving the Lyapunov equation,
+    then pinned in closed form):
+
+      baoab: Var(q) exact,                Var(p) = (1 − h²ω²/4)/β
+      aboba: Var(q) exact,                Var(p) = (1/β)/(1 − h²ω²/4)
+      obabo: Var(p) exact (B–P property), Var(q) = (1/(βω²))/(1 − h²ω²/4)
+
+    so the biased marginal of every scheme carries O(h²) bias (the 1∓h²ω²/4
+    factors), and no scheme is exact in both."""
+    k, gamma, beta = 1.0, 1.3, 1.5
+    for h in (0.4, 0.2, 0.1):
+        d = 1.0 - h * h * k / 4.0
+        sig = _lyapunov("baoab", k, gamma, beta, h)
+        np.testing.assert_allclose(sig[0, 0], 1.0 / (beta * k), rtol=1e-12)
+        np.testing.assert_allclose(sig[1, 1], d / beta, rtol=1e-10)
+        sig = _lyapunov("aboba", k, gamma, beta, h)
+        np.testing.assert_allclose(sig[0, 0], 1.0 / (beta * k), rtol=1e-12)
+        np.testing.assert_allclose(sig[1, 1], 1.0 / (beta * d), rtol=1e-10)
+        sig = _lyapunov("obabo", k, gamma, beta, h)
+        np.testing.assert_allclose(sig[1, 1], 1.0 / beta, rtol=1e-12)
+        np.testing.assert_allclose(sig[0, 0], 1.0 / (beta * k * d),
+                                   rtol=1e-10)
+
+
+def test_gamma_zero_obabo_is_velocity_verlet():
+    k, h, nstep = 0.9 * 0.9, 0.05, 200
+    q0 = np.asarray(jax.random.normal(jax.random.key(1), (4,)))
+    force = lambda t, q: -k * q
+    ts = jnp.linspace(0.0, h * nstep, nstep + 1)
+    q, p = langevin(force, (jnp.asarray(q0, jnp.float64),
+                            jnp.zeros(4, jnp.float64)), ts, gamma=0.0,
+                    key=0, scheme="obabo", time_axis=0)
+    qv, pv = q0.copy(), np.zeros(4)
+    for _ in range(nstep):
+        pv = pv + 0.5 * h * (-k * qv)
+        qv = qv + h * pv
+        pv = pv + 0.5 * h * (-k * qv)
+    np.testing.assert_allclose(np.asarray(q[-1]), qv, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p[-1]), pv, rtol=1e-6, atol=1e-9)
+
+
+def test_gamma_zero_aboba_is_position_verlet():
+    k, h, nstep = 0.9 * 0.9, 0.05, 200
+    q0 = np.asarray(jax.random.normal(jax.random.key(2), (4,)))
+    force = lambda t, q: -k * q
+    ts = jnp.linspace(0.0, h * nstep, nstep + 1)
+    q, p = langevin(force, (jnp.asarray(q0, jnp.float64),
+                            jnp.zeros(4, jnp.float64)), ts, gamma=0.0,
+                    key=0, scheme="aboba", time_axis=0)
+    qv, pv = q0.copy(), np.zeros(4)
+    for _ in range(nstep):
+        qv = qv + 0.5 * h * pv
+        pv = pv + h * (-k * qv)
+        qv = qv + 0.5 * h * pv
+    np.testing.assert_allclose(np.asarray(q[-1]), qv, rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p[-1]), pv, rtol=1e-6, atol=1e-9)
+
+
+def test_mass_matrix_marginals():
+    # target law: Var(q) = 1/(beta k) independent of m; Var(p) = m/beta.
+    k, gamma, beta, m = 2.0, 1.5, 2.0, 3.0
+    for scheme in ("baoab", "obabo", "aboba"):
+        sig = _lyapunov(scheme, k, gamma, beta, 1e-4, m=m)
+        np.testing.assert_allclose(sig[0, 0], 1.0 / (beta * k), rtol=1e-5,
+                                   err_msg=scheme)
+        np.testing.assert_allclose(sig[1, 1], m / beta, rtol=1e-5,
+                                   err_msg=scheme)
+    # the sampler matches the mass-Lyapunov law at a MODERATE h too
+    h = 0.2
+    q, p = _run_scheme("baoab", k, gamma, beta, h, nstep=4000, n_paths=4096,
+                       mass=m, seed=11)
+    sigma = _lyapunov("baoab", k, gamma, beta, h, m=m)
+    qs = np.asarray(q[2000::20]).ravel()
+    ps = np.asarray(p[2000::20]).ravel()
+    np.testing.assert_allclose(np.var(qs), sigma[0, 0], rtol=0.04)
+    np.testing.assert_allclose(np.var(ps), sigma[1, 1], rtol=0.04)
+    # BAOAB's harmonic configurational EXACTNESS survives the mass matrix
+    np.testing.assert_allclose(sigma[0, 0], 1.0 / (beta * k), rtol=1e-12)
+
+
+def test_obabo_reproducible_and_differentiable():
+    # the two-draws-per-step path: same key -> same chain; grad matches FD
+    gamma, beta, h, nstep = 1.5, 1.0, 0.1, 64
+    q0 = jnp.ones((32,), jnp.float64)
+    p0 = jnp.zeros((32,), jnp.float64)
+    ts = jnp.linspace(0.0, h * nstep, nstep + 1)
+
+    def endpoint(om, seed=3):
+        bm = BrownianInterval(0.0, float(h * nstep), size=(32,),
+                              key=jax.random.key(seed), dtype=jnp.float64)
+        force = lambda t, q: -(om * om) * q
+        q, p = langevin(force, (q0, p0), ts, gamma=gamma, beta=beta, bm=bm,
+                        scheme="obabo", time_axis=0)
+        return jnp.mean(q[-1] ** 2)
+
+    assert float(endpoint(1.1)) == float(endpoint(1.1))
+    g = float(jax.grad(endpoint)(jnp.asarray(1.1, jnp.float64)))
+    eps = 1e-5
+    fd = (endpoint(1.1 + eps) - endpoint(1.1 - eps)) / (2 * eps)
+    np.testing.assert_allclose(g, float(fd), rtol=1e-5)
 
 
 def test_reproducible_and_differentiable():
