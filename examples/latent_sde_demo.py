@@ -12,7 +12,10 @@ which rides along as ONE extra state component with zero diffusion, so the
 whole objective is a single `sdeint_adjoint` call over the augmented state
 (z, kl) — O(T_out)-memory discrete-exact gradients for drift, diffusion and
 the KL accumulator at once (the reference has no SDE training story at all;
-its sdeint is broken Euler–Maruyama).
+its sdeint is broken Euler–Maruyama). This demo builds the augmentation by
+hand to show the mechanics; `paddlexde_tpu.sdeint_logqp` packages exactly
+this pattern (posterior drift, prior drift, shared diffusion → (path, kl))
+with the same adjoint option.
 
 Data: an Ornstein–Uhlenbeck process (θ, μ, σ known to us, not the model).
 After training, the learned PRIOR should reproduce the data's stationary

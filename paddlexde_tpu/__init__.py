@@ -43,6 +43,7 @@ from .functional import (  # noqa: F401
     langevin,
     langevin_baoab,
     sdeint_event,
+    sdeint_logqp,
     sdeint_mlmc,
     sdeint_weak_mc,
     MLMCEstimate,

@@ -93,6 +93,14 @@ class BrownianInterval(BaseBrownian):
        bm built over a fifth of the span). ``sdeint``'s default bm derives
        its bounds from ``t_span``; only explicitly-constructed intervals
        can be mis-sized.
+
+    .. note:: ``levy_area_approximation`` changes WHICH path the key
+       generates, not just what is returned: the joint (W, U[, K]) descent
+       consumes the node PRNG streams differently from the plain-W
+       bisection, so two intervals sharing a key but differing in mode
+       produce DIFFERENT (equal-in-law) paths. To couple schemes pathwise
+       (convergence studies, scheme A-vs-B comparisons), share ONE bm
+       object — or at least one mode — across all of them.
     """
 
     def __init__(

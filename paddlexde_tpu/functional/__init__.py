@@ -9,6 +9,7 @@ from .sdeint_adjoint import sdeint_adjoint  # noqa: F401
 from .sdeint_event import sdeint_event  # noqa: F401
 from .sdeint_weak import WeakEstimate, sdeint_weak_mc  # noqa: F401
 from .sdeint_mlmc import MLMCEstimate, sdeint_mlmc  # noqa: F401
+from .sdeint_logqp import sdeint_logqp  # noqa: F401
 from .calculus import ito_to_stratonovich, stratonovich_to_ito  # noqa: F401
 from .langevin import (  # noqa: F401
     langevin,
