@@ -137,9 +137,12 @@ def make_langevin_step(force, gamma, beta=1.0, mass=1.0, bm=None,
         q, p = state
         half = 0.5 * dt
         q = drift(q, p, half)
-        p = kick(p, force(t + half, q), half)
+        # q is unchanged by the O step, so both half-kicks share ONE force
+        # evaluation (don't rely on XLA CSE to dedup a user callable)
+        f_mid = force(t + half, q)
+        p = kick(p, f_mid, half)
         p = ou(p, t, t + dt)
-        p = kick(p, force(t + half, q), half)
+        p = kick(p, f_mid, half)
         q = drift(q, p, half)
         return (q, p)
 

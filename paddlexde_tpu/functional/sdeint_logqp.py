@@ -43,6 +43,27 @@ import jax.numpy as jnp
 
 __all__ = ["sdeint_logqp"]
 
+# Diagonal-noise ITO schemes only: the Girsanov integrand ½‖(f−f_prior)/g‖²
+# is the Itô density for elementwise noise. Stratonovich schemes
+# (heun_stratonovich, reversible_heun) would integrate the augmented system
+# with the wrong calculus against an Itô integrand (silently wrong KL);
+# matrix-noise (*_general) and weak (weak2) schemes expect a different
+# diffusion contract and fail with confusing downstream shape errors;
+# taylor15's SCALAR-noise bm (shape [..., 1]) breaks under the channel-
+# growing bm wrapper. Whitelisted, everything else raises.
+_LOGQP_SCHEMES = frozenset({
+    "euler",
+    "milstein",
+    "sra1",
+    "sriw1",
+    "foster2", "foster",
+    "implicit_em", "implicit_euler_maruyama", "drift_implicit_euler",
+    "stochastic_theta",
+    "implicit_milstein", "drift_implicit_milstein",
+    "implicit_sra1", "drift_implicit_sra1",
+    "implicit_foster2", "drift_implicit_foster2",
+})
+
 
 class _AugmentedBM:
     """Forwarding bm wrapper: every returned integral grows a zero-filled
@@ -93,12 +114,19 @@ def sdeint_logqp(
         drift_prior: prior drift ``f_prior(t, y) -> dy`` sharing the
             posterior's diffusion.
         diffusion: ``g(t, y) -> dy`` (diagonal; must be nonzero wherever
-            the drifts differ — u divides by it).
+            the drifts differ — u divides by it; where ``g == 0`` AND the
+            drifts agree the 0/0 is guarded to a zero KL contribution,
+            fwd and bwd).
         y0: initial state (array ``[..., D]``; the KL accumulator gets
             shape ``y0.shape[:-1]``).
-        t_span / solver / options / reverse / time_axis: as :func:`sdeint`
-            (diagonal Itô schemes only — the KL integrand is the Itô
-            Girsanov density).
+        t_span / solver / options / reverse: as :func:`sdeint` — but the
+            solver must be one of ``_LOGQP_SCHEMES`` (diagonal Itô only:
+            the KL integrand is the Itô Girsanov density; anything else
+            raises).
+        time_axis: as :func:`sdeint` for ``ys``; ``logqp`` keeps time at
+            the SAME resolved position (it simply lacks the channel axis).
+            A time_axis resolving to the trailing axis raises (the pair
+            would have inconsistent layouts).
         adjoint: route through :func:`sdeint_adjoint` (O(T_out)-memory
             replay gradients) instead of direct backprop.
         bm / key / levy_area_approximation: Brownian motion over ``y``'s
@@ -113,12 +141,21 @@ def sdeint_logqp(
     """
     from .sdeint import _default_bm_for_scheme, _span_bounds, sdeint
     from .sdeint_adjoint import sdeint_adjoint
+    from .solve import format_solution
 
     y0 = jnp.asarray(y0)
     if y0.ndim < 1:
         raise ValueError(
             "sdeint_logqp needs an array state [..., D] (the KL integrand "
             "sums over the trailing state axis); got a scalar y0"
+        )
+    if isinstance(solver, str) and solver.lower() not in _LOGQP_SCHEMES:
+        raise ValueError(
+            f"sdeint_logqp got solver={solver!r}: the Girsanov KL integrand "
+            "is the diagonal-noise ITO density, so only diagonal Itô schemes "
+            "apply (Stratonovich schemes would accumulate a silently wrong "
+            "KL; matrix-noise/weak/scalar-taylor schemes break the channel-"
+            f"augmentation contract). Choose one of {sorted(_LOGQP_SCHEMES)}."
         )
 
     if bm is None:
@@ -137,7 +174,19 @@ def sdeint_logqp(
     def drift_aug(t, ya):
         y = ya[..., :-1]
         f = drift(t, y)
-        u = (f - drift_prior(t, y)) / diffusion(t, y)
+        g = diffusion(t, y)
+        # guarded division (torchsde's stable_division analogue): where
+        # g == 0 AND the drifts agree, a bare (f-f_prior)/g is 0/0 = NaN
+        # that poisons the path and the gradients. The double-where keeps
+        # the BACKWARD pass NaN-free too (a plain where still differentiates
+        # the untaken 1/0 branch). Where g == 0 but the drifts differ, the
+        # Girsanov density does not exist; we contribute 0 there (matching
+        # the advice's guarded form) — g must be nonzero wherever the
+        # drifts differ for the KL to be meaningful.
+        zero = g == 0
+        safe_g = jnp.where(zero, jnp.ones_like(g), g)
+        u = jnp.where(zero, jnp.zeros_like(f),
+                      (f - drift_prior(t, y)) / safe_g)
         return jnp.concatenate(
             [f, 0.5 * jnp.sum(u * u, axis=-1, keepdims=True)], axis=-1)
 
@@ -150,6 +199,15 @@ def sdeint_logqp(
     ya0 = jnp.concatenate(
         [y0, jnp.zeros(y0.shape[:-1] + (1,), y0.dtype)], axis=-1)
     integrate = sdeint_adjoint if adjoint else sdeint
+    # Integrate with time_axis=0 and split the kl channel off the TRAILING
+    # axis BEFORE the layout move: slicing after format_solution assumed
+    # state channels land last, which breaks for time_axis=-1 (the time
+    # axis itself lands last and the slice silently split off the final
+    # time point as 'logqp') — advisor finding, round 3. The layout
+    # contract: ys is laid out exactly as sdeint's; logqp is ys with the
+    # channel axis REMOVED (time keeps its resolved position), so a
+    # time_axis that resolves to the trailing axis of ys has no consistent
+    # logqp layout and is rejected.
     sol = integrate(
         drift_aug,
         diffusion_aug,
@@ -159,6 +217,20 @@ def sdeint_logqp(
         bm=bm_aug,
         options=options,
         reverse=reverse,
-        time_axis=time_axis,
+        time_axis=0,
     )
-    return sol[..., :-1], sol[..., -1]
+    ys, logqp = sol[..., :-1], sol[..., -1]
+    n = ys.ndim  # full solution ndim: [T, *batch, D]
+    ta = time_axis if time_axis >= 0 else n + time_axis
+    if not 0 <= ta < n:
+        raise ValueError(
+            f"time_axis={time_axis} out of range for a solution of "
+            f"{n} axes")
+    if ta == n - 1:
+        raise ValueError(
+            f"sdeint_logqp got time_axis={time_axis}, which resolves to "
+            "the trailing (state-channel) axis of the solution — logqp "
+            "has no channel axis, so the pair would have inconsistent "
+            "layouts. Use time_axis=0 or any non-trailing position."
+        )
+    return (format_solution(ys, ta), jnp.moveaxis(logqp, 0, ta))

@@ -147,3 +147,71 @@ def test_refusals():
     with pytest.raises(ValueError, match="custom solver"):
         sdeint_logqp(drift, prior, diffusion, jnp.ones((4, 1)), ts,
                      lambda *a, **k: None)
+    # non-Ito / wrong-contract schemes are refused (advisor round 3): a
+    # Stratonovich scheme would integrate the Ito Girsanov integrand with
+    # the wrong calculus — silently wrong KL
+    for bad in ("heun_stratonovich", "weak2", "euler_general", "taylor15",
+                "reversible_heun"):
+        with pytest.raises(ValueError, match="diagonal It"):
+            sdeint_logqp(drift, prior, diffusion, jnp.ones((4, 1)), ts,
+                         bad, key=0)
+
+
+def test_time_axis_layouts():
+    # advisor round 3 (medium): the (ys, logqp) split used to run AFTER
+    # format_solution, assuming channels land last — time_axis=-1 silently
+    # split off the final TIME POINT as logqp. Pinned: default -2 keeps the
+    # pre-fix layout (ys [B,T,D], logqp [B,T] — logqp is ys minus the
+    # channel axis), values identical to the time_axis=0 run, and a
+    # trailing-axis time_axis now raises instead of corrupting.
+    drift, prior, diffusion = _linear_pair(-0.5, 0.2, 0.7)
+    n, steps, T = 4, 16, 0.5
+    y0 = jnp.ones((n, 1), jnp.float64)
+    ts = jnp.linspace(0.0, T, steps + 1)
+
+    def run(ta):
+        bm = BrownianInterval(0.0, T, size=(n, 1), key=jax.random.key(2),
+                              dtype=jnp.float64)
+        return sdeint_logqp(drift, prior, diffusion, y0, ts, "euler",
+                            bm=bm, time_axis=ta)
+
+    ys0, kl0 = run(0)
+    assert ys0.shape == (steps + 1, n, 1) and kl0.shape == (steps + 1, n)
+    ys2, kl2 = run(-2)
+    assert ys2.shape == (n, steps + 1, 1) and kl2.shape == (n, steps + 1)
+    np.testing.assert_array_equal(np.moveaxis(np.asarray(ys0), 0, -2),
+                                  np.asarray(ys2))
+    np.testing.assert_array_equal(np.asarray(kl0).T, np.asarray(kl2))
+    with pytest.raises(ValueError, match="trailing"):
+        run(-1)
+    with pytest.raises(ValueError, match="trailing"):
+        run(2)
+
+
+def test_zero_diffusion_guard():
+    # where g == 0 and the drifts AGREE, the 0/0 is guarded: values and
+    # gradients stay finite (the agreeing channel contributes zero KL)
+    n, steps, T = 8, 32, 0.5
+    ts = jnp.linspace(0.0, T, steps + 1)
+
+    def mean_kl(a):
+        # channel 0: live noise + differing drifts; channel 1: zero
+        # diffusion, drifts agree (both zero)
+        mask = jnp.array([1.0, 0.0], jnp.float64)
+        drift = lambda t, y: a * y * mask
+        prior = lambda t, y: 0.2 * y * mask
+        diffusion = lambda t, y: 0.5 * mask * jnp.ones_like(y)
+        bm = BrownianInterval(0.0, T, size=(n, 2), key=jax.random.key(9),
+                              dtype=jnp.float64)
+        _, kl = sdeint_logqp(drift, prior, diffusion,
+                             jnp.ones((n, 2), jnp.float64), ts, "euler",
+                             bm=bm, time_axis=0)
+        return jnp.mean(kl[-1])
+
+    a0 = jnp.asarray(-0.6, jnp.float64)
+    v = float(mean_kl(a0))
+    g = float(jax.grad(mean_kl)(a0))
+    assert np.isfinite(v) and np.isfinite(g)
+    eps = 1e-6
+    fd = float((mean_kl(a0 + eps) - mean_kl(a0 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
