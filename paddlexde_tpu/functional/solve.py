@@ -47,6 +47,8 @@ _ADAPTIVE_KEYS = {
     "return_stats",
     "time_dtype",
     "newton_iters",  # implicit (ESDIRK) tableaus: Newton iterations per stage
+    "direct_grad",  # False: raw while_loop engine (no reverse-mode, jvp ok)
+    "grid_buffer",  # accepted-step recording capacity for direct gradients
 }
 _ADAMS_KEYS = {"implicit", "max_iters", "max_order", "step_size", "grid_constructor", "grid", "time_dtype", "norm"}
 
@@ -232,10 +234,24 @@ def integrate_term(
                 sol, stats = out
                 return format_solution(sol, time_axis), stats
             return format_solution(out, time_axis)
-        kw = {k: v for k, v in options.items() if k in _ADAPTIVE_KEYS}
-        out = solve_adaptive(
-            term, y0, t_span, method=spec.name, rtol=rtol, atol=atol, **kw
-        )
+        kw = {
+            k: v for k, v in options.items()
+            if k in _ADAPTIVE_KEYS - {"direct_grad", "grid_buffer"}
+        }
+        if options.get("direct_grad", True):
+            # recorded-grid custom_vjp wrapper: jax.grad through the adaptive
+            # solve just works (discrete-exact replay gradients; forward and
+            # stats bit-equal to the raw engine) — solver/adaptive_autodiff.py
+            from ..solver.adaptive_autodiff import solve_adaptive_autodiff
+
+            out = solve_adaptive_autodiff(
+                term, y0, t_span, method=spec.name, rtol=rtol, atol=atol,
+                grid_buffer=int(options.get("grid_buffer", 512)), **kw
+            )
+        else:
+            out = solve_adaptive(
+                term, y0, t_span, method=spec.name, rtol=rtol, atol=atol, **kw
+            )
         if options.get("return_stats"):
             sol, stats = out
             return format_solution(sol, time_axis), stats

@@ -40,13 +40,14 @@ from ..utils.ode_utils import (
 from ..xde.term import XDETerm
 from .tableaus import TABLEAUS, ButcherTableau
 
-__all__ = ["solve_adaptive", "AdaptiveStats", "RKState"]
+__all__ = ["solve_adaptive", "AdaptiveStats", "RKState", "make_rk_core"]
 
-# status bit flags
+# status bit flags (GRID_OVERFLOW matches solver/sde_adaptive.py's value)
 OK = 0
 DT_UNDERFLOW = 1
 NON_FINITE = 2
 MAX_STEPS_EXCEEDED = 4
+GRID_OVERFLOW = 8
 
 
 class RKState(NamedTuple):
@@ -89,26 +90,13 @@ def _combine(k, coeffs, dt, y0=None):
     return jax.tree.map(lambda kl, yl: leaf(kl, yl), k, y0)
 
 
-def make_adaptive_step(
-    term, tableau, rtol, atol, norm, safety_a, ifactor_a, dfactor_a,
-    min_step_a, max_step_a, step_t_a, jump_t_a, time_dtype,
-    newton_iters: int = 6,
-):
-    """Build the branchless ``RKState -> RKState`` step (reference
-    ``_adaptive_step``, ``base_adaptive_solver_rk.py:183-284``). Shared by the
-    per-output-time engine below and the buffered-dense engine
-    (``adaptive_dense.py``).
-
-    Implicit (E)SDIRK tableaus (``tableau.diag`` set) route each diagonal
-    stage through a Newton solve (``newton_iters`` iterations, dense Jacobian
-    via ``jax.linearize``) — the error control, dense output, step_t/jump_t
-    and status machinery are scheme-agnostic, so stiff problems get the same
-    adaptive dt the explicit zoo enjoys.
+def make_rk_core(term, tableau, newton_iters: int = 6):
+    """The pure single-step math of the adaptive engine, factored out so the
+    recorded-grid replay (``adaptive_autodiff.py``) steps BIT-EQUALLY to the
+    engine: returns ``runge_kutta_step(y0, f0, t0, dt, t1) -> (y1, f1,
+    y1_error, k)`` and ``interp_fit_step(y0, y1, k, dt, f0) -> coeff``.
     """
     n_stages = tableau.n_stages
-    order = tableau.order
-    has_step_t = step_t_a is not None
-    has_jump_t = jump_t_a is not None
     implicit = tableau.implicit
 
     def explicit_rk_stages(y0_, f0_, t0_, dt_, t1_):
@@ -203,6 +191,32 @@ def make_adaptive_step(
         y_mid = _combine(k, tableau.c_mid, dt_, y0_)
         f1_ = jax.tree.map(lambda kl: kl[-1], k)
         return interp_fit(y0_, y1_, y_mid, f0_, f1_, dt_)
+
+    return runge_kutta_step, interp_fit_step
+
+
+def make_adaptive_step(
+    term, tableau, rtol, atol, norm, safety_a, ifactor_a, dfactor_a,
+    min_step_a, max_step_a, step_t_a, jump_t_a, time_dtype,
+    newton_iters: int = 6,
+):
+    """Build the branchless ``RKState -> RKState`` step (reference
+    ``_adaptive_step``, ``base_adaptive_solver_rk.py:183-284``). Shared by the
+    per-output-time engine below and the buffered-dense engine
+    (``adaptive_dense.py``).
+
+    Implicit (E)SDIRK tableaus (``tableau.diag`` set) route each diagonal
+    stage through a Newton solve (``newton_iters`` iterations, dense Jacobian
+    via ``jax.linearize``) — the error control, dense output, step_t/jump_t
+    and status machinery are scheme-agnostic, so stiff problems get the same
+    adaptive dt the explicit zoo enjoys.
+    """
+    order = tableau.order
+    has_step_t = step_t_a is not None
+    has_jump_t = jump_t_a is not None
+    n_stages = tableau.n_stages
+    implicit = tableau.implicit
+    runge_kutta_step, interp_fit_step = make_rk_core(term, tableau, newton_iters)
 
     def adaptive_step(s: RKState) -> RKState:
         y0_, f0_, t0_, dt_ = s.y1, s.f1, s.t1, s.dt
@@ -311,6 +325,7 @@ def solve_adaptive(
     return_stats: bool = False,
     time_dtype=None,
     newton_iters: int = 6,
+    _record_grid: Optional[int] = None,
 ):
     """Integrate ``term`` over ``t_span`` (strictly increasing), adaptively.
 
@@ -318,6 +333,16 @@ def solve_adaptive(
     ``return_stats``). Call-graph parity: reference §3.2
     (``base_adaptive_solver.py:24-31`` outer loop, ``base_adaptive_solver_rk.py``
     stepping) — but fully traced.
+
+    ``_record_grid`` (internal — the direct-gradient wrapper,
+    ``adaptive_autodiff.py``): an int capacity; the accepted-step endpoint
+    grid is recorded into a ``[cap+1]`` buffer (``grid[0] = t0``, entry ``i``
+    = the i-th accepted ``t1``; on overflow the write index clamps at ``cap``
+    so the last slot tracks the FINAL t1 — the recorded grid stays a valid,
+    monotone integration grid whose tail step is coarser than the true one —
+    and the GRID_OVERFLOW status bit is set). The return becomes
+    ``(solution, stats, grid, n_recorded)`` regardless of ``return_stats``.
+    Recording never changes the solve's arithmetic (buffer writes only).
     """
     tableau: ButcherTableau = TABLEAUS[method] if isinstance(method, str) else method
     n_stages = tableau.n_stages
@@ -383,32 +408,57 @@ def solve_adaptive(
 
     max_steps_arr = jnp.asarray(max_num_steps, jnp.int32)
 
-    def output_one(s: RKState, next_t):
+    record = _record_grid is not None
+    cap = int(_record_grid) if record else 0
+    buf0 = jnp.full((cap + 1,), t0, time_dtype)
+
+    def output_one(carry, next_t):
         """Advance until t1 covers next_t, then dense-output evaluate
         (reference ``step`` :116-127)."""
+        s, buf = carry
 
-        def cond(carry):
-            s_, n_ = carry
+        def cond(c):
+            s_, n_, _ = c
             return (next_t > s_.t1) & (n_ < max_steps_arr) & (s_.status == 0)
 
-        def body(carry):
-            s_, n_ = carry
-            return adaptive_step(s_), n_ + 1
+        def body(c):
+            s_, n_, b_ = c
+            s2 = adaptive_step(s_)
+            if record:
+                # idempotent on rejects (same index, same t1); on overflow
+                # the index clamps at cap, so the last slot tracks the final
+                # t1 — a monotone grid with one coarse merged tail step
+                b_ = b_.at[jnp.minimum(s2.n_accept, cap)].set(s2.t1)
+            return s2, n_ + 1, b_
 
-        s, n_taken = jax.lax.while_loop(cond, body, (s, jnp.zeros((), jnp.int32)))
+        s, n_taken, buf = jax.lax.while_loop(
+            cond, body, (s, jnp.zeros((), jnp.int32), buf)
+        )
         hit_cap = (next_t > s.t1) & (n_taken >= max_steps_arr)
         s = s._replace(status=s.status | jnp.where(hit_cap, MAX_STEPS_EXCEEDED, 0))
         t_eval = jnp.clip(next_t, s.t0, s.t1)
         y_out = interp_evaluate(s.interp_coeff, s.t0, s.t1, t_eval)
-        return s, y_out
+        return (s, buf), y_out
 
-    final_state, ys = jax.lax.scan(output_one, state, t_span[1:])
+    (final_state, grid_buf), ys = jax.lax.scan(output_one, (state, buf0), t_span[1:])
 
     solution = jax.tree.map(
         lambda y0l, ysl: jnp.concatenate([y0l[None].astype(ysl.dtype), ysl], axis=0),
         y0,
         ys,
     )
+    if record:
+        status = final_state.status | jnp.where(
+            final_state.n_accept > cap, GRID_OVERFLOW, 0
+        )
+        stats = AdaptiveStats(
+            nfe=final_state.nfe,
+            n_accept=final_state.n_accept,
+            n_reject=final_state.n_reject,
+            status=status,
+        )
+        n_rec = jnp.minimum(final_state.n_accept, cap)
+        return solution, stats, grid_buf, n_rec
     if return_stats:
         stats = AdaptiveStats(
             nfe=final_state.nfe,

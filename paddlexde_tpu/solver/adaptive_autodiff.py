@@ -1,0 +1,236 @@
+"""Direct reverse-mode gradients through the adaptive ODE engine.
+
+``jax.grad`` cannot differentiate ``lax.while_loop`` in reverse mode, so a
+plain ``odeint(..., "dopri5")`` used to require :func:`odeint_adjoint`. This
+module ports the SDE side's two-pass recorded-grid design
+(``solver/sde_adaptive.py`` + ``functional/sdeint_adjoint.py`` adaptive path
+— VERDICT r3 next-step 2) to the ODE engine, giving the capability
+torchdiffeq users get implicitly from eager autograd through the reference's
+``paddlexde/functional/odeint.py:9-35``:
+
+- **pass 1 (custom_vjp fwd)**: run the UNCHANGED adaptive engine, recording
+  the accepted-step endpoints into a fixed ``grid_buffer`` slot array (the
+  grid is non-differentiable data, exactly like the SDE recorded grid);
+- **pass 2 (bwd)**: replay the solve as a differentiable ``lax.scan`` over
+  the recorded endpoints using the engine's OWN step math
+  (:func:`~paddlexde_tpu.solver.adaptive.make_rk_core` — shared code, so the
+  replay is bit-equal to the forward including the carried-derivative (FSAL)
+  bookkeeping and the quartic dense-output reads), and backprop through it.
+
+Gradients are therefore the exact discrete derivative of the forward's
+arithmetic on the discovered grid — identical to direct fixed-grid backprop,
+not a continuous-adjoint approximation. ``t_span`` cotangents flow through
+the dense-output evaluation (the interpolant's exact time derivative — the
+same ``<grad, f(t_i, y_i)>``-to-O(h^4) quantity ``odeint_adjoint`` computes);
+the knot grid itself carries no gradient.
+
+Caveats (documented, test-pinned):
+- more accepted steps than ``grid_buffer`` (option, default 512) sets the
+  GRID_OVERFLOW status bit and merges the tail into ONE coarse recorded step
+  (forced-tail semantics, matching the SDE side): the forward is still the
+  true adaptive solution, the replayed gradient is that of the coarsened
+  grid — finite and close, not exact. Raise ``grid_buffer`` to restore
+  exactness; inspect via ``options={"return_stats": True}``.
+- forward-mode (``jax.jvp`` / ``jacfwd``) through the wrapper is unsupported
+  (``custom_vjp``); pass ``options={"direct_grad": False}`` to restore the
+  raw engine (reverse-mode then raises, as before round 4).
+- backward memory is O(grid_buffer x state) (the replay's scan residuals) —
+  for O(1)-memory gradients use :func:`odeint_adjoint`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.norms import rms_norm
+from ..utils.ode_utils import interp_evaluate, sort_tvals
+from ..xde.term import XDETerm
+from .adaptive import make_rk_core, solve_adaptive
+from .tableaus import TABLEAUS
+
+__all__ = ["solve_adaptive_autodiff", "replay_recorded_grid"]
+
+
+def replay_recorded_grid(
+    term: XDETerm,
+    y0,
+    t_span,
+    grid,
+    n_steps,
+    *,
+    method: str = "dopri5",
+    newton_iters: int = 6,
+    jump_t=None,
+    time_dtype=None,
+):
+    """Differentiable fixed-grid replay of an adaptive solve.
+
+    ``grid`` is the ``[cap+1]`` endpoint buffer recorded by
+    ``solve_adaptive(..., _record_grid=cap)`` (``grid[0] = t0``; entries past
+    ``n_steps`` are padding). Steps with the engine's own RK core, carries
+    the step-entry derivative exactly as the engine does (``f_carry`` becomes
+    the next step's stage-0 derivative — including non-FSAL tableaus where
+    that is the last STAGE derivative, and the ``jump_t`` refresh), fits the
+    same quartic dense output per step, and evaluates each output time inside
+    the step the engine used (first recorded step whose ``t1 >= t``, clamped).
+
+    Returns the time-first ``[T, ...]`` solution pytree, bit-equal to the
+    recording forward whenever ``n_steps`` fit the buffer.
+    """
+    tableau = TABLEAUS[method] if isinstance(method, str) else method
+    t_span = jnp.asarray(t_span)
+    if time_dtype is None:
+        time_dtype = jnp.result_type(t_span.dtype, jnp.float32)
+    t_span = t_span.astype(time_dtype)
+    y0 = jax.tree.map(jnp.asarray, y0)
+    grid = jnp.asarray(grid, time_dtype)
+    n_steps = jnp.asarray(n_steps, jnp.int32)
+    cap = grid.shape[0] - 1
+
+    has_jump = jump_t is not None and np.size(jump_t) > 0
+    jump_t_a = (
+        sort_tvals(jnp.asarray(jump_t, time_dtype), grid[0]) if has_jump else None
+    )
+
+    # normalize padding: every entry past n_steps equals grid[n_steps], so
+    # padded steps are zero-length at the final endpoint (finite stage math)
+    grid = grid[jnp.minimum(jnp.arange(cap + 1), n_steps)]
+
+    rk_step, fit_step = make_rk_core(term, tableau, newton_iters)
+
+    t0 = t_span[0]
+    # the engine's step-entry derivative seed (same dt argument: the engine
+    # evaluates f0 = move(t0, t_end - t0, y0) before its first step)
+    f0 = term.move(t0, t_span[-1] - t0, y0)
+
+    def body(carry, i):
+        y, f = carry
+        ta = grid[i]
+        tb = grid[i + 1]
+        dt = tb - ta
+        active = i < n_steps
+        y1, f1, _err, k = rk_step(y, f, ta, dt, tb)
+        coeff = fit_step(y, y1, k, dt, f)
+        f_next = jax.tree.map(lambda kl: kl[-1], k)
+        if has_jump:
+            # engine parity: an accepted step ENDING on a jump time had its
+            # carried derivative refreshed at (t1, y1) (adaptive.py jump path)
+            on_jump = active & jnp.any(tb == jump_t_a)
+            f_ref = term.move(tb, jnp.zeros((), time_dtype), y1)
+            f_next = jax.tree.map(
+                lambda a, b: jnp.where(on_jump, a, b), f_ref, f_next
+            )
+        sel = lambda a, b: jax.tree.map(
+            lambda x, z: jnp.where(active, x, z), a, b
+        )
+        return (sel(y1, y), sel(f_next, f)), coeff
+
+    (_, _), coeffs = jax.lax.scan(body, (y0, f0), jnp.arange(cap))
+
+    t1s = grid[1:]
+    j_hi = jnp.maximum(n_steps - 1, 0)
+
+    def out_one(t_req):
+        # the engine stops at the FIRST accepted step whose t1 covers t_req
+        j = jnp.searchsorted(t1s, t_req, side="left")
+        j = jnp.clip(j, 0, j_hi)
+        ta, tb = grid[j], grid[j + 1]
+        t_eval = jnp.clip(t_req, ta, tb)
+        coeff_j = jax.tree.map(lambda c: c[j], coeffs)
+        return interp_evaluate(coeff_j, ta, tb, t_eval)
+
+    ys = jax.vmap(out_one)(t_span[1:])
+    return jax.tree.map(
+        lambda y0l, ysl: jnp.concatenate(
+            [y0l[None].astype(ysl.dtype), ysl], axis=0
+        ),
+        y0,
+        ys,
+    )
+
+
+def solve_adaptive_autodiff(
+    term: XDETerm,
+    y0,
+    t_span,
+    *,
+    method: str = "dopri5",
+    rtol=1e-7,
+    atol=1e-9,
+    grid_buffer: int = 512,
+    return_stats: bool = False,
+    newton_iters: int = 6,
+    norm=rms_norm,
+    time_dtype=None,
+    jump_t=None,
+    **engine_kw,
+):
+    """:func:`~paddlexde_tpu.solver.adaptive.solve_adaptive` with direct
+    ``jax.grad`` support via the recorded-grid custom_vjp (module docstring).
+
+    Forward values (and stats) are bit-equal to the raw engine; closed-over
+    arrays in ``term.move`` are discovered by ``jax.closure_convert`` and
+    differentiated (the :func:`odeint_adjoint` pattern).
+    """
+    t_span = jnp.asarray(t_span)
+    y0 = jax.tree.map(jnp.asarray, y0)
+    if time_dtype is None:
+        time_dtype = jnp.result_type(t_span.dtype, jnp.float32)
+
+    move_conv, consts = jax.closure_convert(
+        lambda t, dt, y: term.move(t, dt, y), t_span[0], t_span[-1] - t_span[0], y0
+    )
+    consts = tuple(consts)
+
+    def term_of(consts_):
+        return XDETerm(
+            move=lambda t, dt, y: move_conv(t, dt, y, *consts_),
+            fuse=term.fuse,
+            additive=term.additive,
+            kind=term.kind,
+        )
+
+    common = dict(
+        method=method, rtol=rtol, atol=atol, norm=norm, jump_t=jump_t,
+        newton_iters=newton_iters, time_dtype=time_dtype, **engine_kw,
+    )
+
+    @jax.custom_vjp
+    def _run(y0_, ts_, consts_):
+        # the primal ALSO records (buffer writes only — arithmetic identical
+        # to the raw engine) so a plain return_stats call surfaces
+        # GRID_OVERFLOW without needing a grad pass
+        sol, stats, _grid, _n = solve_adaptive(
+            term_of(consts_), y0_, ts_, _record_grid=grid_buffer, **common
+        )
+        return (sol, stats) if return_stats else sol
+
+    def _fwd(y0_, ts_, consts_):
+        sol, stats, grid, n_rec = solve_adaptive(
+            term_of(consts_), y0_, ts_, _record_grid=grid_buffer, **common
+        )
+        out = (sol, stats) if return_stats else sol
+        return out, (y0_, ts_, consts_, grid, n_rec)
+
+    def _bwd(res, ct):
+        y0_, ts_, consts_, grid, n_rec = res
+        ct_sol = ct[0] if return_stats else ct
+        grid = jax.lax.stop_gradient(grid)
+        n_rec = jax.lax.stop_gradient(n_rec)
+
+        def rep(y0c, tsc, cc):
+            return replay_recorded_grid(
+                term_of(cc), y0c, tsc, grid, n_rec,
+                method=method, newton_iters=newton_iters, jump_t=jump_t,
+                time_dtype=time_dtype,
+            )
+
+        _, vjp = jax.vjp(rep, y0_, ts_, consts_)
+        return vjp(ct_sol)
+
+    _run.defvjp(_fwd, _bwd)
+    return _run(y0, t_span, consts)
