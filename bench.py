@@ -32,6 +32,20 @@ BENCH_CONFIG = {
     "reps": 15,
 }
 
+# The JSON record MUST carry all three solver series every round (the
+# r02->r03 headline redefinition — per-call vs device-side — must never
+# silently recur: VERDICT r3 weak-2 / next-step 7) plus the flagship D3STN
+# step. main() asserts these before printing; tests/test_bench_contract.py
+# pins the constant.
+REQUIRED_RECORD_KEYS = (
+    "metric", "value", "unit", "vs_baseline",       # driver contract
+    "call_steps_per_sec",                            # per-call series (r02 def)
+    "dispatch_floor_ms",                             # the tunnel RPC floor
+    "eager_steps_per_sec",                           # the baseline stand-in
+    "d3stn_bs32_device_ms_per_step",                 # flagship train step
+    "d3stn_bs32_samples_per_sec",
+)
+
 
 def _median_time(fn, reps=5):
     ts = []
@@ -328,6 +342,34 @@ def main():
     except Exception:
         pass
 
+    # --- flagship D3STN train step (bs 32, device-side marginal) — the
+    # model-level number next to the solver-level one (VERDICT r3 next-step
+    # 7). Subprocess with a bounded wait: the cold compile through the
+    # remote TPU compiler is ~5-15 min (cached in .bench_cache after);
+    # failure records nulls + the error, never kills the driver contract. ---
+    d3stn = {"d3stn_bs32_device_ms_per_step": None,
+             "d3stn_bs32_samples_per_sec": None}
+    if os.environ.get("PXT_BENCH_D3STN", "1") != "0":
+        try:
+            import subprocess
+            import sys
+
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tools", "bench_d3stn.py"),
+                 "--bs", "32", "--his", "288", "--chain", "6", "--reps", "8"],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("PXT_BENCH_D3STN_TIMEOUT_S",
+                                             "2400")),
+            )
+            rec = json.loads(out.stdout.strip().splitlines()[-1])
+            d3stn["d3stn_bs32_device_ms_per_step"] = rec["device_ms_per_step"]
+            d3stn["d3stn_bs32_samples_per_sec"] = rec["device_samples_per_sec"]
+            d3stn["d3stn_backend"] = rec.get("backend")
+        except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+            d3stn["d3stn_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     record = {
         "metric": "dopri5_steps_per_sec_spiral_node",
         # headline = DEVICE-SIDE steps/s (marginal over 16 dependency-chained
@@ -351,12 +393,15 @@ def main():
         "backend": core["backend"],
         "bench_config": BENCH_CONFIG,
     }
+    record.update(d3stn)
     if cpu:
         record["cpu_dense_steps_per_sec"] = round(cpu["dense_steps_per_sec"], 2)
         record["cpu_eager_steps_per_sec"] = round(cpu["eager_steps_per_sec"], 2)
         record["vs_baseline_cpu"] = round(
             cpu["dense_steps_per_sec"] / cpu["eager_steps_per_sec"], 2
         )
+    missing = [k for k in REQUIRED_RECORD_KEYS if k not in record]
+    assert not missing, f"bench record lost required keys: {missing}"
     print(json.dumps(record))
 
 
