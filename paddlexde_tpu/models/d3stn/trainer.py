@@ -71,9 +71,18 @@ class Trainer:
     def __init__(self, cfg: D3STNConfig, data: Optional[np.ndarray] = None,
                  adj_matrix: Optional[np.ndarray] = None,
                  sc_matrix: Optional[np.ndarray] = None,
-                 mesh=None):
+                 mesh=None, epoch_callback=None, enc_idx_init=None,
+                 dec_idx_init=None):
+        """``epoch_callback(epoch, trainer)`` fires after each epoch's eval
+        (lag-trajectory / curve instrumentation — tools/dress_rehearsal.py);
+        ``enc_idx_init`` / ``dec_idx_init`` override :func:`init_lag_anchors`
+        (e.g. a perturbed init to demonstrate lag migration back to the
+        anchors)."""
         self.cfg = cfg
         self.mesh = mesh
+        self.epoch_callback = epoch_callback
+        self._enc_idx_init = enc_idx_init
+        self._dec_idx_init = dec_idx_init
         if mesh is not None and not cfg.spmd:
             # Pallas kernels stay ON under a mesh: ops/partition.py gives them
             # the GSPMD/Shardy partitioning rule pallas_call lacks (batch/node
@@ -141,6 +150,10 @@ class Trainer:
         self.val_dataset = TrafficFlowDataset(cfg, "val", data=data)
         self.test_dataset = TrafficFlowDataset(cfg, "test", data=data)
         enc, dec = init_lag_anchors(cfg)
+        if self._enc_idx_init is not None:
+            enc = np.asarray(self._enc_idx_init, np.float32)
+        if self._dec_idx_init is not None:
+            dec = np.asarray(self._dec_idx_init, np.float32)
         self.encoder_idx = jnp.asarray(enc)
         self.decoder_idx = jnp.asarray(dec)
         self.his_span = jnp.arange(cfg.his_len, dtype=jnp.float32)
@@ -416,6 +429,9 @@ class Trainer:
                 # documented exact-resume path would silently degrade to
                 # params-only with fresh Adam moments
                 self.save(full_state=True, at_epoch=epoch)
+
+            if self.epoch_callback is not None:
+                self.epoch_callback(epoch, self)
 
             self.early_stopping(eval_loss)
             if self.early_stopping.early_stop:
