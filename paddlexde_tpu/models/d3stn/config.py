@@ -73,6 +73,17 @@ class D3STNConfig:
     # because the wrapper's custom-call boundary costs ~5% on a single chip
     # (measured 100.6 -> 105.8 ms, PEMS08 bs 32). Hand-rolled sharded jits
     # over the kernels must set it or the partitioner will replicate them.
+    device_gather: str = "auto"  # resident-series batching: the full
+    # transformed [N, T, C] series (~36 MB at PEMS08 scale) lives ON DEVICE
+    # once and the jitted train/eval/test steps gather their [B, N, win, C]
+    # windows with an in-jit dynamic_slice, so each batch ships 4*B bytes of
+    # start indices instead of ~131 MB of stride-1-overlapping windows (the
+    # host path re-sends the series ~1500x per epoch; at PEMS08 scale on the
+    # dev tunnel that is ~97% of the 1724 s epoch). "auto": on when
+    # single-process (incl. single-process meshes); "off": host-side gather +
+    # upload (the reference's DataLoader shape, train_dde.py:96-114); "on":
+    # force — rejected under multi-process runs, whose data sharding is
+    # per-process host-fed by design.
 
     # train
     learning_rate: float = 1e-3
@@ -88,6 +99,16 @@ class D3STNConfig:
     kl_loss_weight: float = 1.0
     dropout: float = 0.0
     continue_training: bool = False
+    finetune_fresh_schedule: bool = False  # restart the cosine warmup/decay
+    # schedule at the finetune phase boundary. Default False = reference
+    # parity: the reference REBUILDS its scheduler in _init_finetune
+    # (train_dde.py:270-304) but then steps it to the GLOBAL epoch
+    # (train_dde.py:363), so past warmup+decay the finetune lag LR sits at
+    # the 0.1x floor — with Adam-normalized steps that caps lag movement at
+    # ~0.03 index-steps/epoch, too cold to traverse a perturbed init
+    # (measured: tools/dress_rehearsal.py round 4). True restarts the
+    # schedule from the phase boundary so lags train at the advertised
+    # full rate.
     distribute: bool = False
     seed: int = 0
     save_dir: str = "experiments"
@@ -104,6 +125,7 @@ class D3STNConfig:
             ("gcn_impl", ("auto", "xla", "pallas")),
             ("attn_impl", ("auto", "xla", "pallas")),
             ("attention", ("Corr", "Vanilla")),
+            ("device_gather", ("auto", "on", "off")),
         ):
             val = getattr(self, field)
             if val not in allowed:

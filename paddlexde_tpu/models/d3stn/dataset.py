@@ -125,6 +125,38 @@ class TrafficFlowDataset:
     def inverse_transform(self, data):
         return self.scaler.inverse_transform(data) if self.scaler else data
 
+    def _epoch_order(self, shuffle, seed, process_index, process_count):
+        """Sample order for one epoch: shared-seed shuffle, then a wrap-padded
+        strided per-process shard (the reference DistributedBatchSampler
+        semantics — see :meth:`batches`)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        if process_count > 1:
+            total = -(-len(order) // process_count) * process_count
+            if total > len(order) and len(order) > 0:
+                order = np.concatenate([order, order[: total - len(order)]])
+            order = order[process_index::process_count]
+        return order
+
+    def batch_starts(self, batch_size, shuffle=False, seed=0, drop_last=False,
+                     process_index=0, process_count=1):
+        """Yield int32 window-START batches for the device-resident-series
+        path (``Trainer`` with ``device_gather``): every window is the
+        contiguous slice ``[start, start+his_len+tgt_len)`` of the full
+        transformed series, so a start index fully determines the (his, tgt)
+        pair — the jitted step dynamic-slices them on device and the host
+        ships 4 bytes per sample instead of the ~4 MB window. Order/shard/
+        HZME-filter semantics are exactly :meth:`batches`'s (same
+        ``_epoch_order``, same ``self.windows``)."""
+        starts = np.asarray([w[0] for w in self.windows], np.int32)
+        order = self._epoch_order(shuffle, seed, process_index, process_count)
+        for s in range(0, len(order), batch_size):
+            idx = order[s : s + batch_size]
+            if drop_last and idx.size < batch_size:
+                return
+            yield starts[idx]
+
     def batches(self, batch_size, shuffle=False, seed=0, drop_last=False,
                 time_major=False, process_index=0, process_count=1):
         """Yield (his, tgt) numpy batches.
@@ -147,14 +179,7 @@ class TrafficFlowDataset:
         """
         cfg = self.cfg
         starts = np.asarray([w[0] for w in self.windows])
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.RandomState(seed).shuffle(order)
-        if process_count > 1:
-            total = -(-len(order) // process_count) * process_count
-            if total > len(order) and len(order) > 0:
-                order = np.concatenate([order, order[: total - len(order)]])
-            order = order[process_index::process_count]
+        order = self._epoch_order(shuffle, seed, process_index, process_count)
 
         n, d = self.data.shape[0], self.data.shape[2]
         if time_major:

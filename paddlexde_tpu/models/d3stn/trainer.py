@@ -100,6 +100,18 @@ class Trainer:
         self.process_index = jax.process_index()
         self.process_count = jax.process_count()
         self.is_main = self.process_index == 0
+        # resident-series batching (config.device_gather): the full [N, T, C]
+        # series lives on device and the jitted steps gather windows in-jit —
+        # per-batch host->device traffic drops from ~131 MB to 4*B bytes at
+        # PEMS08 scale (stride-1 windows re-ship the series ~1500x per epoch
+        # through the host path). Multi-process data feeding is per-host by
+        # design, so the host path stays in charge there.
+        if self.cfg.device_gather == "on" and self.process_count > 1:
+            raise ValueError(
+                "device_gather='on' is single-process only: multi-process "
+                "runs feed each host's own data shard (use 'auto'/'off')"
+            )
+        self.device_gather = self.cfg.device_gather != "off" and self.process_count == 1
 
         self.save_path = os.path.join(
             cfg.save_dir, cfg.dataset_name,
@@ -157,6 +169,11 @@ class Trainer:
         self.encoder_idx = jnp.asarray(enc)
         self.decoder_idx = jnp.asarray(dec)
         self.his_span = jnp.arange(cfg.his_len, dtype=jnp.float32)
+        if self.device_gather:
+            # one upload of the full transformed series, shared by all three
+            # splits (each TrafficFlowDataset holds the same [N, T, C] array;
+            # only the window offsets differ)
+            self._series = jnp.asarray(self.train_dataset.data)
         self.logger.info(f"encoder_idx: {enc}")
         self.logger.info(f"decoder_idx: {dec}")
 
@@ -245,9 +262,10 @@ class Trainer:
 
     def _compile_steps(self):
         tx = self.tx
+        cfg = self.cfg
 
-        @jax.jit
-        def train_step(state, opt_state, src, tgt, kl_weight, lr_net, lr_lags, rng):
+        def train_core(state, opt_state, src, tgt, kl_weight, lr_net, lr_lags, rng):
+            prev_state, prev_opt = state, opt_state
             (total, (loss, align)), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
             )(state, src, tgt, kl_weight, rng)
@@ -258,25 +276,86 @@ class Trainer:
                 "dec_idx": -lr_lags * updates["dec_idx"],
             }
             state = jax.tree.map(jnp.add, state, scaled)
+            # projected step: learned lags stay inside the interpolation
+            # domain [0, his_len-1]. The reference never clamps
+            # (train_dde.py:455-456) — its lags only survive because they
+            # start AT the anchors and move slowly; once a lag crosses the
+            # last knot the spline extrapolates and training destabilizes
+            # (observed: round-4 rehearsal, dec lag at 2015.29/2015).
+            hi = jnp.asarray(cfg.his_len - 1, state["enc_idx"].dtype)
+            state = {
+                "net": state["net"],
+                "enc_idx": jnp.clip(state["enc_idx"], 0.0, hi),
+                "dec_idx": jnp.clip(state["dec_idx"], 0.0, hi),
+            }
+            # non-finite guard (§5 failure detection, extended to training):
+            # a single razor-edge step (observed once at PEMS08 scale in f32:
+            # finite at epoch 10, NaN at 11, and a bit-different recompile of
+            # the same step replayed finite) must not poison the whole run —
+            # the reference trains on through NaN until early stopping burns
+            # out. Skip the update, keep the loss visible (the train loop
+            # logs the skip count).
+            ok = jnp.isfinite(total)
+            keep = lambda new, old: jnp.where(ok, new, old)
+            state = jax.tree.map(keep, state, prev_state)
+            opt_state = jax.tree.map(keep, opt_state, prev_opt)
+            # a skipped step reports a NaN loss even when the criterion part
+            # was finite (total may blow via the KL term): the epoch loop's
+            # skip counter keys on the reported loss
+            loss = jnp.where(ok, loss, jnp.full_like(loss, jnp.nan))
             return state, opt_state, loss, align
 
-        @jax.jit
-        def eval_step(state, src, tgt):
+        def eval_core(state, src, tgt):
             preds, _ = self._forward(
                 state["net"], state["enc_idx"], state["dec_idx"], src
             )
             return self.criterion(preds, tgt[..., :1])
 
-        @jax.jit
-        def pred_step(state, src):
+        def pred_core(state, src):
             preds, _ = self._forward(
                 state["net"], state["enc_idx"], state["dec_idx"], src
             )
             return preds
 
-        self._train_step = train_step
-        self._eval_step = eval_step
-        self._pred_step = pred_step
+        self._train_step = jax.jit(train_core)
+        self._eval_step = jax.jit(eval_core)
+        self._pred_step = jax.jit(pred_core)
+
+        if self.device_gather:
+            series = self._series  # [N, T, C], closed over as a device const
+            his_len, tgt_len = cfg.his_len, cfg.tgt_len
+
+            def windows(s_b):
+                # one contiguous (his+tgt) slice per sample, split in-jit:
+                # identical bits to the host path's self.data[:, s:e, :]
+                def one(s):
+                    w = jax.lax.dynamic_slice_in_dim(
+                        series, s, his_len + tgt_len, axis=1
+                    )
+                    return w[:, :his_len], w[:, his_len:]
+
+                return jax.vmap(one)(s_b)
+
+            @jax.jit
+            def train_step_idx(state, opt_state, s_b, kl_weight, lr_net, lr_lags, rng):
+                src, tgt = windows(s_b)
+                return train_core(
+                    state, opt_state, src, tgt, kl_weight, lr_net, lr_lags, rng
+                )
+
+            @jax.jit
+            def eval_step_idx(state, s_b):
+                src, tgt = windows(s_b)
+                return eval_core(state, src, tgt)
+
+            @jax.jit
+            def pred_step_idx(state, s_b):
+                src, _ = windows(s_b)
+                return pred_core(state, src)
+
+            self._train_step_idx = train_step_idx
+            self._eval_step_idx = eval_step_idx
+            self._pred_step_idx = pred_step_idx
 
     def _device_put(self, arr):
         if self.mesh is not None:
@@ -319,6 +398,17 @@ class Trainer:
             )
             return jax.device_put(arr, NamedSharding(self.mesh, spec))
         return jnp.asarray(arr)
+
+    def _put_starts(self, s_b):
+        """Place a [B] int32 window-start batch (device-gather path): batch-
+        sharded under a mesh when divisible, replicated for ragged tails."""
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = self.mesh.shape["data"]
+            spec = P("data") if np.shape(s_b)[0] % n_data == 0 else P()
+            return jax.device_put(np.asarray(s_b), NamedSharding(self.mesh, spec))
+        return jnp.asarray(s_b)
 
     def _eval_placement(self):
         """(state, put) for eval/test. Single-process: the mesh state and the
@@ -364,7 +454,12 @@ class Trainer:
             if epoch == cfg.warmup_step:
                 self.kl_loss_weight = self.kl_loss_weight_init
 
-            lr_factor = self.lr_schedule(epoch + 1)
+            sched_epoch = (
+                epoch - cfg.train_epochs
+                if self.finetune and cfg.finetune_fresh_schedule
+                else epoch
+            )
+            lr_factor = self.lr_schedule(sched_epoch + 1)
             lr_net = self.base_lr["net"] * lr_factor
             lr_lags = self.base_lr["lags"] * lr_factor
 
@@ -372,24 +467,35 @@ class Trainer:
             epoch_key = jax.random.fold_in(jax.random.key(self.cfg.seed), epoch)
             tr_s = time()
             n_batches = 0
-            batch_iter = prefetch(
-                self.train_dataset.batches(
-                    cfg.batch_size, shuffle=True, seed=cfg.seed + epoch,
-                    drop_last=True,
-                    process_index=self.process_index,
-                    process_count=self.process_count,
-                ),
-                depth=2,
-                # snapshot the reused host buffers before upload (device_put
-                # aliases zero-copy on CPU; async H2D on accelerators)
-                transfer=lambda b: jax.block_until_ready(
-                    (self._device_put(np.array(b[0])), self._device_put(np.array(b[1])))
-                ),
+            batch_kw = dict(
+                shuffle=True, seed=cfg.seed + epoch, drop_last=True,
+                process_index=self.process_index,
+                process_count=self.process_count,
             )
+            if self.device_gather:
+                # index batches: 4*B bytes each — no prefetch pipeline needed
+                batch_iter = (
+                    (self._put_starts(s_b),)
+                    for s_b in self.train_dataset.batch_starts(
+                        cfg.batch_size, **batch_kw
+                    )
+                )
+                step = self._train_step_idx
+            else:
+                batch_iter = prefetch(
+                    self.train_dataset.batches(cfg.batch_size, **batch_kw),
+                    depth=2,
+                    # snapshot the reused host buffers before upload (device_put
+                    # aliases zero-copy on CPU; async H2D on accelerators)
+                    transfer=lambda b: jax.block_until_ready(
+                        (self._device_put(np.array(b[0])), self._device_put(np.array(b[1])))
+                    ),
+                )
+                step = self._train_step
             losses = []
-            for src, tgt in batch_iter:
-                state, opt_state, loss, align = self._train_step(
-                    state, opt_state, src, tgt,
+            for batch in batch_iter:
+                state, opt_state, loss, align = step(
+                    state, opt_state, *batch,
                     jnp.asarray(self.kl_loss_weight, jnp.float32),
                     jnp.asarray(lr_net, jnp.float32),
                     jnp.asarray(lr_lags, jnp.float32),
@@ -403,7 +509,20 @@ class Trainer:
                 # with host-side batch prep; one sync at epoch end.
                 losses.append(loss)
                 n_batches += 1
-            epoch_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            if losses:
+                arr = jnp.stack(losses)
+                finite = jnp.isfinite(arr)
+                n_skip = int(jnp.sum(~finite))
+                epoch_loss = float(jnp.where(finite, arr, 0.0).sum())
+                if n_skip:
+                    # the step's non-finite guard kept the state; surface it
+                    self.logger.warning(
+                        f"epoch {epoch}: skipped {n_skip}/{n_batches} "
+                        "non-finite train step(s) (state kept)"
+                    )
+                n_batches = max(n_batches - n_skip, 1)
+            else:
+                epoch_loss = 0.0
             self._set_state(state)
             self.opt_state = opt_state
             self.logger.info(
@@ -463,14 +582,24 @@ class Trainer:
         from ...parallel import process_concat
 
         state, put = self._eval_placement()
-        losses = [
-            float(self._eval_step(state, put(src), put(tgt)))
-            for src, tgt in self.val_dataset.batches(
-                self.cfg.batch_size,
-                process_index=self.process_index,
-                process_count=self.process_count,
-            )
-        ]
+        if self.device_gather:
+            # keep the per-batch losses on device; one fetch at the end (a
+            # float() per batch would serialize every step behind the ~30 ms
+            # tunnel dispatch round-trip)
+            dev_losses = [
+                self._eval_step_idx(state, self._put_starts(s_b))
+                for s_b in self.val_dataset.batch_starts(self.cfg.batch_size)
+            ]
+            losses = [float(x) for x in np.asarray(jnp.stack(dev_losses))] if dev_losses else []
+        else:
+            losses = [
+                float(self._eval_step(state, put(src), put(tgt)))
+                for src, tgt in self.val_dataset.batches(
+                    self.cfg.batch_size,
+                    process_index=self.process_index,
+                    process_count=self.process_count,
+                )
+            ]
         losses = process_concat(np.asarray(losses, np.float64))
         eval_loss = float(np.mean(losses)) if losses.size else np.inf
         self.logger.info(f"epoch {epoch} eval_loss: {eval_loss:.6f}")
@@ -484,17 +613,29 @@ class Trainer:
 
         state, put = self._eval_placement()
         preds, trues = [], []
-        for src, tgt in self.test_dataset.batches(
-            self.cfg.batch_size,
-            process_index=self.process_index,
-            process_count=self.process_count,
-        ):
-            p = self._pred_step(state, put(src))
-            preds.append(np.asarray(p))
-            # np.array (copy!): tgt is a view of the dataset's REUSED batch
-            # buffer — an alias here would silently make every collected batch
-            # equal to the last one
-            trues.append(np.array(tgt[..., :1]))
+        if self.device_gather:
+            ds = self.test_dataset
+            his, tgt_len = self.cfg.his_len, self.cfg.tgt_len
+            for s_b in ds.batch_starts(self.cfg.batch_size):
+                p = self._pred_step_idx(state, self._put_starts(s_b))
+                preds.append(np.asarray(p))
+                # trues come straight off the host-side series (cheap slices
+                # of ds.data — same bits the device gather sees)
+                trues.append(np.stack(
+                    [ds.data[:, s + his : s + his + tgt_len, :1] for s in s_b], 0
+                ))
+        else:
+            for src, tgt in self.test_dataset.batches(
+                self.cfg.batch_size,
+                process_index=self.process_index,
+                process_count=self.process_count,
+            ):
+                p = self._pred_step(state, put(src))
+                preds.append(np.asarray(p))
+                # np.array (copy!): tgt is a view of the dataset's REUSED batch
+                # buffer — an alias here would silently make every collected
+                # batch equal to the last one
+                trues.append(np.array(tgt[..., :1]))
         preds = process_concat(np.concatenate(preds, 0))
         trues = process_concat(np.concatenate(trues, 0))
         preds = self.test_dataset.inverse_transform(preds)

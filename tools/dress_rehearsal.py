@@ -67,6 +67,17 @@ def rehearsal_traffic(num_nodes: int, seq_len: int, seed: int = 0) -> np.ndarray
     offset diversity, and node-mixed AR(1) innovations. Values are
     non-negative flows like the real counts. Layout [T, N, 1] float32,
     identical to the reference npz's value channel.
+
+    The WEEKLY-ANCHORED component (round 4): a smoothed pseudo-noise series
+    repeating with EXACT period 2016 (one week), autocorrelation length
+    ~6 steps. Information that exists only at the weekly lag: the smooth
+    daily profile is recoverable from ANY nearby lag (a net co-adapts to a
+    perturbed lag init and the lag-loss landscape is then centered on the
+    perturbed position — measured, tools/lag_landscape.py: eval 0.0089 at
+    the jittered lags vs 0.031 at ±6 steps, minimum NOT at the anchor), but
+    this component decorrelates within ~6 steps, so a lag off the weekly
+    anchor LOSES it and no amount of net adaptation can recover it — the
+    gradient pull on the lags that the migration measurement needs.
     """
     rng = np.random.RandomState(seed)
     t = np.arange(seq_len)
@@ -96,7 +107,22 @@ def rehearsal_traffic(num_nodes: int, seq_len: int, seed: int = 0) -> np.ndarray
         ar[i] = phi * ar[i - 1] + eps[i]
     noise = (ar @ mixing.T) * 6.0
 
-    data = np.clip(base[:, None] * amp[None, :] + offset[None, :] + noise, 0, None)
+    # weekly-anchored pseudo-noise: exact period 2016, smoothed to a ~6-step
+    # correlation length, per-node sign/scale so it is not a global offset
+    pn = rng.randn(2016)
+    kern = np.exp(-0.5 * (np.arange(-12, 13) / 3.0) ** 2)
+    pn = np.convolve(np.concatenate([pn[-12:], pn, pn[:12]]), kern / kern.sum(),
+                     mode="same")[12:-12]
+    pn = pn / pn.std()
+    reps = -(-seq_len // 2016)
+    weekly_sig = np.tile(pn, reps)[:seq_len]  # [T]
+    w_amp = (0.4 + rng.rand(num_nodes)) * 30.0 * np.sign(rng.randn(num_nodes))
+
+    data = np.clip(
+        base[:, None] * amp[None, :] + offset[None, :] + noise
+        + weekly_sig[:, None] * w_amp[None, :],
+        0, None,
+    )
     return data[..., None].astype(np.float32)  # [T, N, 1]
 
 
@@ -119,6 +145,10 @@ def main():
     p.add_argument("--finetune_epochs", type=int, default=None)
     p.add_argument("--jitter_std", type=float, default=3.0,
                    help="stddev (in 5-min steps) of the lag-init perturbation")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the epoch_best full-state sidecar "
+                        "(exact resume: params, lags, Adam moments, phase, "
+                        "epoch) and append to the lag trajectory")
     cli = p.parse_args()
 
     from paddlexde_tpu.models.d3stn import (
@@ -140,6 +170,11 @@ def main():
             finetune_epochs=cli.finetune_epochs or 15,
             warmup_step=6, decay_step=24, patience=10,
             save_dir=cli.out or "experiments/dress_rehearsal",
+            continue_training=cli.resume,
+            # the migration measurement needs the finetune lags at the
+            # advertised full rate; reference-parity scheduling (default)
+            # leaves them at the 0.1x cosine floor (see config.py)
+            finetune_fresh_schedule=True,
         )
         seq_len = 288 * 62  # PEMS08's real span is 17856 steps = 62 days
     else:
@@ -174,7 +209,8 @@ def main():
 
     traj_path = os.path.join(cfg.save_dir, "lag_trajectory.jsonl")
     os.makedirs(cfg.save_dir, exist_ok=True)
-    open(traj_path, "w").close()
+    if not (cli.resume and os.path.exists(traj_path)):
+        open(traj_path, "w").close()
 
     def on_epoch(epoch, tr):
         enc = np.asarray(tr.encoder_idx, np.float64)
