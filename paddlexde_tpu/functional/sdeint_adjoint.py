@@ -29,89 +29,14 @@ from ..solver.registry import resolve_solver
 from ..solver.sde_adaptive import solve_sde_adaptive
 from .sdeint import (
     _SDE_ADAPTIVE_KEYS,
-    _SDE_LOCAL_ORDER,
     _reversed_general_ito_fns,
     _reversed_ito_fns,
     _reversed_scalar_ito_fns,
-    _span_bounds,
     _reversed_stratonovich_fns,
-    make_general_euler_term,
-    make_general_milstein_term,
-    make_general_sra1_term,
-    make_heun_stratonovich_term,
-    make_implicit_em_term,
-    make_implicit_foster2_general_term,
-    make_implicit_foster2_term,
-    make_implicit_milstein_term,
-    make_implicit_sra1_general_term,
-    make_implicit_sra1_term,
-    make_milstein_term,
-    make_sde_term,
-    make_foster2_general_term,
-    make_foster2_term,
-    make_sra1_term,
-    make_sriw1_term,
-    make_general_taylor15_term,
-    make_taylor15_term,
-    make_weak2_general_term,
-    make_weak2_term,
+    _span_bounds,
 )
+from .sde_schemes.registry import SDE_SCHEMES, resolve_sde_scheme
 from .solve import _is_decreasing, format_solution
-
-_TERM_BUILDERS = {
-    None: make_sde_term,
-    "milstein": make_milstein_term,
-    "implicit_em": make_implicit_em_term,
-    "implicit_euler_maruyama": make_implicit_em_term,
-    "drift_implicit_euler": make_implicit_em_term,
-    "stochastic_theta": make_implicit_em_term,
-    "implicit_milstein": make_implicit_milstein_term,
-    "drift_implicit_milstein": make_implicit_milstein_term,
-    "implicit_sra1": make_implicit_sra1_term,
-    "implicit_sra1_general": make_implicit_sra1_general_term,
-    "implicit_foster2": make_implicit_foster2_term,
-    "implicit_foster2_general": make_implicit_foster2_general_term,
-    "sra1": make_sra1_term,
-    "sriw1": make_sriw1_term,
-    "heun_stratonovich": make_heun_stratonovich_term,
-    "stratonovich_heun": make_heun_stratonovich_term,
-    "euler_general": make_general_euler_term,
-    "milstein_general": make_general_milstein_term,
-    "sra1_general": make_general_sra1_term,
-    "milstein_commutative": lambda d, g, bm: make_general_milstein_term(
-        d, g, bm, use_area=False
-    ),
-    "foster2": make_foster2_term,
-    "foster2_general": make_foster2_general_term,
-    "taylor15": make_taylor15_term,
-    "taylor15_general": make_general_taylor15_term,
-    "taylor15_commutative": lambda d, g, bm: make_general_taylor15_term(
-        d, g, bm, use_area=False
-    ),
-    "weak2": make_weak2_term,
-    "weak2_general": make_weak2_general_term,
-}
-
-_GENERAL_SCHEMES = {"euler_general", "milstein_general", "milstein_commutative", "sra1_general", "foster2_general", "weak2_general", "taylor15_general", "taylor15_commutative", "implicit_sra1_general", "implicit_foster2_general"}
-_SCHEME_ALIASES = {
-    "stratonovich_heun": "heun_stratonovich",
-    "general_sra1": "sra1_general",
-    "general_euler": "euler_general",
-    "general_milstein": "milstein_general",
-    "commutative_milstein": "milstein_commutative",
-    "foster": "foster2",
-    "general_foster2": "foster2_general",
-    "drift_implicit_sra1": "implicit_sra1",
-    "general_implicit_sra1": "implicit_sra1_general",
-    "drift_implicit_foster2": "implicit_foster2",
-    "general_implicit_foster2": "implicit_foster2_general",
-    "ito_taylor15": "taylor15",
-    "general_taylor15": "taylor15_general",
-    "commutative_taylor15": "taylor15_commutative",
-    "platen_weak2": "weak2",
-    "weak2_platen": "weak2",
-    "general_weak2": "weak2_general",
-}
 
 __all__ = ["sdeint_adjoint"]
 
@@ -205,8 +130,8 @@ def sdeint_adjoint(
     """
     del adjoint_params
     solver_name = solver.lower() if isinstance(solver, str) else ""
-    solver_name = _SCHEME_ALIASES.get(solver_name, solver_name)
-    if solver_name in ("reversible_heun", "heun_reversible"):
+    sde_spec = resolve_sde_scheme(solver_name)
+    if sde_spec is not None and sde_spec.name == "reversible_heun":
         # the scheme's algebraic reversibility admits a BETTER adjoint than
         # the replay: O(1)-memory state reconstruction (see
         # _reversible_heun_adjoint)
@@ -215,58 +140,34 @@ def sdeint_adjoint(
             adaptive=adaptive, options=options, bm=bm, key=key,
             time_axis=time_axis, rtol=rtol, atol=atol,
         )
-    scheme = solver_name if solver_name in _TERM_BUILDERS else None
-    builder_override = None
-    if scheme in ("implicit_em", "implicit_euler_maruyama",
-                  "drift_implicit_euler", "stochastic_theta",
-                  "implicit_milstein", "drift_implicit_milstein",
-                  "implicit_sra1", "implicit_sra1_general",
-                  "implicit_foster2", "implicit_foster2_general"):
-        # scheme-construction knobs ride in options; pop them BEFORE any
-        # option validation/forwarding and bake them into the builder
-        import functools as _ft
-
-        _knobs = ("theta", "newton_iters", "krylov")
-        if scheme in ("implicit_foster2", "implicit_foster2_general"):
-            _knobs = ("newton_iters", "krylov", "substeps")
-        elif scheme in ("implicit_sra1", "implicit_sra1_general"):
-            _knobs = ("newton_iters", "krylov")
-        _ikw = {}
-        _opts = dict(options or {})
-        for _k in _knobs:
-            if _k in _opts:
-                _ikw[_k] = _opts.pop(_k)
-        options = _opts or None
-        if _ikw:
-            builder_override = _ft.partial(_TERM_BUILDERS[scheme], **_ikw)
-    elif scheme == "taylor15_general":
-        # the Chen-composition dial for the triple integrals (see
-        # _chen_levels) also rides in options
-        import functools as _ft
-
-        _opts = dict(options or {})
-        if "triple_substeps" in _opts:
-            builder_override = _ft.partial(
-                _TERM_BUILDERS[scheme],
-                triple_substeps=int(_opts.pop("triple_substeps")),
-            )
-            options = _opts or None
-    if scheme is None:
+    if sde_spec is None:
         spec = resolve_solver(solver)
         if spec.kind != "fixed" or spec.implicit or spec.name != "euler":
             # same refusal as sdeint: multi-stage deterministic RK mis-weights
             # the Brownian increment (understated noise variance)
             raise ValueError(
                 f"sdeint_adjoint got solver={getattr(spec, 'name', solver)!r}: "
-                "use 'euler' (Euler-Maruyama) or an SDE scheme (milstein/sra1/"
-                "sriw1/foster2/heun_stratonovich/euler_general/"
-                "milstein_general/milstein_commutative/sra1_general/"
-                "foster2_general/taylor15_general/taylor15_commutative)"
+                "use 'euler' (Euler-Maruyama) or a scheme from the SDE "
+                "registry (functional/sde_schemes/registry.py)"
             )
-        step_fn, _ = FIXED_STEP_FNS[spec.name]
-    else:
-        step_fn, _ = FIXED_STEP_FNS["euler"]  # scheme lives in the term's move/fuse
-    is_general = scheme in _GENERAL_SCHEMES
+        sde_spec = SDE_SCHEMES["euler"]
+    scheme = sde_spec.name
+    step_fn, _ = FIXED_STEP_FNS["euler"]  # scheme lives in the term's move/fuse
+    builder_override = None
+    if sde_spec.knobs:
+        # scheme-construction knobs ride in options (registry vocabulary);
+        # pop them BEFORE any option validation/forwarding and bake them
+        # into the builder
+        import functools as _ft
+
+        _opts = dict(options or {})
+        _ikw = {k: _opts.pop(k) for k in sde_spec.knobs if k in _opts}
+        if "triple_substeps" in _ikw:
+            _ikw["triple_substeps"] = int(_ikw["triple_substeps"])
+        options = _opts or None
+        if _ikw:
+            builder_override = _ft.partial(sde_spec.build, **_ikw)
+    is_general = sde_spec.noise == "general"
     adaptive_opts = None
     grid_buffer = 0
     if adaptive:
@@ -290,9 +191,7 @@ def sdeint_adjoint(
                 f"sdeint_adjoint(adaptive=True) got unknown option(s) "
                 f"{sorted(unknown)}; known: {sorted(allowed)} + ['grid_buffer']"
             )
-        adaptive_opts.setdefault(
-            "error_order", _SDE_LOCAL_ORDER.get(solver_name, 1.0)
-        )
+        adaptive_opts.setdefault("error_order", sde_spec.local_order)
         options = None  # the legacy (fixed-grid) option parsing below is moot
     if options and "grid_constructor" in options:
         raise NotImplementedError(
@@ -311,17 +210,12 @@ def sdeint_adjoint(
             "sdeint_adjoint's diagonal-noise contract requires a single-array "
             f"state (got a pytree with {len(leaves)} leaves)"
         )
-    if scheme in (
-        "sra1", "sriw1", "sra1_general", "taylor15", "taylor15_commutative",
-        "implicit_sra1", "implicit_sra1_general",
-    ) and (
-        levy_area_approximation == "none" and bm is None
-    ):
+    if (sde_spec.levy == "space-time" and levy_area_approximation == "none"
+            and bm is None):
         levy_area_approximation = "space-time"
-    if scheme in ("foster2", "foster2_general", "implicit_foster2",
-                  "implicit_foster2_general") and bm is None:
+    if sde_spec.levy == "space-time-time" and bm is None:
         levy_area_approximation = "space-time-time"  # (W, I10, K) triple
-    if scheme in ("milstein_general", "taylor15_general") and bm is None and (
+    if sde_spec.levy == "area" and bm is None and (
         levy_area_approximation in ("none", "space-time")
     ):
         levy_area_approximation = "davie"  # needs full areas A_{j1,j2}
@@ -337,7 +231,7 @@ def sdeint_adjoint(
                     "explicit bm"
                 )
             size = leaves[0].shape[:-1] + (noise_dim,)
-        elif scheme == "taylor15":
+        elif sde_spec.noise == "scalar":
             size = leaves[0].shape[:-1] + (1,)  # one scalar noise channel
         else:
             size = leaves[0].shape
@@ -345,7 +239,7 @@ def sdeint_adjoint(
             t_lo, t_hi, size=size, dtype=leaves[0].dtype, key=key,
             levy_area_approximation=levy_area_approximation,
         )
-    if scheme in ("milstein_general", "taylor15_general"):
+    if sde_spec.levy == "area":
         commutative_alt = (
             "milstein_commutative" if scheme == "milstein_general"
             else "taylor15_commutative"
@@ -371,14 +265,14 @@ def sdeint_adjoint(
     # are pinned by test against direct backprop through sdeint(reverse=True).
     flip_output = False
     if reverse or _is_decreasing(t_span):
-        if is_general:
+        if sde_spec.calculus == "stratonovich":
+            drift, diffusion, bm = _reversed_stratonovich_fns(drift, diffusion, bm)
+        elif is_general:
             # matrix reversal correction Σ_j (∂G_{·j}/∂y)·G_{·j} (see
             # _reversed_general_ito_fns); the replay adjoint then applies to
             # the reversed system unchanged
             drift, diffusion, bm = _reversed_general_ito_fns(drift, diffusion, bm)
-        elif scheme in ("heun_stratonovich", "stratonovich_heun"):
-            drift, diffusion, bm = _reversed_stratonovich_fns(drift, diffusion, bm)
-        elif scheme == "taylor15":
+        elif sde_spec.noise == "scalar":
             # scalar noise: directional (∂g/∂y)·g correction, not the
             # elementwise diagonal form
             drift, diffusion, bm = _reversed_scalar_ito_fns(drift, diffusion, bm)
@@ -396,7 +290,7 @@ def sdeint_adjoint(
     diff_c, diff_consts = jax.closure_convert(lambda t, y: diffusion(t, y), t0, y0)
     drift_consts, diff_consts = tuple(drift_consts), tuple(diff_consts)
 
-    term_builder = builder_override or _TERM_BUILDERS[scheme]
+    term_builder = builder_override or sde_spec.build
 
     def one_step(y, t_a, t_b, d_consts, g_consts):
         term = term_builder(
@@ -672,7 +566,7 @@ def _reversible_heun_adjoint(
             )
         adaptive_opts = opts
         adaptive_opts.setdefault(
-            "error_order", _SDE_LOCAL_ORDER.get("reversible_heun", 1.0)
+            "error_order", SDE_SCHEMES["reversible_heun"].local_order
         )
         if "norm" not in adaptive_opts:
             # y-channel-only error control, exactly sdeint's adaptive

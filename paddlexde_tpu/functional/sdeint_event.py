@@ -33,27 +33,8 @@ import jax.numpy as jnp
 
 from ..solver.adaptive import MAX_STEPS_EXCEEDED
 from .odeint_event import EventResult
-from .sdeint import (
-    _default_bm_for_scheme,
-    make_foster2_general_term,
-    make_foster2_term,
-    make_general_euler_term,
-    make_general_milstein_term,
-    make_general_sra1_term,
-    make_general_taylor15_term,
-    make_heun_stratonovich_term,
-    make_implicit_em_term,
-    make_implicit_foster2_general_term,
-    make_implicit_foster2_term,
-    make_implicit_milstein_term,
-    make_implicit_sra1_general_term,
-    make_implicit_sra1_term,
-    make_milstein_term,
-    make_sde_term,
-    make_sra1_term,
-    make_sriw1_term,
-    make_taylor15_term,
-)
+from .sdeint import _default_bm_for_scheme
+from .sde_schemes.registry import resolve_sde_scheme
 
 __all__ = ["sdeint_event", "EventResult"]
 
@@ -61,55 +42,11 @@ __all__ = ["sdeint_event", "EventResult"]
 # first-passage paths; reversible_heun's paired state does not fit the
 # bracket refinement). General matrix-noise schemes take noise_dim= like
 # sdeint.
-_TERM_FACTORIES = {
-    "euler": make_sde_term,
-    "milstein": make_milstein_term,
-    "sra1": make_sra1_term,
-    "sriw1": make_sriw1_term,
-    "heun_stratonovich": make_heun_stratonovich_term,
-    "stratonovich_heun": make_heun_stratonovich_term,
-    "taylor15": make_taylor15_term,
-    "foster2": make_foster2_term,
-    "foster": make_foster2_term,
-    "euler_general": make_general_euler_term,
-    "general_euler": make_general_euler_term,
-    "milstein_general": make_general_milstein_term,
-    "general_milstein": make_general_milstein_term,
-    "milstein_commutative": lambda d, g, bm: make_general_milstein_term(
-        d, g, bm, use_area=False
-    ),
-    "commutative_milstein": lambda d, g, bm: make_general_milstein_term(
-        d, g, bm, use_area=False
-    ),
-    "sra1_general": make_general_sra1_term,
-    "general_sra1": make_general_sra1_term,
-    "foster2_general": make_foster2_general_term,
-    "general_foster2": make_foster2_general_term,
-    "taylor15_general": make_general_taylor15_term,
-    "general_taylor15": make_general_taylor15_term,
-    "taylor15_commutative": lambda d, g, bm: make_general_taylor15_term(
-        d, g, bm, use_area=False
-    ),
-    "commutative_taylor15": lambda d, g, bm: make_general_taylor15_term(
-        d, g, bm, use_area=False
-    ),
-    # drift-implicit (stiff) schemes: first passage through stiff systems —
-    # the march and every bracket-refinement probe take Newton-in-move steps
-    "implicit_em": make_implicit_em_term,
-    "implicit_euler_maruyama": make_implicit_em_term,
-    "drift_implicit_euler": make_implicit_em_term,
-    "stochastic_theta": make_implicit_em_term,
-    "implicit_milstein": make_implicit_milstein_term,
-    "drift_implicit_milstein": make_implicit_milstein_term,
-    "implicit_sra1": make_implicit_sra1_term,
-    "drift_implicit_sra1": make_implicit_sra1_term,
-    "implicit_sra1_general": make_implicit_sra1_general_term,
-    "general_implicit_sra1": make_implicit_sra1_general_term,
-    "implicit_foster2": make_implicit_foster2_term,
-    "drift_implicit_foster2": make_implicit_foster2_term,
-    "implicit_foster2_general": make_implicit_foster2_general_term,
-    "general_implicit_foster2": make_implicit_foster2_general_term,
-}
+# Pathwise schemes only (registry ``pathwise`` flag): weak2/weak2_general
+# approximate the LAW, not the path (a "first passage" of a weak path is not
+# the first passage of the SDE), and reversible_heun's (y, z) pair state
+# does not fit the bracket refinement — all refused with a clear error.
+
 
 
 def sdeint_event(
@@ -166,10 +103,18 @@ def sdeint_event(
         adaptive engine's MAX_STEPS_EXCEEDED bit).
     """
     solver_name = solver.lower() if isinstance(solver, str) else ""
-    if solver_name not in _TERM_FACTORIES:
+    spec = resolve_sde_scheme(solver_name)
+    if spec is None or not spec.pathwise:
+        from .sde_schemes.registry import SDE_SCHEMES
+
+        supported = sorted({n for n, sp in SDE_SCHEMES.items() if sp.pathwise})
         raise ValueError(
-            f"sdeint_event supports {sorted(set(_TERM_FACTORIES))}; got "
-            f"{solver!r}"
+            f"sdeint_event supports the PATHWISE schemes {supported}; got "
+            f"{solver!r}" + (
+                " (weak schemes approximate the law, not the path; "
+                "reversible_heun's pair state does not fit the bracket "
+                "refinement)" if spec is not None else ""
+            )
         )
 
     y0 = jnp.asarray(y0)
@@ -186,8 +131,7 @@ def sdeint_event(
             noise_dim,
         )
 
-    if solver_name in ("milstein_general", "general_milstein",
-                       "taylor15_general", "general_taylor15"):
+    if spec.levy == "area":
         # replicate sdeint's guards: without them a y0 [D] single-path call
         # builds a 1-D bm whose Lévy areas are silently ZERO
         # (virtual_tree returns zeros for ndim<=1) — the scheme would
@@ -208,7 +152,7 @@ def sdeint_event(
                 "batch axis of 1 to y0)"
             )
 
-    term = _TERM_FACTORIES[solver_name](drift, diffusion, bm)
+    term = spec.build(drift, diffusion, bm)
 
     def step(t_lo, t_hi, y):
         dt = t_hi - t_lo

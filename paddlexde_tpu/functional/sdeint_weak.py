@@ -37,35 +37,19 @@ from .sdeint import _default_bm_for_scheme, sdeint
 
 __all__ = ["sdeint_weak_mc", "WeakEstimate"]
 
-# solver -> weak convergence order (the Talay–Tubaro exponent). Strong order
-# does not transfer: milstein's extra pathwise term leaves the weak order at
-# 1 (its bias expansion matches EM's leading power). taylor15 IS weak 2 —
-# the strong-1.5 Taylor contains every length-<=2 multi-index with EXACT
-# (scalar-noise) integrals (mean-bias slope ~2 measured, test-pinned) — but
-# the matrix variants stay at 1: the Davie area law error / dropped Lie
-# component break the level-2 weak moment conditions at O(h^2)/step.
-_WEAK_ORDER = {
-    "euler": 1.0, "milstein": 1.0, "heun_stratonovich": 1.0,
-    # drift-implicit theta methods: textbook weak order 1.0 (like EM).
-    # implicit_sra1/implicit_foster2 are deliberately ABSENT: their weak
-    # order is unmeasured here (pass order= explicitly after validating
-    # with a coupled estimator — see the repo's weak-order discipline)
-    "implicit_em": 1.0, "implicit_euler_maruyama": 1.0,
-    "drift_implicit_euler": 1.0, "stochastic_theta": 1.0,
-    "implicit_milstein": 1.0, "drift_implicit_milstein": 1.0,
-    "reversible_heun": 1.0, "heun_reversible": 1.0,
-    "stratonovich_heun": 1.0, "euler_general": 1.0, "general_euler": 1.0,
-    "milstein_general": 1.0, "general_milstein": 1.0,
-    "milstein_commutative": 1.0, "commutative_milstein": 1.0,
-    "taylor15": 2.0, "ito_taylor15": 2.0,
-    "taylor15_general": 1.0, "general_taylor15": 1.0,
-    "taylor15_commutative": 1.0, "commutative_taylor15": 1.0,
-    "sra1": 2.0, "sriw1": 2.0, "sra1_general": 2.0, "general_sra1": 2.0,
-    "foster2": 2.0, "foster": 2.0, "foster2_general": 2.0,
-    "general_foster2": 2.0,
-    "weak2": 2.0, "platen_weak2": 2.0, "weak2_platen": 2.0,
-    "weak2_general": 2.0, "general_weak2": 2.0,
-}
+# Weak convergence order (the Talay-Tubaro exponent) now comes from the
+# SDE scheme registry (``sde_schemes/registry.py`` field ``weak_order``).
+# Strong order does not transfer: milstein's extra pathwise term leaves the
+# weak order at 1 (its bias expansion matches EM's leading power). taylor15
+# IS weak 2 — the strong-1.5 Taylor contains every length-<=2 multi-index
+# with EXACT (scalar-noise) integrals (mean-bias slope ~2 measured,
+# test-pinned) — but the matrix variants stay at 1: the Davie area law
+# error / dropped Lie component break the level-2 weak moment conditions at
+# O(h^2)/step. Registry ``weak_order=None`` (implicit_sra1/implicit_foster2
+# families) = unmeasured here: refuse unless the caller passes ``order=``
+# explicitly after validating with a coupled estimator (the repo's
+# weak-order discipline).
+
 
 
 class WeakEstimate(NamedTuple):
@@ -156,12 +140,15 @@ def sdeint_weak_mc(
 
     solver_name = solver.lower() if isinstance(solver, str) else ""
     if order is None:
-        if solver_name not in _WEAK_ORDER:
+        from .sde_schemes.registry import resolve_sde_scheme
+
+        spec = resolve_sde_scheme(solver_name)
+        if spec is None or spec.weak_order is None:
             raise ValueError(
                 f"unknown weak order for solver {solver!r}; pass order= "
                 "explicitly"
             )
-        order = _WEAK_ORDER[solver_name]
+        order = spec.weak_order
 
     common = dict(
         solver=solver, bm=bm, key=key, noise_dim=noise_dim,

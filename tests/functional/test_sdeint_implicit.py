@@ -398,7 +398,7 @@ def test_implicit_sra1_order_conditions():
     strong-1.5 conditions exactly (the same pair SRA1's published tableau
     satisfies: sum b_i B_i = 1 and sum b_i B_i^2 = 3/2), and the SDIRK4
     theta-core's quadrature is degree-3 exact (b.c^k = 1/(k+1), k <= 3)."""
-    from paddlexde_tpu.functional.sdeint import (
+    from paddlexde_tpu.functional.sde_schemes.implicit import (
         _ISRA1_B1, _ISRA1_B2, _ISRA1_GAMMA, _SDIRK4_A, _SDIRK4_C, _SDIRK4_G,
     )
 
