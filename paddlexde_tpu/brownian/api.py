@@ -144,9 +144,33 @@ class BrownianInterval(BaseBrownian):
         return (self._t0, self._t1)
 
     def __call__(self, ta, tb=None, return_U=False, return_A=False,
-                 return_K=False):
+                 return_K=False, return_J3=False):
         if tb is None:
             ta, tb = self._t0, ta  # reference: single arg means W(t0, ta)
+        if return_J3:
+            # joint (W, U, A, J3): the exact level-<=3 signature of the
+            # truncated-KL bridge path (virtual_tree.fourier_triple). The A
+            # returned here is the path's own — consistent with J3, slightly
+            # under-dispersed vs the tail-corrected return_A area (O(1/n),
+            # documented on fourier_path_coeffs) — so a scheme must take BOTH
+            # from this query, never mix with a separate return_A call.
+            if self._levy != LEVY_AREA_APPROXIMATIONS.fourier:
+                raise ValueError(
+                    "return_J3 (level-3 iterated integrals) requires "
+                    "levy_area_approximation='fourier' (the truncated-KL "
+                    f"path construction); got {self._levy!r}"
+                )
+            if not (return_U and return_A):
+                raise ValueError(
+                    "return_J3 is a joint query: pass return_U=True and "
+                    "return_A=True (the scheme needs the consistent 4-tuple)"
+                )
+            return brownian_pair(
+                self._key, self._t0, self._t1, ta, tb, self._shape,
+                self._dtype, self._depth, self._w_total,
+                levy="fourier", fourier_terms=self._fourier_terms,
+                triple=True,
+            )
         if self._levy == LEVY_AREA_APPROXIMATIONS.space_time_time:
             # K-configured interval: ALL queries route through the (W, U, V)
             # triple descent so W/U are identical across query modes
@@ -279,7 +303,7 @@ class AntitheticBrownian(BaseBrownian):
         self._levy = base_brownian.levy_area_approximation
 
     def __call__(self, ta, tb=None, return_U=False, return_A=False,
-                 return_K=False):
+                 return_K=False, return_J3=False):
         # build kwargs conditionally: BrownianPath/Tree's __call__ has no
         # return_K parameter, so always forwarding it breaks every wrap
         kw = {}
@@ -289,8 +313,10 @@ class AntitheticBrownian(BaseBrownian):
             kw["return_A"] = True
         if return_K:
             kw["return_K"] = True
+        if return_J3:
+            kw["return_J3"] = True
         out = self.base_brownian(ta, tb, **kw)
-        if not (return_U or return_A or return_K):
+        if not (return_U or return_A or return_K or return_J3):
             return jax.tree.map(jnp.negative, out)
         res = [jax.tree.map(jnp.negative, out[0])]  # −ΔW
         pos = 1
@@ -302,6 +328,10 @@ class AntitheticBrownian(BaseBrownian):
             pos += 1
         if return_A:
             res.append(out[pos])  # +A (bilinear)
+            pos += 1
+        if return_J3:
+            # the negated path's level-3 signature: odd degree, so −J3
+            res.append(jax.tree.map(jnp.negative, out[pos]))
             pos += 1
         return tuple(res)
 
@@ -331,9 +361,24 @@ class ReverseBrownian(BaseBrownian):
         self._levy = base_brownian.levy_area_approximation
 
     def __call__(self, ta, tb=None, return_U=False, return_A=False,
-                 return_K=False):
+                 return_K=False, return_J3=False):
         if tb is None:
             raise ValueError("ReverseBrownian requires both ta and tb")
+        if return_J3:
+            # the reversed path's signature is the GROUP INVERSE of the
+            # forward one: exp(−ΔW − A − ℓ3) — virtual_tree.reverse_triple
+            # carries the closed form (consistent with Ã = −A below)
+            from .virtual_tree import reverse_triple
+
+            w, u, a, j3 = self.base_brownian(
+                -tb, -ta, return_U=True, return_A=True, return_J3=True
+            )
+            h = jnp.asarray(tb) - jnp.asarray(ta)
+            u_r = jax.tree.map(
+                lambda ul, wl: ul - jnp.asarray(h, wl.dtype) * wl, u, w
+            )
+            a_r, j3_r = reverse_triple(w, a, j3)
+            return jax.tree.map(jnp.negative, w), u_r, a_r, j3_r
         if return_K:
             # K reversal algebra (substitute u = -r in the double integral):
             #   k̃ = h·u − k − (h²/2)·w
