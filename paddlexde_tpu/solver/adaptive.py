@@ -90,6 +90,37 @@ def _combine(k, coeffs, dt, y0=None):
     return jax.tree.map(lambda kl, yl: leaf(kl, yl), k, y0)
 
 
+def _error_combine(k, coeffs, dt):
+    """dt * Σ e_i k_i via the ANCHORED form dt * Σ e_i (k_i − k_0).
+
+    Every embedded pair has Σ e_i = Σ(b_i − b̂_i) = 0, so the two are equal
+    in exact arithmetic — but the raw combination cancels O(1) stage values
+    to read an O(hᵖ) signal, and for tableaus with large error weights
+    (sdirk4's forced ±4 direction: the order-3 conditions pin e to a 1-D
+    nullspace, so recalibrating b̂ only rescales the estimator — it cannot
+    change the cancellation SNR) the f32 rounding of those products sets a
+    noise floor (~ε·Σ|e_i|·|k|) that destabilizes tight tolerances. The
+    anchored form never multiplies an O(|k|) value: every product is
+    e_i·(k_i − k_0) with differences O(h·y″), so the floor drops by ~1/h in
+    the accuracy-limited regime (and a constant stage field gives EXACTLY
+    zero, any rounding of the weights notwithstanding — the anchor is
+    subtracted before multiplication, so the weights' rounded sum never
+    enters). MEASURED (Robertson [0,100], sdirk4, f32, CPU): raw floors at
+    rtol 3e-8 (MAX_STEPS after 60k attempts, 75% rejections, 73% error);
+    anchored runs clean through rtol 1e-8 (status 0, relerr ~5e-5 — the f32
+    stage-arithmetic saturation). Pinned in
+    tests/solver/test_error_combine.py.
+    """
+    coeffs = jnp.asarray(coeffs)
+
+    def leaf(kl):
+        c = coeffs.astype(kl.dtype)
+        dd = jnp.asarray(dt, kl.dtype)
+        return jnp.tensordot(c, kl - kl[0], axes=(0, 0)) * dd
+
+    return jax.tree.map(leaf, k)
+
+
 def make_rk_core(term, tableau, newton_iters: int = 6):
     """The pure single-step math of the adaptive engine, factored out so the
     recorded-grid replay (``adaptive_autodiff.py``) steps BIT-EQUALLY to the
@@ -179,7 +210,7 @@ def make_rk_core(term, tableau, newton_iters: int = 6):
         else:
             y1_ = _combine(k, tableau.c_sol, dt_, y0_)
         f1_ = jax.tree.map(lambda kl: kl[-1], k)
-        y1_error = _combine(k, tableau.c_error, dt_)
+        y1_error = _error_combine(k, tableau.c_error, dt_)
         return y1_, f1_, y1_error, k
 
     def interp_fit_step(y0_, y1_, k, dt_, f0_):
