@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--conv_impl", default="conv")
     ap.add_argument("--remat", type=int, default=0)
     ap.add_argument("--fuse_qkv", type=int, default=0)  # measured slower; see config
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="train-mode dropout: attention-weight dropout runs "
+                    "IN-kernel; GCN score dropout falls back to XLA (the "
+                    "wontfix-bound measurement for that decision)")
+    ap.add_argument("--gcn_impl", default="auto")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--chain", type=int, default=0,
                     help="also measure the device-side marginal step time by "
@@ -82,6 +87,8 @@ def main():
         conv_impl=args.conv_impl,
         remat=bool(args.remat),
         fuse_qkv=bool(args.fuse_qkv),
+        dropout=args.dropout,
+        gcn_impl=args.gcn_impl,
     )
     rng = np.random.RandomState(0)
     adj = (rng.rand(cfg.num_nodes, cfg.num_nodes) < 0.05).astype(np.float32)
@@ -106,9 +113,16 @@ def main():
     tgt = rng.rand(args.bs, cfg.num_nodes, cfg.tgt_len, 3).astype(np.float32)
     src, tgt = jnp.asarray(src), jnp.asarray(tgt)
 
+    drop_rng = jax.random.key(7)
+
     def loss_fn(st, src, tgt):
         y0 = history_index(st["dec_idx"], src, his_span, interpolation="cubic")
-        func = lambda y_lags, y: model.apply({"params": st["net"]}, y_lags, y)
+        apply_kw = (
+            {"deterministic": False, "rngs": {"dropout": drop_rng}}
+            if args.dropout > 0 else {}
+        )
+        func = lambda y_lags, y: model.apply(
+            {"params": st["net"]}, y_lags, y, **apply_kw)
         sol, delay = ddeint(
             func, y0, jnp.arange(2.0, dtype=jnp.float32), st["enc_idx"], src,
             his_span, "euler", fixed_solver_interp="", time_axis=0,
@@ -196,7 +210,7 @@ def main():
     print(json.dumps({
         "bs": args.bs, "dtype": args.dtype, "his": args.his,
         "conv_impl": args.conv_impl, "remat": bool(args.remat),
-        "fuse_qkv": bool(args.fuse_qkv),
+        "fuse_qkv": bool(args.fuse_qkv), "dropout": args.dropout,
         "ms_per_step": round(ms, 2),
         "samples_per_sec": round(args.bs / (ms / 1e3), 1),
         "backend": jax.default_backend(),

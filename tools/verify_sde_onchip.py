@@ -107,4 +107,39 @@ try:
 except ValueError as e:
     print(f"[5c] bad weak solver -> ValueError: {str(e)[:80]}", flush=True)
 
+# ---- 6. round-4 registry + joint-triple path: taylor15_general with
+# triple_mode='fourier' (one joint (W,U,A,J3) query per step) on a
+# non-commuting 2-channel linear system; finite + registry knob plumbing ----
+import numpy as _np
+
+_rngp = _np.random.RandomState(1)
+_b1 = jnp.asarray(_rngp.randn(3, 3) * 0.3, jnp.float32)
+_b2 = jnp.asarray(_rngp.randn(3, 3) * 0.3, jnp.float32)
+_gm = lambda tt, yy: jnp.stack([yy @ _b1.T, yy @ _b2.T], axis=-1)
+_fm = lambda tt, yy: -0.4 * yy
+_y0m = jnp.asarray(_rngp.randn(16, 3), jnp.float32)
+_bmf = BrownianInterval(0.0, 0.5, size=(16, 2), key=jax.random.key(9),
+                        dtype=jnp.float32, levy_area_approximation="fourier",
+                        levy_fourier_terms=4)
+_ts = jnp.linspace(0.0, 0.5, 9)
+_sol_f = pxt.sdeint(_fm, _gm, _y0m, _ts, "taylor15_general", bm=_bmf,
+                    noise_dim=2, time_axis=0,
+                    options={"triple_mode": "fourier"})
+_sol_z = pxt.sdeint(_fm, _gm, _y0m, _ts, "taylor15_general", bm=_bmf,
+                    noise_dim=2, time_axis=0)
+assert bool(jnp.all(jnp.isfinite(_sol_f))), "fourier-triple solve not finite"
+_diff = float(jnp.max(jnp.abs(_sol_f - _sol_z)))
+assert _diff > 0.0, "triple_mode='fourier' did not change the integrals"
+print(f"[6] taylor15_general fourier-triple on-chip: finite, "
+      f"max|fourier-zerolie|={_diff:.2e}", flush=True)
+
+try:
+    pxt.sdeint(_fm, _gm, _y0m, _ts, "taylor15_general", key=3, noise_dim=2,
+               time_axis=0, levy_area_approximation="davie",
+               options={"triple_mode": "fourier"})
+    raise SystemExit("FAIL: fourier triple accepted a davie bm")
+except ValueError as e:
+    print(f"[6b] fourier triple on davie bm -> ValueError: {str(e)[:80]}",
+          flush=True)
+
 print(f"ALL VERIFY CHECKS PASSED in {time.time() - t_start:.1f}s", flush=True)
