@@ -79,6 +79,24 @@ class Predictor:
 
         self._forward = jax.jit(forward)
 
+        def forward_idx(state, series, s_b):
+            # device-resident bulk path: ``series`` [N, T, C] lives on device
+            # and each sample is ONE contiguous his_len slice (bit-identical
+            # to the host path's series[:, s : s + his_len]) — stride-1
+            # backtests otherwise re-ship the series ~his_len times over the
+            # host link (the trainer's device_gather rationale, measured 77x
+            # at PEMS08 scale on a ~25 MB/s dev tunnel).
+            def one(s):
+                return jax.lax.dynamic_slice_in_dim(
+                    series, s, cfg.his_len, axis=1
+                )
+
+            return forward(state, jax.vmap(one)(s_b))
+
+        self._forward_idx = jax.jit(forward_idx)
+        self._series_dev = None  # predict_series upload cache (id-keyed)
+        self._series_src = None
+
     # ------------------------------------------------------------------ load
     @classmethod
     def from_checkpoint(cls, cfg: D3STNConfig, ckpt_dir: str, adj_matrix,
@@ -109,6 +127,56 @@ class Predictor:
         )
         np.asarray(self._forward(self.state, jnp.asarray(dummy)))
         return self
+
+    def predict_series(self, series: np.ndarray, starts) -> np.ndarray:
+        """Bulk backtesting over a resident series: one upload, index batches.
+
+        Args:
+            series: the full transformed series ``[N, T, C]`` (the dataset's
+                ``.data`` layout — scaled value + dow + tod channels).
+            starts: window start indices ``[K]``; window ``k`` is
+                ``series[:, starts[k] : starts[k] + his_len]``.
+
+        Returns forecasts ``[K, N, tgt_len]`` (de-scaled when a scaler was
+        given). Equals ``self(windows)`` on the host-gathered windows bit-for-
+        bit; only the transfer pattern differs (``4*K`` bytes of indices per
+        batch instead of ``K * N * his_len * C * 4``).
+        """
+        series = np.ascontiguousarray(series, np.float32)
+        n, t, c = series.shape
+        cfg = self.cfg
+        if (n, c) != (cfg.num_nodes, 3):
+            raise ValueError(
+                f"series shape {series.shape} does not match the compiled "
+                f"({cfg.num_nodes}, *, 3)"
+            )
+        starts = np.asarray(starts, np.int32).reshape(-1)
+        if starts.size and (starts.min() < 0 or starts.max() + cfg.his_len > t):
+            raise ValueError(
+                f"window starts [{starts.min()}, {starts.max()}] out of range "
+                f"for his_len {cfg.his_len} over T={t}"
+            )
+        if self._series_src is not series or self._series_dev is None:
+            self._series_dev = jnp.asarray(series)
+            self._series_src = series
+        outs = []
+        for lo in range(0, starts.size, self.batch_size):
+            chunk = starts[lo : lo + self.batch_size]
+            pad = self.batch_size - chunk.size
+            if pad:  # ragged tail: repeat the last start (static shapes)
+                chunk = np.concatenate([chunk, np.full(pad, chunk[-1], np.int32)])
+            pred = np.asarray(
+                self._forward_idx(self.state, self._series_dev, jnp.asarray(chunk))
+            )
+            outs.append(pred[: self.batch_size - pad])
+        preds = (
+            np.concatenate(outs, axis=0)
+            if outs
+            else np.zeros((0, cfg.num_nodes, cfg.tgt_len), np.float32)
+        )
+        if self.scaler is not None:
+            preds = self.scaler.inverse_transform(preds[..., None])[..., 0]
+        return preds
 
     def __call__(self, history: np.ndarray) -> np.ndarray:
         """``history [B, N, his_len, 3]`` (scaled value + dow + tod channels,

@@ -587,3 +587,17 @@ def test_predictor_matches_trainer(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     with pytest.raises(ValueError, match="does not match"):
         pred(src[:, :, : cfg.his_len - 1])
+
+    # device-resident bulk path: predict_series(series, starts) must equal
+    # the per-window host path BIT-FOR-BIT (same slices, same program shape;
+    # only the transfer pattern differs) — incl. the repeated-last ragged tail
+    ds = tr.test_dataset
+    starts = [w[0] for w in ds.windows][:7]
+    got_idx = pred.predict_series(ds.data, starts)
+    host_windows = np.stack(
+        [ds.data[:, s : s + cfg.his_len] for s in starts], axis=0
+    )
+    np.testing.assert_array_equal(got_idx, pred(host_windows))
+    with pytest.raises(ValueError, match="out of range"):
+        pred.predict_series(ds.data, [ds.data.shape[1]])
+    assert pred.predict_series(ds.data, []).shape == (0, N_NODES, cfg.tgt_len)

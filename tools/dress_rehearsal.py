@@ -238,12 +238,15 @@ def main():
         cfg, trainer.save_path, adj, sc,
         scaler=trainer.test_dataset, batch_size=cfg.batch_size,
     ).warmup()
-    srcs, trues = [], []
-    for src, tgt in trainer.test_dataset.batches(cfg.batch_size):
-        srcs.append(np.array(src))
-        trues.append(np.array(tgt[..., :1]))
-    preds = np.concatenate([predictor(s) for s in srcs], axis=0)
-    trues = trainer.test_dataset.inverse_transform(np.concatenate(trues, 0))
+    ds = trainer.test_dataset
+    # device-resident bulk forecast: one ~MBs series upload + 4B/sample of
+    # start indices (the per-window host path shipped ~131 MB/batch over the
+    # tunnel and dominated the rehearsal wall-clock)
+    preds = predictor.predict_series(ds.data, [w[0] for w in ds.windows])
+    trues = np.stack(
+        [ds.data[:, tb:te, :1] for (_, _, tb, te) in ds.windows], axis=0
+    )
+    trues = ds.inverse_transform(trues)
     pred_metrics = masked_metrics(trues[..., 0], preds)
     gaps = {k: abs(pred_metrics[k] - results[k]) / max(abs(results[k]), 1e-9)
             for k in ("mae", "rmse", "mape")}

@@ -34,6 +34,10 @@ def main():
     cli = p.parse_args()
 
     import jax
+
+    from _cache import enable as _enable_cache
+    _enable_cache(jax)
+
     import jax.numpy as jnp
 
     from paddlexde_tpu.models.d3stn import Trainer, init_lag_anchors, load_config
