@@ -141,6 +141,10 @@ class Predictor:
         given). Equals ``self(windows)`` on the host-gathered windows bit-for-
         bit; only the transfer pattern differs (``4*K`` bytes of indices per
         batch instead of ``K * N * his_len * C * 4``).
+
+        The device copy is cached by the IDENTITY of the passed array (repeat
+        calls with the same float32-contiguous array skip the upload); pass a
+        fresh array after mutating a series in place.
         """
         series = np.ascontiguousarray(series, np.float32)
         n, t, c = series.shape
