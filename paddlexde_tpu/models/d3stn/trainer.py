@@ -294,8 +294,23 @@ class Trainer:
             # the same step replayed finite) must not poison the whole run —
             # the reference trains on through NaN until early stopping burns
             # out. Skip the update, keep the loss visible (the train loop
-            # logs the skip count).
-            ok = jnp.isfinite(total)
+            # logs the skip count). The check covers the UPDATED state and
+            # optimizer tree, not just the loss total: a finite loss with an
+            # inf/NaN gradient leaf (or an Adam moment overflowing in f32)
+            # would otherwise commit poisoned parameters that every later
+            # step then faithfully "keeps".
+            def _all_finite(tree):
+                leaves = [
+                    jnp.all(jnp.isfinite(leaf))
+                    for leaf in jax.tree.leaves(tree)
+                    if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+                ]
+                out = jnp.asarray(True)
+                for flag in leaves:
+                    out = out & flag
+                return out
+
+            ok = jnp.isfinite(total) & _all_finite(state) & _all_finite(opt_state)
             keep = lambda new, old: jnp.where(ok, new, old)
             state = jax.tree.map(keep, state, prev_state)
             opt_state = jax.tree.map(keep, opt_state, prev_opt)

@@ -25,12 +25,15 @@ same ``<grad, f(t_i, y_i)>``-to-O(h^4) quantity ``odeint_adjoint`` computes);
 the knot grid itself carries no gradient.
 
 Caveats (documented, test-pinned):
-- more accepted steps than ``grid_buffer`` (option, default 512) sets the
-  GRID_OVERFLOW status bit and merges the tail into ONE coarse recorded step
-  (forced-tail semantics, matching the SDE side): the forward is still the
-  true adaptive solution, the replayed gradient is that of the coarsened
-  grid — finite and close, not exact. Raise ``grid_buffer`` to restore
-  exactness; inspect via ``options={"return_stats": True}``.
+- more accepted steps than ``grid_buffer`` (option, default 512) merges the
+  tail into ONE coarse recorded step (forced-tail semantics, matching the
+  SDE side): the forward is still the true adaptive solution, the replayed
+  gradient is that of the coarsened grid — finite and close, not exact.
+  Raise ``grid_buffer`` to restore exactness. Overflow is a gradient-quality
+  warning, not solve health, so user-visible ``stats.status`` stays 0 on a
+  healthy solve (bit-equal to the raw ``direct_grad=False`` engine); detect
+  it via ``stats.n_accept > grid_buffer`` with
+  ``options={"return_stats": True}``.
 - forward-mode (``jax.jvp`` / ``jacfwd``) through the wrapper is unsupported
   (``custom_vjp``); pass ``options={"direct_grad": False}`` to restore the
   raw engine (reverse-mode then raises, as before round 4).
@@ -49,7 +52,7 @@ import numpy as np
 from ..utils.norms import rms_norm
 from ..utils.ode_utils import interp_evaluate, sort_tvals
 from ..xde.term import XDETerm
-from .adaptive import make_rk_core, solve_adaptive
+from .adaptive import GRID_OVERFLOW, make_rk_core, solve_adaptive
 from .tableaus import TABLEAUS
 
 __all__ = ["solve_adaptive_autodiff", "replay_recorded_grid"]
@@ -99,6 +102,12 @@ def replay_recorded_grid(
     # normalize padding: every entry past n_steps equals grid[n_steps], so
     # padded steps are zero-length at the final endpoint (finite stage math)
     grid = grid[jnp.minimum(jnp.arange(cap + 1), n_steps)]
+    # grid[0] == t_span[0] by construction, but the recorded buffer arrives
+    # stop_gradient'ed: substitute the DIFFERENTIABLE start time so the
+    # -<a(t0), f(t0, y0)> term reaches the t_span[0] cotangent (matching
+    # odeint_adjoint; without this the first step's ta/dt are constants and
+    # d/dt0 silently evaluates to 0)
+    grid = grid.at[0].set(t_span[0])
 
     rk_step, fit_step = make_rk_core(term, tableau, newton_iters)
 
@@ -199,21 +208,28 @@ def solve_adaptive_autodiff(
         newton_iters=newton_iters, time_dtype=time_dtype, **engine_kw,
     )
 
+    def _strip_overflow(stats):
+        # GRID_OVERFLOW is a gradient-quality warning, not solve health: a
+        # long healthy forward-only solve must keep status == 0 (the raw
+        # direct_grad=False engine never sets the bit, so stripping it also
+        # keeps this wrapper's stats bit-equal to the raw engine's).
+        # Detect replay-tail coarsening via stats.n_accept > grid_buffer.
+        return stats._replace(status=stats.status & ~GRID_OVERFLOW)
+
     @jax.custom_vjp
     def _run(y0_, ts_, consts_):
         # the primal ALSO records (buffer writes only — arithmetic identical
-        # to the raw engine) so a plain return_stats call surfaces
-        # GRID_OVERFLOW without needing a grad pass
+        # to the raw engine) so plain and grad calls return identical stats
         sol, stats, _grid, _n = solve_adaptive(
             term_of(consts_), y0_, ts_, _record_grid=grid_buffer, **common
         )
-        return (sol, stats) if return_stats else sol
+        return (sol, _strip_overflow(stats)) if return_stats else sol
 
     def _fwd(y0_, ts_, consts_):
         sol, stats, grid, n_rec = solve_adaptive(
             term_of(consts_), y0_, ts_, _record_grid=grid_buffer, **common
         )
-        out = (sol, stats) if return_stats else sol
+        out = (sol, _strip_overflow(stats)) if return_stats else sol
         return out, (y0_, ts_, consts_, grid, n_rec)
 
     def _bwd(res, ct):

@@ -15,8 +15,9 @@ to the adaptive ODE engine so ``jax.grad(lambda p: odeint(f_p, y0, t,
   flip is discontinuous by nature — the SDE adaptive adjoint's documented
   caveat applies verbatim);
 - grad-of-jit == eager grad bitwise; vmap (odeint_per_element) composes;
-- grid_buffer overflow sets GRID_OVERFLOW, keeps gradients FINITE (forced
-  coarse-tail semantics), and forward values stay exact;
+- grid_buffer overflow keeps stats.status == 0 (gradient-quality warning,
+  not solve health; n_accept > buffer is the detection), keeps gradients
+  FINITE (forced coarse-tail semantics), and forward values stay exact;
 - closure-converted parameters (arrays closed over by func) receive grads;
 - t_span cotangents flow through the dense-output evaluation:
   dL/dt_j ~= <grad_j, f(t_j, y_j)> for interior outputs.
@@ -139,12 +140,26 @@ def test_t_span_cotangent_is_dense_output_derivative():
                  time_axis=0)
     expect = float(jnp.sum(_field(A0)(TS[j], sol[j])))
     np.testing.assert_allclose(float(gt[j]), expect, rtol=1e-6)
-    # other interior entries get zero (their outputs have zero cotangent);
-    # ts[0] carries the small TRUE discrete sensitivity through the step-
-    # entry derivative f(t0, y0) — the knot grid itself is data
+    # other interior entries get zero (their outputs have zero cotangent)
     others = jnp.abs(gt).at[j].set(0.0).at[0].set(0.0)
     assert float(jnp.sum(others)) == 0.0
-    assert abs(float(gt[0])) < 1e-2 * abs(expect)
+    # ts[0] carries the TRUE start-time sensitivity -<a(t0), f(t0, y0)>
+    # (regression: the replay once took the first step's start time from the
+    # stop_gradient'ed recorded grid and silently returned 0 here) — pin vs
+    # central FD of the solve itself and vs the independent adjoint path
+    eps = 1e-6
+    ts_p = TS.at[0].add(eps)
+    ts_m = TS.at[0].add(-eps)
+    fd0 = float((loss(ts_p) - loss(ts_m)) / (2 * eps))
+    np.testing.assert_allclose(float(gt[0]), fd0, rtol=1e-4)
+
+    def loss_adj(ts):
+        sol_ = odeint_adjoint(_field(A0), Y0, ts, "dopri5", rtol=1e-10,
+                              atol=1e-12, time_axis=0)
+        return jnp.sum(sol_[j])
+
+    gt_adj = jax.grad(loss_adj)(TS)
+    np.testing.assert_allclose(float(gt[0]), float(gt_adj[0]), rtol=1e-4)
 
 
 def test_grid_overflow_flagged_finite_grads():
@@ -156,7 +171,13 @@ def test_grid_overflow_flagged_finite_grads():
     sol_raw = odeint(f, Y0, TS, "dopri5", rtol=1e-10, atol=1e-12,
                      time_axis=0, options={"direct_grad": False})
     np.testing.assert_array_equal(np.asarray(sol), np.asarray(sol_raw))
-    assert int(stats.status) & GRID_OVERFLOW
+    # overflow is a GRADIENT-quality warning, not solve health: a healthy
+    # forward-only solve keeps status == 0 even past the buffer (regression:
+    # the bit once leaked into plain return_stats and broke every
+    # status==0 consumer on long solves); detect via n_accept > buffer
+    assert int(stats.status) == 0
+    assert not (int(stats.status) & GRID_OVERFLOW)
+    assert int(stats.n_accept) > 4
 
     def loss(a):
         s = odeint(_field(a), Y0, TS, "dopri5", rtol=1e-10, atol=1e-12,
