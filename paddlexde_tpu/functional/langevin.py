@@ -39,6 +39,18 @@ backprop. ``mass`` is a scalar or pytree-of-diagonals: the target law is
 ∝ e^{−β(V(q) + ½pᵀM⁻¹p)}, so Var(q) is mass-independent and Var(p) = M/β
 (Lyapunov-pinned in the tests).
 
+NON-DIAGONAL mass preconditioning: pass ``mass_ops=(minv, msqrt)`` —
+two linear pytree operators ``minv(p) = M⁻¹p`` (the A-step drift) and
+``msqrt(ξ) = Lξ`` with ``L Lᵀ = M`` (the O-step noise; any such factor
+works, e.g. a Cholesky factor — only L Lᵀ enters the law). The O-step
+stays EXACT because the friction is scalar (γI commutes with every M),
+and the harmonic superconvergence structure survives: under q̃ = M^{1/2}q,
+p̃ = M^{-1/2}p the chain is the identity-mass scheme on the normal modes
+of M^{-1/2}KM^{-1/2} driven by isotropic noise (M^{-1/2}L is orthogonal),
+so BAOAB/ABOBA sample Cov(q) = K⁻¹/β EXACTLY at every stable h and OBABO
+samples Cov(p) = M/β exactly — pinned against the matrix-valued discrete
+Lyapunov solution in the tests.
+
 No reference counterpart (DrownFish19/PaddleXDE has no sampling schemes;
 its sdeint is broken EM, ``paddlexde/functional/sdeint.py:9-37``). The
 harmonic-chain stationary covariance of every scheme is pinned against
@@ -71,13 +83,15 @@ def _mass_tree(mass, like):
 
 
 def make_langevin_step(force, gamma, beta=1.0, mass=1.0, bm=None,
-                       scheme="baoab"):
+                       scheme="baoab", mass_ops=None):
     """One splitting step ``(t, dt, (q, p)) -> (q1, p1)``.
 
     ``force(t, q) -> -∇V`` (pytree like q). ``mass`` is a scalar or a
-    pytree-of-diagonals like q (diagonal mass matrix). ``bm`` supplies the
-    O-step's standard normal(s) via ``ΔW/√s`` (shape = q's shape; OBABO
-    queries the two half-intervals)."""
+    pytree-of-diagonals like q (diagonal mass matrix); for a NON-diagonal
+    mass pass ``mass_ops=(minv, msqrt)`` instead — linear pytree operators
+    ``minv(p) = M⁻¹p`` and ``msqrt(ξ) = Lξ`` with ``L Lᵀ = M`` (see module
+    docstring). ``bm`` supplies the O-step's standard normal(s) via
+    ``ΔW/√s`` (shape = q's shape; OBABO queries the two half-intervals)."""
     gamma = float(gamma)
     beta = float(beta)
     if gamma < 0.0:
@@ -86,12 +100,26 @@ def make_langevin_step(force, gamma, beta=1.0, mass=1.0, bm=None,
         raise ValueError(f"beta must be > 0, got {beta}")
     if scheme not in _SCHEMES:
         raise ValueError(f"scheme must be one of {_SCHEMES}, got {scheme!r}")
+    if mass_ops is not None:
+        if not (isinstance(mass_ops, (tuple, list)) and len(mass_ops) == 2
+                and all(callable(op) for op in mass_ops)):
+            raise ValueError(
+                "mass_ops must be a (minv, msqrt) pair of callables")
+        if not (isinstance(mass, (int, float)) and float(mass) == 1.0):
+            raise ValueError("pass mass= OR mass_ops=, not both")
+        minv_op, msqrt_op = mass_ops
+    else:
+        minv_op = msqrt_op = None
 
     def kick(p, f, s):
         return jax.tree.map(
             lambda pl, fl: pl + jnp.asarray(s, pl.dtype) * fl, p, f)
 
     def drift(q, p, s):
+        if minv_op is not None:
+            return jax.tree.map(
+                lambda ql, vl: ql + jnp.asarray(s, ql.dtype) * vl,
+                q, minv_op(p))
         return jax.tree.map(
             lambda ql, pl, ml: ql + jnp.asarray(s, ql.dtype) * pl / ml,
             q, p, _mass_tree(mass, q))
@@ -107,6 +135,11 @@ def make_langevin_step(force, gamma, beta=1.0, mass=1.0, bm=None,
         d_w = bm(t_a, t_b)
         xi = jax.tree.map(
             lambda wl: wl / jnp.sqrt(jnp.asarray(safe_s, wl.dtype)), d_w)
+        if msqrt_op is not None:
+            return jax.tree.map(
+                lambda pl, nl: jnp.asarray(c1, pl.dtype) * pl
+                + jnp.asarray(c2, pl.dtype) * nl,
+                p, msqrt_op(xi))
         return jax.tree.map(
             lambda pl, xl, ml: jnp.asarray(c1, pl.dtype) * pl
             + jnp.asarray(c2, pl.dtype) * jnp.sqrt(ml) * xl,
@@ -163,6 +196,7 @@ def langevin(
     gamma: float,
     beta: float = 1.0,
     mass=1.0,
+    mass_ops=None,
     bm=None,
     key=None,
     scheme: str = "baoab",
@@ -178,6 +212,10 @@ def langevin(
             (velocity Verlet for baoab/obabo, position Verlet for aboba).
         beta: inverse temperature (target law ∝ e^{−β(V(q) + ½pᵀM⁻¹p)}).
         mass: scalar or pytree-of-diagonals like q.
+        mass_ops: optional ``(minv, msqrt)`` pair of linear pytree
+            operators for a NON-diagonal mass matrix (``minv(p) = M⁻¹p``,
+            ``msqrt(ξ) = Lξ`` with ``L Lᵀ = M``); mutually exclusive
+            with a non-default ``mass``.
         bm / key: Brownian motion over the span (shape = q's shape) or the
             PRNG entropy for the default one.
         scheme: ``"baoab"`` (default) / ``"obabo"`` / ``"aboba"``.
@@ -204,7 +242,8 @@ def langevin(
         leaf = leaves[0]
         bm = BrownianInterval(t_lo, t_hi, size=leaf.shape, dtype=leaf.dtype,
                               key=key)
-    step = make_langevin_step(force, gamma, beta, mass, bm, scheme=scheme)
+    step = make_langevin_step(force, gamma, beta, mass, bm, scheme=scheme,
+                              mass_ops=mass_ops)
 
     def scan_body(state, ts):
         t_a, t_b = ts

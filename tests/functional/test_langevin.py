@@ -314,6 +314,173 @@ def test_obabo_reproducible_and_differentiable():
     np.testing.assert_allclose(g, float(fd), rtol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Non-diagonal mass preconditioning (mass_ops=(minv, msqrt))
+# ---------------------------------------------------------------------------
+
+_K_MAT = np.array([[2.0, 0.5, 0.0],
+                   [0.5, 1.5, 0.3],
+                   [0.0, 0.3, 1.0]])
+_M_MAT = np.array([[1.5, -0.4, 0.2],
+                   [-0.4, 1.2, 0.1],
+                   [0.2, 0.1, 0.8]])
+
+
+def _matrix_lyapunov(scheme, K, M, gamma, beta, h):
+    """Exact stationary covariance of the D-dim harmonic chain with a full
+    mass matrix: state x = (q, p), kick [[I,0],[-sK,I]], drift
+    [[I, s M^-1],[0,I]], OU (p <- c1 p + c2 L xi, L L^T = M)."""
+    D = K.shape[0]
+    eye = np.eye(D)
+    Minv = np.linalg.inv(M)
+    L = np.linalg.cholesky(M)
+
+    def blk(a, b, c, d):
+        return np.block([[a, b], [c, d]])
+
+    def M_B(s):
+        return blk(eye, 0 * eye, -s * K, eye)
+
+    def M_A(s):
+        return blk(eye, s * Minv, 0 * eye, eye)
+
+    def ou(s):
+        c1 = np.exp(-gamma * s)
+        c2 = np.sqrt(max(1.0 - c1 * c1, 0.0) / beta)
+        T = blk(eye, 0 * eye, 0 * eye, c1 * eye)
+        noise = np.vstack([np.zeros((D, D)), c2 * L])
+        return T, noise
+
+    half = h / 2.0
+    if scheme == "baoab":
+        M_O, n = ou(h)
+        T = M_B(half) @ M_A(half) @ M_O @ M_A(half) @ M_B(half)
+        B = M_B(half) @ M_A(half) @ n
+    elif scheme == "obabo":
+        M_O, n = ou(half)
+        mid = M_B(half) @ M_A(h) @ M_B(half)
+        T = M_O @ mid @ M_O
+        B = np.hstack([M_O @ mid @ n, n])
+    elif scheme == "aboba":
+        M_O, n = ou(h)
+        T = M_A(half) @ M_B(half) @ M_O @ M_B(half) @ M_A(half)
+        B = M_A(half) @ M_B(half) @ n
+    else:
+        raise ValueError(scheme)
+    S = np.linalg.solve(np.eye(4 * D * D) - np.kron(T, T),
+                        (B @ B.T).reshape(-1)).reshape(2 * D, 2 * D)
+    return S
+
+
+def test_mass_ops_theory_pins():
+    """The normal-mode argument, pinned: with a full SPD mass matrix the
+    harmonic superconvergence structure survives — baoab/aboba sample
+    Cov(q) = K^-1/beta EXACTLY at every stable h, obabo samples
+    Cov(p) = M/beta exactly (all via the matrix Lyapunov solution)."""
+    K, M = _K_MAT, _M_MAT
+    assert np.linalg.eigvalsh(M).min() > 0 and np.linalg.eigvalsh(K).min() > 0
+    # non-commuting (the diagonal-mass tests cannot see this regime)
+    assert np.abs(K @ M - M @ K).max() > 0.1
+    gamma, beta = 1.5, 1.5
+    for h in (0.3, 0.15):
+        for scheme in ("baoab", "aboba"):
+            S = _matrix_lyapunov(scheme, K, M, gamma, beta, h)
+            np.testing.assert_allclose(S[:3, :3], np.linalg.inv(K) / beta,
+                                       rtol=1e-10, atol=1e-12,
+                                       err_msg=f"{scheme} h={h}")
+        S = _matrix_lyapunov("obabo", K, M, gamma, beta, h)
+        np.testing.assert_allclose(S[3:, 3:], M / beta, rtol=1e-10,
+                                   atol=1e-12, err_msg=f"obabo h={h}")
+    # and every scheme's BOTH marginals approach Gibbs as h -> 0
+    S = _matrix_lyapunov("baoab", K, M, gamma, beta, 1e-4)
+    np.testing.assert_allclose(S[3:, 3:], M / beta, rtol=1e-5)
+
+
+def test_mass_ops_sampler_matches_matrix_lyapunov():
+    K, M = _K_MAT, _M_MAT
+    gamma, beta, h, nstep, n_paths = 1.5, 1.5, 0.15, 4000, 2048
+    Minv = np.linalg.inv(M)
+    L = np.linalg.cholesky(M)
+    Kj, Minvj, Lj = (jnp.asarray(a, jnp.float64) for a in (K, Minv, L))
+    force = lambda t, q: -(q @ Kj)          # K symmetric
+    mass_ops = (lambda p: p @ Minvj,        # M^-1 symmetric
+                lambda x: x @ Lj.T)         # (L xi) per row
+    ts = jnp.linspace(0.0, h * nstep, nstep + 1)
+    bm = BrownianInterval(0.0, float(h * nstep), size=(n_paths, 3),
+                          key=jax.random.key(5), dtype=jnp.float64)
+    q0 = jnp.zeros((n_paths, 3), jnp.float64)
+    q, p = langevin(force, (q0, q0), ts, gamma=gamma, beta=beta,
+                    mass_ops=mass_ops, bm=bm, scheme="baoab", time_axis=0)
+    S = _matrix_lyapunov("baoab", K, M, gamma, beta, h)
+    qs = np.asarray(q[2000::20]).reshape(-1, 3)
+    ps = np.asarray(p[2000::20]).reshape(-1, 3)
+    cov_q = np.cov(qs.T)
+    cov_p = np.cov(ps.T)
+    rel_q = np.linalg.norm(cov_q - S[:3, :3]) / np.linalg.norm(S[:3, :3])
+    rel_p = np.linalg.norm(cov_p - S[3:, 3:]) / np.linalg.norm(S[3:, 3:])
+    assert rel_q < 0.06, (rel_q, cov_q, S[:3, :3])
+    assert rel_p < 0.06, (rel_p, cov_p, S[3:, 3:])
+    # the configurational marginal is ALSO the exact Gibbs one (theory pin
+    # above) — so the sampler's empirical cov matches K^-1/beta directly
+    tgt = np.linalg.inv(K) / beta
+    assert np.linalg.norm(cov_q - tgt) / np.linalg.norm(tgt) < 0.06
+
+
+def test_mass_ops_diagonal_equivalence():
+    # mass_ops built from a diagonal == the mass= pytree path, same bm.
+    # Machine precision, not bitwise: the two paths associate the mass
+    # multiplications differently ((s*p)/m vs s*(p/m)), a ULP per step.
+    m_diag = jnp.asarray([3.0, 0.5, 1.25], jnp.float64)
+    k = 1.7
+    force = lambda t, q: -k * q
+    h, nstep = 0.1, 50
+    ts = jnp.linspace(0.0, h * nstep, nstep + 1)
+    q0 = jnp.ones((8, 3), jnp.float64)
+    p0 = jnp.zeros((8, 3), jnp.float64)
+
+    def run(**kw):
+        bm = BrownianInterval(0.0, float(h * nstep), size=(8, 3),
+                              key=jax.random.key(9), dtype=jnp.float64)
+        return langevin(force, (q0, p0), ts, gamma=1.2, beta=2.0, bm=bm,
+                        scheme="obabo", time_axis=0, **kw)
+
+    qa, pa = run(mass=jnp.broadcast_to(m_diag, (8, 3)))
+    qb, pb = run(mass_ops=(lambda p: p / m_diag,
+                           lambda x: x * jnp.sqrt(m_diag)))
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                               rtol=1e-13, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-13, atol=1e-14)
+
+
+def test_mass_ops_validation_and_grads():
+    import pytest
+
+    force = lambda t, q: -q
+    ts = jnp.linspace(0.0, 1.0, 11)
+    y0 = (jnp.ones(4, jnp.float64), jnp.zeros(4, jnp.float64))
+    with pytest.raises(ValueError, match="not both"):
+        langevin(force, y0, ts, gamma=1.0, mass=2.0,
+                 mass_ops=(lambda p: p, lambda x: x), key=0)
+    with pytest.raises(ValueError, match="pair of callables"):
+        langevin(force, y0, ts, gamma=1.0, mass_ops=(lambda p: p,), key=0)
+
+    # grads flow through the mass operators (FD pin on a scale parameter)
+    def endpoint(a):
+        ops = (lambda p: p / a, lambda x: x * jnp.sqrt(a))
+        bm = BrownianInterval(0.0, 1.0, size=(4,), key=jax.random.key(2),
+                              dtype=jnp.float64)
+        q, p = langevin(force, y0, ts, gamma=1.0, beta=1.0, mass_ops=ops,
+                        bm=bm, scheme="baoab", time_axis=0)
+        return jnp.mean(q[-1] ** 2) + jnp.mean(p[-1] ** 2)
+
+    a0 = jnp.asarray(1.7, jnp.float64)
+    g = float(jax.grad(endpoint)(a0))
+    eps = 1e-5
+    fd = float((endpoint(a0 + eps) - endpoint(a0 - eps)) / (2 * eps))
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
 def test_reproducible_and_differentiable():
     w, gamma, beta, h, nstep = 1.1, 1.5, 1.0, 0.1, 64
     force_of = lambda om: (lambda t, q: -(om * om) * q)
