@@ -23,6 +23,8 @@ from .implicit import (  # noqa: F401
     make_implicit_foster2_general_term,
     make_implicit_foster2_term,
     make_implicit_milstein_term,
+    make_implicit_sra1_damped_general_term,
+    make_implicit_sra1_damped_term,
     make_implicit_sra1_general_term,
     make_implicit_sra1_term,
 )

@@ -291,6 +291,162 @@ def make_implicit_sra1_general_term(drift, diffusion, bm, *,
     return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
 
 
+# Stage-noise injections of the DAMPED stiffly-accurate variant, derived
+# from the strong-1.5 additive order conditions with y1 = H2 (see
+# make_implicit_sra1_damped_term): n1 = g0·(A1·ΔW + B1·I10/h) must supply
+# the f′g·I10 term THROUGH stage 1's drift coupling while cancelling the
+# spurious γ·h·ΔW·f′g term that stage 2's direct ΔW injection creates:
+#   (1−γ)·B1 = 1           →  B1 = 1/(1−γ)
+#   (1−γ)·A1 + γ = 0       →  A1 = −γ/(1−γ)
+_ISRA1D_A1 = -_ISRA1_GAMMA / (1.0 - _ISRA1_GAMMA)
+_ISRA1D_B1 = 1.0 / (1.0 - _ISRA1_GAMMA)
+
+
+def make_implicit_sra1_damped_term(drift, diffusion, bm, *,
+                                   newton_iters: int = 8,
+                                   krylov: bool = True) -> XDETerm:
+    """STIFFLY-ACCURATE drift-implicit strong-1.5 scheme for ADDITIVE
+    diagonal noise with a DAMPED large-λ·dt noise response — the ROADMAP
+    round-4 follow-on to :func:`make_implicit_sra1_term`.
+
+    Same L-stable SDIRK2 drift core (Alexander, γ = 1−√2/2), but y1 IS the
+    last stage (stiffly accurate) and EVERY noise term enters through a
+    stage base, so the whole step — noise included — passes through the
+    1/(1−γλh) stage solves:
+
+        H1 = y + γh f(t+γh, H1) + g(t0)(A1·ΔW + B1·I10/h)
+        H2 = y + (1−γ)h f1 + γh f(t1, H2)
+                 + g(t1)(ΔW − I10/h) + g(t0)·I10/h
+        y1 = H2
+
+    with A1 = −γ/(1−γ), B1 = 1/(1−γ) re-solved from the strong-1.5 order
+    conditions for THIS structure (module constants above): stage 2's base
+    carries SRA1's exact (ΔW, I10) combination directly (gΔW + ∂t g·I01),
+    and stage 1's injection both supplies f′g·I10 through the drift
+    coupling and cancels the γ·hΔW·f′g term the direct ΔW injection
+    creates. Consequences, all test-pinned:
+
+    - strong order ~1.5 on the same-path OU oracle (identical regime to
+      implicit_sra1);
+    - λh → −∞: y1 → 0 including the noise. The closed-form discrete
+      stationary m2 (the (W, U)-Gaussian response of the linear map,
+      derived in the tests) stays within +16% of the exact σ²/(2θ) at
+      EVERY θ·h — peak ratio ~1.154 at θ·h ≈ 5, ~1.03 at θ·h = 10 where
+      implicit_sra1's undamped final noise measures ~7× — then damps
+      toward zero as θ·h → ∞ (the safe direction for white-noise-forced
+      SPDE fast modes; implicit_foster2 remains the choice when the
+      stationary law must be accurate at extreme λ·dt, this scheme when
+      a single L-stable SDIRK2-core step must never overdisperse).
+
+    No reference counterpart (``paddlexde/functional/sdeint.py:9-37`` is
+    broken explicit EM). Validated by MEASURED strong order vs the OU
+    closed form on the same path, per the repo convention.
+    """
+    g_c = _ISRA1_GAMMA
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u = bm(t, t1, return_U=True)
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
+        i10_h = jax.tree.map(lambda ul: ul / jnp.asarray(safe_dt, ul.dtype),
+                             u)
+        g0 = diffusion(t, y)
+        g1 = diffusion(t1, y)
+
+        base1 = jax.tree.map(
+            lambda yl, gl, wl, il: yl
+            + gl * (_ISRA1D_A1 * wl + _ISRA1D_B1 * il),
+            y, g0, w, i10_h,
+        )
+        h1 = _drift_implicit_solve(drift, t + g_c * dt, dt, base1, g_c,
+                                   newton_iters, krylov)
+        gdt = jnp.asarray(g_c, jnp.result_type(dt)) * safe_dt
+        f1 = jax.tree.map(
+            lambda hl, bl: jnp.where(
+                dt == 0, jnp.zeros_like(hl),
+                (hl - bl) / jnp.asarray(gdt, hl.dtype),
+            ),
+            h1, base1,
+        )
+        noise = jax.tree.map(
+            lambda g0l, g1l, wl, il: g1l * (wl - il) + g0l * il,
+            g0, g1, w, i10_h,
+        )
+        base2 = jax.tree.map(
+            lambda yl, fl, nl: yl
+            + (1.0 - g_c) * jnp.asarray(dt, yl.dtype) * fl + nl,
+            y, f1, noise,
+        )
+        h2 = _drift_implicit_solve(drift, t1, dt, base2, g_c,
+                                   newton_iters, krylov)
+        f2 = jax.tree.map(
+            lambda hl, bl: jnp.where(
+                dt == 0, jnp.zeros_like(hl),
+                (hl - bl) / jnp.asarray(gdt, hl.dtype),
+            ),
+            h2, base2,
+        )
+        f_comb = jax.tree.map(
+            lambda a, b: (1.0 - g_c) * a + g_c * b, f1, f2
+        )
+        return (f_comb, noise)
+
+    def fuse(dy, dt, y):
+        # y1 = H2 = y + h[(1−γ)f1 + γf2] + n2 — the stiffly-accurate
+        # identity, algebraically rearranged into the shared fuse form
+        f_val, noise = dy
+        return jax.tree.map(
+            lambda yl, fl, nl: yl + jnp.asarray(dt, yl.dtype) * fl + nl,
+            y, f_val, noise,
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
+def make_implicit_sra1_damped_general_term(drift, diffusion, bm, *,
+                                           newton_iters: int = 8,
+                                           krylov: bool = True) -> XDETerm:
+    """Damped stiffly-accurate strong-1.5 scheme for GENERAL (matrix)
+    ADDITIVE noise: :func:`make_implicit_sra1_damped_term` with
+    ``G(t) -> [..., D, M]`` against an M-dimensional Brownian motion (the
+    additive columns are independent, so the scalar derivation applies per
+    column through the einsum contraction)."""
+    g_c = _ISRA1_GAMMA
+    mv = lambda g, z: jnp.einsum("...dm,...m->...d", g, z,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+    def move(t, dt, y):
+        t1 = t + dt
+        w, u = bm(t, t1, return_U=True)  # [..., M] each
+        safe_dt = jnp.where(dt == 0, jnp.ones_like(jnp.asarray(dt)), dt)
+        i10_h = u / jnp.asarray(safe_dt, u.dtype)
+        g0 = diffusion(t, y)
+        g1 = diffusion(t1, y)
+
+        base1 = y + mv(g0, _ISRA1D_A1 * w + _ISRA1D_B1 * i10_h)
+        h1 = _drift_implicit_solve(drift, t + g_c * dt, dt, base1, g_c,
+                                   newton_iters, krylov)
+        gdt = jnp.asarray(g_c, jnp.result_type(dt)) * safe_dt
+        f1 = jnp.where(dt == 0, jnp.zeros_like(h1),
+                       (h1 - base1) / jnp.asarray(gdt, h1.dtype))
+        noise = mv(g1, w - i10_h) + mv(g0, i10_h)
+        base2 = (y + (1.0 - g_c) * jnp.asarray(dt, y.dtype) * f1 + noise)
+        h2 = _drift_implicit_solve(drift, t1, dt, base2, g_c,
+                                   newton_iters, krylov)
+        f2 = jnp.where(dt == 0, jnp.zeros_like(h2),
+                       (h2 - base2) / jnp.asarray(gdt, h2.dtype))
+        return ((1.0 - g_c) * f1 + g_c * f2, noise)
+
+    def fuse(dy, dt, y):
+        f_val, noise = dy
+        return jax.tree.map(
+            lambda yl, fl, nl: yl + jnp.asarray(dt, yl.dtype) * fl + nl,
+            y, f_val, noise,
+        )
+
+    return XDETerm(move=move, fuse=fuse, additive=False, kind="sde")
+
+
 # Hairer–Wanner's 5-stage SDIRK4 (γ = 1/4; HNW II Table 6.5): L-stable,
 # stiffly accurate, ORDER 4 — the same published tableau the adaptive ODE
 # ladder's "sdirk4" uses (solver/tableaus.py:_sdirk4). Order 4 (not 2 or 3)

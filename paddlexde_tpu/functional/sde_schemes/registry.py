@@ -61,6 +61,8 @@ from .implicit import (
     make_implicit_foster2_general_term,
     make_implicit_foster2_term,
     make_implicit_milstein_term,
+    make_implicit_sra1_damped_general_term,
+    make_implicit_sra1_damped_term,
     make_implicit_sra1_general_term,
     make_implicit_sra1_term,
 )
@@ -137,6 +139,18 @@ _SPECS = [
         "implicit_sra1_general", make_implicit_sra1_general_term, "general",
         "ito", 1.5, None, "space-time", 2.0,
         aliases=("general_implicit_sra1",), knobs=_IMPLICIT_KNOBS,
+        additive_only=True, implicit=True,
+    ),
+    SDESchemeSpec(
+        "implicit_sra1_damped", make_implicit_sra1_damped_term, "diagonal",
+        "ito", 1.5, None, "space-time", 2.0,
+        aliases=("drift_implicit_sra1_damped",), knobs=_IMPLICIT_KNOBS,
+        additive_only=True, implicit=True,
+    ),
+    SDESchemeSpec(
+        "implicit_sra1_damped_general", make_implicit_sra1_damped_general_term,
+        "general", "ito", 1.5, None, "space-time", 2.0,
+        aliases=("general_implicit_sra1_damped",), knobs=_IMPLICIT_KNOBS,
         additive_only=True, implicit=True,
     ),
     SDESchemeSpec(

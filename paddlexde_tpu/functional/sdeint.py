@@ -42,6 +42,8 @@ __all__ = [
     "make_implicit_milstein_term",
     "make_implicit_sra1_term",
     "make_implicit_sra1_general_term",
+    "make_implicit_sra1_damped_term",
+    "make_implicit_sra1_damped_general_term",
     "make_implicit_foster2_term",
     "make_implicit_foster2_general_term",
     "make_general_euler_term",
@@ -87,6 +89,8 @@ from .sde_schemes.implicit import (  # noqa: F401
     make_implicit_foster2_general_term,
     make_implicit_foster2_term,
     make_implicit_milstein_term,
+    make_implicit_sra1_damped_general_term,
+    make_implicit_sra1_damped_term,
     make_implicit_sra1_general_term,
     make_implicit_sra1_term,
 )

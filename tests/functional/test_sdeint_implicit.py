@@ -427,3 +427,178 @@ def test_implicit_sra1_order_conditions():
     np.testing.assert_allclose(b4 @ (c * (a_mat @ c)), 1.0 / 8.0, atol=1e-14)
     np.testing.assert_allclose(b4 @ a_mat @ c**2, 1.0 / 12.0, atol=1e-14)
     np.testing.assert_allclose(b4 @ a_mat @ a_mat @ c, 1.0 / 24.0, atol=1e-14)
+
+
+# --- implicit_sra1_damped: stiffly-accurate damped-noise variant (ROADMAP
+# round-4 candidate 6 follow-on) --------------------------------------------
+
+
+def _damped_stationary_ratio(zh):
+    """Closed-form discrete stationary m2 of implicit_sra1_damped on
+    dy = -theta y dt + sigma dW at theta*h = zh, as a RATIO to the exact
+    sigma^2/(2 theta): the step is linear in (y, W, U) — y1 = a(z) y +
+    noise(W, U) with z = -zh — so the stationary variance is
+    Var(noise)/(1 - a^2) with the exact (W, U) covariance
+    [[h, h^2/2], [h^2/2, h^3/3]]."""
+    from paddlexde_tpu.functional.sde_schemes.implicit import (
+        _ISRA1_GAMMA, _ISRA1D_A1, _ISRA1D_B1,
+    )
+
+    g = _ISRA1_GAMMA
+    z = -zh
+    d = 1.0 - g * z
+    a = (1.0 + (1.0 - 2.0 * g) * z) / d**2          # SDIRK2 R(z)
+    c_w = ((1.0 - g) * z * _ISRA1D_A1 / d + 1.0) / d  # coeff of sigma*W
+    c_u = (1.0 - g) * z * _ISRA1D_B1 / d**2           # coeff of sigma*U/h
+    var = c_w**2 + c_u**2 / 3.0 + c_w * c_u           # per sigma^2 h
+    return (var / (1.0 - a * a)) / (1.0 / (2.0 * zh)), a
+
+
+def test_implicit_sra1_damped_strong_order():
+    """Same OU-oracle regime as implicit_sra1: strong order ~1.5+ with an
+    essentially identical error constant (measured 1.90 for both; the
+    stiffly-accurate restructuring costs nothing in the smooth regime)."""
+    errs = _ou_oracle_and_err(["implicit_sra1", "implicit_sra1_damped"])
+    e_c, e_f = errs["implicit_sra1_damped"]
+    order = np.log(e_c / e_f) / np.log(4.0)
+    assert order > 1.5, (order, e_c, e_f)
+    # error constant comparable to implicit_sra1's (within 2x both ways)
+    for i in range(2):
+        ratio = errs["implicit_sra1_damped"][i] / errs["implicit_sra1"][i]
+        assert 0.5 < ratio < 2.0, (i, ratio, errs)
+
+
+def test_implicit_sra1_damped_noise_response_closed_form():
+    """The design property, pinned from the closed-form linear response:
+    the stationary m2 ratio stays within +16% of exact at EVERY theta*h
+    (peak ~1.154 near theta*h = 5), sits at ~1.03 at theta*h = 10 where
+    implicit_sra1's undamped final noise gives ~7.4x (its z -> -inf noise
+    limit is the CONSTANT 0.3695 sigma^2 h: ratio = 0.739*zh, unbounded),
+    and damps toward zero as theta*h -> inf; R(-inf) = 0."""
+    sweep = [0.01, 0.1, 0.3, 1.0, 2.0, 3.0, 5.0, 7.0, 10.0, 30.0, 100.0,
+             1000.0]
+    ratios = {zh: _damped_stationary_ratio(zh)[0] for zh in sweep}
+    assert max(ratios.values()) < 1.16, ratios
+    np.testing.assert_allclose(ratios[5.0], 1.1542, atol=2e-3)
+    assert ratios[10.0] < 1.05
+    assert ratios[1000.0] < 0.03          # damps, never flat-lines
+    np.testing.assert_allclose(ratios[0.01], 1.0, atol=1e-3)  # h->0 exact
+    _, a_inf = _damped_stationary_ratio(1e12)
+    assert abs(a_inf) < 1e-10             # L-stable core
+    # implicit_sra1's z->-inf per-step noise variance: y1 -> sigma(W - B2 U/h)
+    from paddlexde_tpu.functional.sde_schemes.implicit import _ISRA1_B2
+
+    lim = 1.0 - _ISRA1_B2 + _ISRA1_B2**2 / 3.0
+    np.testing.assert_allclose(lim, 0.3695, atol=1e-4)
+    assert lim * 2.0 * 10.0 > 7.0         # the ratio it implies at zh=10
+
+
+def test_implicit_sra1_damped_stiff_empirical_matches_closed_form():
+    """theta*h = 10 chain: the empirical stationary m2 matches the
+    closed-form discrete response (ratio ~1.03 of exact) and sits ~7x
+    below implicit_sra1's on the same tree."""
+    th, sig, h, nstep, n_paths = 100.0, 1.0, 0.1, 129, 4096
+    ts = jnp.linspace(0.0, h * (nstep - 1), nstep)
+    y0 = 5.0 * jnp.ones((n_paths,), jnp.float64)
+    f = lambda t, y: -th * y
+    g = lambda t, y: sig * jnp.ones_like(y)
+
+    def run(method):
+        bm = BrownianInterval(0.0, h * (nstep - 1), size=(n_paths,),
+                              key=jax.random.key(3), dtype=jnp.float64,
+                              levy_area_approximation="space-time-time")
+        sol = sdeint(f, g, y0, ts, method, bm=bm, time_axis=0)
+        return float(jnp.mean(sol[-1] ** 2))
+
+    exact = sig**2 / (2 * th)
+    ratio_pred, _ = _damped_stationary_ratio(th * h)
+    m2 = run("implicit_sra1_damped")
+    np.testing.assert_allclose(m2 / exact, ratio_pred, rtol=0.08)
+    m2_sra = run("implicit_sra1")
+    assert m2_sra / m2 > 4.0, (m2_sra, m2)
+
+
+def test_implicit_sra1_damped_linear_sigma_exact():
+    """Zero drift, LINEAR sigma(t) = a + b t: the step's noise term
+    g(t1)(dW - U/h) + g(t0) U/h equals the exact int sigma(s) dW_s =
+    a dW + b (t1 dW - U) per step, so the chain telescopes to the
+    whole-span closed form y0 + a W(0,T) + b (T W(0,T) - U(0,T)) to
+    machine precision (the structural reason the ~1.9 measured order
+    beats the guaranteed 1.5 on near-linear sigma)."""
+    a_c, b_c = 0.4, 0.9
+    y0 = jnp.ones((8,), jnp.float64)
+    key = jax.random.key(13)
+
+    def make_bm():
+        return BrownianInterval(0.0, 1.0, size=(8,), key=key,
+                                dtype=jnp.float64,
+                                levy_area_approximation="space-time-time")
+
+    ts = jnp.linspace(0.0, 1.0, 9)
+    sol = sdeint(lambda t, y: jnp.zeros_like(y),
+                 lambda t, y: (a_c + b_c * t) * jnp.ones_like(y),
+                 y0, ts, "implicit_sra1_damped", bm=make_bm(), time_axis=0)
+    w, u = make_bm()(0.0, 1.0, return_U=True)
+    expect = y0 + a_c * w + b_c * (1.0 * w - u)
+    np.testing.assert_allclose(np.asarray(sol[-1]), np.asarray(expect),
+                               atol=1e-12)
+
+
+def test_implicit_sra1_damped_reverse_and_adjoint():
+    """Reverse retraces (the reversed system stays additive; ReverseBrownian
+    supplies the exact (dW~, I10~) algebra) and the replay adjoint matches
+    direct backprop — the same contracts the other implicit schemes pin."""
+    theta, sigma = 0.9, 0.5
+    y0 = jnp.ones((32,), jnp.float64)
+    bm = BrownianInterval(0.0, 1.0, size=(32,), key=jax.random.key(31),
+                          dtype=jnp.float64,
+                          levy_area_approximation="space-time-time")
+    f = lambda t, y: -theta * y
+    g = lambda t, y: sigma * jnp.ones_like(y)
+    ts = jnp.linspace(0.0, 1.0, 33)
+    fwd = sdeint(f, g, y0, ts, "implicit_sra1_damped", bm=bm, time_axis=0)
+    back = sdeint(f, g, fwd[-1], ts[::-1], "implicit_sra1_damped", bm=bm,
+                  time_axis=0)
+    assert float(jnp.mean(jnp.abs(back[-1] - y0))) < 5e-5
+
+    def make_bm2():
+        return BrownianInterval(0.0, 1.0, size=(32,), key=jax.random.key(7),
+                                dtype=jnp.float64,
+                                levy_area_approximation="space-time-time")
+
+    def loss(a, run):
+        fa = lambda t, y: -a * y
+        sol = run(fa, g, y0, ts, "implicit_sra1_damped", bm=make_bm2(),
+                  time_axis=0, options={"newton_iters": 10})
+        return jnp.sum(sol[-1])
+
+    a = jnp.asarray(1.3, jnp.float64)
+    vd, gd = jax.value_and_grad(lambda x: loss(x, sdeint))(a)
+    va, ga = jax.value_and_grad(lambda x: loss(x, sdeint_adjoint))(a)
+    np.testing.assert_allclose(float(va), float(vd), rtol=1e-12)
+    np.testing.assert_allclose(float(ga), float(gd), rtol=1e-9)
+
+
+def test_implicit_sra1_damped_general_constant_g_telescopes():
+    """Matrix-additive variant, zero drift, constant G: every stage
+    injection cancels through the zero drift and the chain telescopes to
+    y0 + G W(0,T) exactly."""
+    rng = np.random.RandomState(4)
+    D, M = 5, 3
+    G = jnp.asarray(rng.randn(D, M) * 0.6, jnp.float64)
+    y0 = jnp.asarray(rng.randn(16, D), jnp.float64)
+    key = jax.random.key(21)
+
+    def make_bm():
+        return BrownianInterval(0.0, 1.0, size=(16, M), key=key,
+                                dtype=jnp.float64,
+                                levy_area_approximation="space-time-time")
+
+    ts = jnp.linspace(0.0, 1.0, 9)
+    sol = sdeint(lambda t, y: jnp.zeros_like(y), lambda t, y: G, y0, ts,
+                 "implicit_sra1_damped_general", bm=make_bm(), noise_dim=M,
+                 time_axis=0)
+    w = make_bm()(0.0, 1.0)
+    expect = y0 + jnp.einsum("dm,bm->bd", G, w)
+    np.testing.assert_allclose(np.asarray(sol[-1]), np.asarray(expect),
+                               atol=1e-12)
