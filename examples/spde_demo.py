@@ -145,7 +145,18 @@ def main(argv=None):
     # never overdisperses); implicit_em when only boundedness matters.
     assert errs["implicit_foster2"] < errs["implicit_em"]
     assert errs["implicit_foster2"] < errs["implicit_sra1"]
-    assert errs["implicit_sra1_damped"] < errs["implicit_sra1"]
+    # The damped-vs-plain ordering is what the unit tests pin (stationary
+    # m2 +16% vs ~6x at theta*h=10); here it's a single-seed stochastic
+    # comparison, so warn rather than hard-fail on a seed flip (ADVICE r4).
+    if not errs["implicit_sra1_damped"] < errs["implicit_sra1"]:
+        import warnings
+
+        warnings.warn(
+            "implicit_sra1_damped did not beat implicit_sra1 on this seed "
+            f"({errs['implicit_sra1_damped']:.3g} vs "
+            f"{errs['implicit_sra1']:.3g}); the ordering is pinned by "
+            "tests/functional/test_sdeint_implicit.py on closed-form "
+            "stationary moments", stacklevel=2)
     return float(rel.max())
 
 

@@ -82,7 +82,7 @@ def _mass_tree(mass, like):
     return mass
 
 
-def make_langevin_step(force, gamma, beta=1.0, mass=1.0, bm=None,
+def make_langevin_step(force, gamma, beta=1.0, mass=None, bm=None,
                        scheme="baoab", mass_ops=None):
     """One splitting step ``(t, dt, (q, p)) -> (q1, p1)``.
 
@@ -105,11 +105,16 @@ def make_langevin_step(force, gamma, beta=1.0, mass=1.0, bm=None,
                 and all(callable(op) for op in mass_ops)):
             raise ValueError(
                 "mass_ops must be a (minv, msqrt) pair of callables")
-        if not (isinstance(mass, (int, float)) and float(mass) == 1.0):
+        # sentinel default (ADVICE r4): reject ANY explicitly-passed mass —
+        # the old value test let mass=1.0/True slip through and rejected
+        # jnp scalar 1.0, making the boundary value/type dependent
+        if mass is not None:
             raise ValueError("pass mass= OR mass_ops=, not both")
         minv_op, msqrt_op = mass_ops
     else:
         minv_op = msqrt_op = None
+    if mass is None:
+        mass = 1.0
 
     def kick(p, f, s):
         return jax.tree.map(
@@ -183,7 +188,7 @@ def make_langevin_step(force, gamma, beta=1.0, mass=1.0, bm=None,
             "aboba": step_aboba}[scheme]
 
 
-def make_baoab_step(force, gamma, beta=1.0, mass=1.0, bm=None):
+def make_baoab_step(force, gamma, beta=1.0, mass=None, bm=None):
     """One BAOAB step (back-compat alias of :func:`make_langevin_step`)."""
     return make_langevin_step(force, gamma, beta, mass, bm, scheme="baoab")
 
@@ -195,7 +200,7 @@ def langevin(
     *,
     gamma: float,
     beta: float = 1.0,
-    mass=1.0,
+    mass=None,
     mass_ops=None,
     bm=None,
     key=None,
@@ -211,11 +216,11 @@ def langevin(
         gamma: friction. γ = 0 reduces the O-step to the identity
             (velocity Verlet for baoab/obabo, position Verlet for aboba).
         beta: inverse temperature (target law ∝ e^{−β(V(q) + ½pᵀM⁻¹p)}).
-        mass: scalar or pytree-of-diagonals like q.
+        mass: scalar or pytree-of-diagonals like q (default: unit mass).
         mass_ops: optional ``(minv, msqrt)`` pair of linear pytree
             operators for a NON-diagonal mass matrix (``minv(p) = M⁻¹p``,
             ``msqrt(ξ) = Lξ`` with ``L Lᵀ = M``); mutually exclusive
-            with a non-default ``mass``.
+            with passing ``mass`` at all.
         bm / key: Brownian motion over the span (shape = q's shape) or the
             PRNG entropy for the default one.
         scheme: ``"baoab"`` (default) / ``"obabo"`` / ``"aboba"``.
@@ -259,7 +264,7 @@ def langevin(
     return format_solution(full, time_axis)
 
 
-def langevin_baoab(force, y0, t_span, *, gamma, beta=1.0, mass=1.0, bm=None,
+def langevin_baoab(force, y0, t_span, *, gamma, beta=1.0, mass=None, bm=None,
                    key=None, time_axis: int = 0):
     """BAOAB chain (back-compat alias of :func:`langevin`)."""
     return langevin(force, y0, t_span, gamma=gamma, beta=beta, mass=mass,

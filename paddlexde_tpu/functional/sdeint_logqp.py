@@ -61,6 +61,7 @@ _LOGQP_SCHEMES = frozenset({
     "stochastic_theta",
     "implicit_milstein", "drift_implicit_milstein",
     "implicit_sra1", "drift_implicit_sra1",
+    "implicit_sra1_damped", "drift_implicit_sra1_damped",
     "implicit_foster2", "drift_implicit_foster2",
 })
 

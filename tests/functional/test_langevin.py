@@ -464,6 +464,13 @@ def test_mass_ops_validation_and_grads():
                  mass_ops=(lambda p: p, lambda x: x), key=0)
     with pytest.raises(ValueError, match="pair of callables"):
         langevin(force, y0, ts, gamma=1.0, mass_ops=(lambda p: p,), key=0)
+    # sentinel-default semantics (ADVICE r4): ANY explicitly-passed mass is
+    # rejected alongside mass_ops — including the values the old check let
+    # through (python 1.0 / True) or spuriously rejected (jnp scalar 1.0)
+    for bad_mass in (1.0, True, jnp.asarray(1.0)):
+        with pytest.raises(ValueError, match="not both"):
+            langevin(force, y0, ts, gamma=1.0, mass=bad_mass,
+                     mass_ops=(lambda p: p, lambda x: x), key=0)
 
     # grads flow through the mass operators (FD pin on a scale parameter)
     def endpoint(a):
