@@ -129,27 +129,35 @@ _SPECS = [
         "sra1_general", make_general_sra1_term, "general", "ito", 1.5, 2.0,
         "space-time", 2.0, aliases=("general_sra1",), additive_only=True,
     ),
+    # round 5: the implicit additive rungs' weak orders are now MEASURED
+    # (tools/measure_weak_orders.py; tests/functional/test_weak_order_
+    # implicit.py): coupled-resolution differencing on one Brownian tree vs
+    # exact OU / Lyapunov moment oracles with TIME-DEPENDENT G(t). The sra1
+    # family measures 2.0 on every first/second-moment slope (1.88-2.14
+    # band); the foster2 family's bias decays at slope ~3 on the stiff
+    # oracle — 2.0 is the conservative registered claim (Richardson at an
+    # UNDERestimated p stays convergent; an overestimate would not).
     SDESchemeSpec(
         "implicit_sra1", make_implicit_sra1_term, "diagonal", "ito", 1.5,
-        None, "space-time", 2.0,
+        2.0, "space-time", 2.0,
         aliases=("drift_implicit_sra1",), knobs=_IMPLICIT_KNOBS,
         additive_only=True, implicit=True,
     ),
     SDESchemeSpec(
         "implicit_sra1_general", make_implicit_sra1_general_term, "general",
-        "ito", 1.5, None, "space-time", 2.0,
+        "ito", 1.5, 2.0, "space-time", 2.0,
         aliases=("general_implicit_sra1",), knobs=_IMPLICIT_KNOBS,
         additive_only=True, implicit=True,
     ),
     SDESchemeSpec(
         "implicit_sra1_damped", make_implicit_sra1_damped_term, "diagonal",
-        "ito", 1.5, None, "space-time", 2.0,
+        "ito", 1.5, 2.0, "space-time", 2.0,
         aliases=("drift_implicit_sra1_damped",), knobs=_IMPLICIT_KNOBS,
         additive_only=True, implicit=True,
     ),
     SDESchemeSpec(
         "implicit_sra1_damped_general", make_implicit_sra1_damped_general_term,
-        "general", "ito", 1.5, None, "space-time", 2.0,
+        "general", "ito", 1.5, 2.0, "space-time", 2.0,
         aliases=("general_implicit_sra1_damped",), knobs=_IMPLICIT_KNOBS,
         additive_only=True, implicit=True,
     ),
@@ -173,14 +181,14 @@ _SPECS = [
     ),
     SDESchemeSpec(
         "implicit_foster2", make_implicit_foster2_term, "diagonal", "ito",
-        2.0, None, "space-time-time", 2.5,
+        2.0, 2.0, "space-time-time", 2.5,
         aliases=("drift_implicit_foster2",),
         knobs=_IMPLICIT_KNOBS + ("substeps",), additive_only=True,
         implicit=True,
     ),
     SDESchemeSpec(
         "implicit_foster2_general", make_implicit_foster2_general_term,
-        "general", "ito", 2.0, None, "space-time-time", 2.5,
+        "general", "ito", 2.0, 2.0, "space-time-time", 2.5,
         aliases=("general_implicit_foster2",),
         knobs=_IMPLICIT_KNOBS + ("substeps",), additive_only=True,
         implicit=True,
