@@ -49,6 +49,7 @@ _ADAPTIVE_KEYS = {
     "newton_iters",  # implicit (ESDIRK) tableaus: Newton iterations per stage
     "direct_grad",  # False: raw while_loop engine (no reverse-mode, jvp ok)
     "grid_buffer",  # accepted-step recording capacity for direct gradients
+    "overflow_warn",  # False: silence the grid_buffer-overflow RuntimeWarning
 }
 _ADAMS_KEYS = {"implicit", "max_iters", "max_order", "step_size", "grid_constructor", "grid", "time_dtype", "norm"}
 
@@ -236,17 +237,20 @@ def integrate_term(
             return format_solution(out, time_axis)
         kw = {
             k: v for k, v in options.items()
-            if k in _ADAPTIVE_KEYS - {"direct_grad", "grid_buffer"}
+            if k in _ADAPTIVE_KEYS - {"direct_grad", "grid_buffer",
+                                      "overflow_warn"}
         }
         if options.get("direct_grad", True):
-            # recorded-grid custom_vjp wrapper: jax.grad through the adaptive
-            # solve just works (discrete-exact replay gradients; forward and
-            # stats bit-equal to the raw engine) — solver/adaptive_autodiff.py
+            # recorded-grid custom_jvp wrapper: jax.grad AND jvp/jacfwd/
+            # hessian through the adaptive solve just work (discrete-exact
+            # replay gradients; forward and stats bit-equal to the raw
+            # engine) — solver/adaptive_autodiff.py
             from ..solver.adaptive_autodiff import solve_adaptive_autodiff
 
             out = solve_adaptive_autodiff(
                 term, y0, t_span, method=spec.name, rtol=rtol, atol=atol,
-                grid_buffer=int(options.get("grid_buffer", 512)), **kw
+                grid_buffer=int(options.get("grid_buffer", 512)),
+                overflow_warn=bool(options.get("overflow_warn", True)), **kw
             )
         else:
             out = solve_adaptive(

@@ -723,6 +723,16 @@ class Trainer:
         self.logger.info(f"save parameters to file: {pf}")
 
     def load(self, epoch=None):
+        # COLLECTIVE under multi-process: checkpoints are written by rank 0
+        # only (save() above — the reference's implicit single-writer layout,
+        # ``train_dde.py:306-321``), so every rank must reach the shared
+        # save_dir read AFTER rank 0's write completes. All load() call
+        # sites (train end, finetune init, resume) execute on every rank in
+        # lockstep, so the barrier is balanced.
+        if self.process_count > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("pxt_d3stn_trainer_load")
         pf, ef, df = self._ckpt_files(epoch)
         if not os.path.exists(pf):
             raise FileNotFoundError(pf)

@@ -19,6 +19,18 @@ import pytest
 # the axon platform, f32 (no x64 on TPU), and the shared TPU compile cache.
 TPU_MODE = os.environ.get("PXT_TPU_TESTS", "0") == "1"
 
+if TPU_MODE:
+    # The D3STN train-step trace sits near CPython's default 1000-frame limit;
+    # under pytest's deeper call stack the same trace that passes standalone
+    # has died with RecursionError inside jnp dtype conversion (observed
+    # round 5, cold cache on a fresh host — every on-chip test in that run
+    # failed; the standalone tools/verify_mesh_kernels.py run of the SAME
+    # tree passed). Headroom is cheap; 3000 matches what large JAX programs
+    # commonly need.
+    import sys as _sys
+
+    _sys.setrecursionlimit(max(3000, _sys.getrecursionlimit()))
+
 
 def _host_cache_key():
     """Node name + CPU-IDENTITY hash (vendor/family/model/stepping/model

@@ -17,6 +17,7 @@ def main():
     pid, nproc, port, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "step"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -55,7 +56,10 @@ def main():
         batch_size=4,  # per-process: global batch = 8
         train_epochs=1,
         finetune_epochs=0,
-        save_dir=os.path.join(outdir, f"proc{pid}"),
+        # SHARED across processes — the real multi-host contract: rank 0 is
+        # the single checkpoint writer, every rank loads after the collective
+        # barrier in Trainer.load()
+        save_dir=os.path.join(outdir, "shared_ckpt"),
     )
     data = synthetic_traffic_npz(num_nodes=n_nodes, seq_len=288 * 3)
     rng = np.random.RandomState(0)
@@ -66,6 +70,23 @@ def main():
     tr = Trainer(cfg, data=data, adj_matrix=adj, sc_matrix=sc,
                  mesh=make_mesh({"data": 4 * nproc}))
     assert tr.process_count == nproc and tr.process_index == pid
+
+    if mode == "epoch":
+        # mini-epoch e2e (VERDICT r4 next-step 6): the full Trainer.train()
+        # loop — per-process shard feeding, jitted DP steps, epoch loss
+        # accounting, eval — across two REAL processes. Every process runs
+        # the same GLOBAL computation, so the final state must agree
+        # bit-for-bit across processes.
+        tr.train()
+        leaves = jax.tree.leaves(tr.state)
+        params_sum = float(sum(jnp.sum(jnp.abs(l.astype(jnp.float64)))
+                               for l in leaves))
+        eval_loss = tr.compute_eval_loss()
+        with open(os.path.join(outdir, f"result_{pid}.json"), "w") as f:
+            json.dump({"eval_loss": eval_loss,
+                       "params_sum": repr(params_sum)}, f)
+        jax.distributed.shutdown()
+        return
 
     src, tgt = next(tr.train_dataset.batches(
         cfg.batch_size, process_index=pid, process_count=nproc

@@ -34,6 +34,47 @@ WORKER = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
 
 
 @pytest.mark.slow
+def test_two_process_mini_epoch(tmp_path):
+    """Full Trainer.train() mini-epoch over 2 real processes (VERDICT r4
+    next-step 6): per-process shard feeding + jitted DP steps + eval, final
+    state bit-equal across processes (same global computation)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), "2", str(port), str(tmp_path),
+             "epoch"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        if p.returncode != 0:
+            msg = out.decode(errors="replace")[-2000:]
+            if "distributed" in msg.lower() and (
+                "unimplemented" in msg.lower() or "unavailable" in msg.lower()
+            ):
+                pytest.skip(f"jax.distributed unsupported here: {msg[-200:]}")
+            raise AssertionError(f"worker {p.args} failed:\n{msg}")
+
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f"result_{pid}.json") as f:
+            results.append(json.load(f))
+    # bit-equal final state across processes; finite eval
+    assert results[0]["params_sum"] == results[1]["params_sum"], results
+    assert np.isfinite(results[0]["eval_loss"])
+    np.testing.assert_allclose(results[0]["eval_loss"],
+                               results[1]["eval_loss"], rtol=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_train_step(tmp_path):
     port = _free_port()
     env = dict(os.environ)
