@@ -44,6 +44,9 @@ REQUIRED_RECORD_KEYS = (
     "eager_steps_per_sec",                           # the baseline stand-in
     "d3stn_bs32_device_ms_per_step",                 # flagship train step
     "d3stn_bs32_samples_per_sec",
+    "adjoint_bwd_fwd_ratio",                         # device-side (r5 def)
+    "adjoint_ratio_spread",                          # [min,max] of K rounds
+    "adjoint_bwd_fwd_ratio_call",                    # per-call (r02-r04 def)
 )
 
 
@@ -200,6 +203,82 @@ def _device_probe(timeout_s):
         return False
 
 
+def _run_d3stn_bench():
+    """Launch ``tools/bench_d3stn.py`` with the full round-4 failure ledger.
+
+    Hardened per VERDICT r4 weak-1 / next-step 1: the BENCH_r04 flagship
+    keys came back null with an undiagnosable ``IndexError`` because the
+    one-shot child hit a (most plausibly) wedged axon device claim, died
+    with EMPTY stdout, and its stderr was discarded. This wrapper gives the
+    flagship the same protections the parent's startup path has:
+
+    - bounded device probe before each attempt (a SIGKILLed prior process
+      wedges the claim ~60 s; probing avoids burning the attempt on it),
+      with one 70 s re-wait if the probe fails;
+    - ONE retry after a 70 s wedge-window sleep on empty/unparseable stdout
+      or a timeout;
+    - the child's stderr TAIL recorded in ``d3stn_error`` so the next
+      failure is diagnosable from the artifact alone.
+
+    Returns a dict always carrying the two contract keys (null on failure)
+    plus ``d3stn_attempts`` and, on failure, ``d3stn_error``.
+    """
+    import os
+    import subprocess
+    import sys
+
+    d3stn = {"d3stn_bs32_device_ms_per_step": None,
+             "d3stn_bs32_samples_per_sec": None}
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tools", "bench_d3stn.py"),
+        "--bs", "32", "--his", "288", "--chain", "6", "--reps", "8",
+    ]
+    timeout_s = float(os.environ.get("PXT_BENCH_D3STN_TIMEOUT_S", "2400"))
+    probe_timeout = float(os.environ.get("PXT_BENCH_PROBE_TIMEOUT_S", "120"))
+    last_err = ""
+    attempts = 0
+    for attempt in (1, 2):
+        attempts = attempt
+        # Device guard: a wedged claim kills the child instantly with empty
+        # stdout. Probe out-of-process; if down, wait out the ~60 s wedge
+        # window once and re-probe. Even if still down, run the child anyway
+        # (honest: it labels its backend, and the error ledger records why).
+        if not _device_probe(probe_timeout):
+            time.sleep(70.0)
+            _device_probe(probe_timeout)
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=timeout_s)
+            lines = out.stdout.strip().splitlines()
+            if lines:
+                try:
+                    rec = json.loads(lines[-1])
+                except ValueError:
+                    last_err = (f"attempt {attempt}: rc={out.returncode} "
+                                f"unparseable stdout tail: {lines[-1][-150:]}"
+                                f"; stderr: {(out.stderr or '')[-250:]}")
+                else:
+                    d3stn["d3stn_bs32_device_ms_per_step"] = (
+                        rec["device_ms_per_step"])
+                    d3stn["d3stn_bs32_samples_per_sec"] = (
+                        rec["device_samples_per_sec"])
+                    d3stn["d3stn_backend"] = rec.get("backend")
+                    d3stn["d3stn_attempts"] = attempts
+                    return d3stn
+            else:
+                last_err = (f"attempt {attempt}: rc={out.returncode} empty "
+                            f"stdout; stderr: {(out.stderr or '')[-300:]}")
+        except Exception as exc:  # noqa: BLE001 — recorded, not fatal
+            last_err = f"attempt {attempt}: {type(exc).__name__}: {exc}"[:300]
+        if attempt == 1:
+            time.sleep(70.0)  # SIGKILLed/crashed child wedges the claim ~60 s
+    d3stn["d3stn_error"] = last_err[:400]
+    d3stn["d3stn_attempts"] = attempts
+    return d3stn
+
+
 def main():
     import os
 
@@ -297,32 +376,70 @@ def main():
     t_big = _median_time(lambda: jax.block_until_ready(solve_big(params, y0_big)))
     nfe_samples_per_sec = int(stats_big.nfe) * 4096 / t_big
 
-    # --- adjoint bwd/fwd wall-clock ratio (secondary driver metric) ---
+    # --- adjoint bwd/fwd wall-clock ratio (secondary driver metric).
+    # DEVICE-SIDE via the chained-marginal method (VERDICT r4 next-step 7:
+    # the per-call ratio was a difference of two ~30 ms timings through the
+    # tunnel, so its 0.202->0.395 round-over-round drift was dispatch-floor
+    # noise, not a backward regression). Method: R dependency-chained
+    # fwd-only solves vs R chained fwd+adjoint-grad solves in ONE program
+    # each; marginal time per extra solve is the true device cost; ratio =
+    # (m_fb - m_fwd)/m_fwd. K independent rounds give a recorded spread so
+    # a real regression is distinguishable from variance. ---
     t_short = t_span[:100]
 
-    @jax.jit
-    def fwd_only(p, y0):
-        return odeint(
-            lambda t, y: vf(p, t, y), y0, t_short, "dopri5", rtol=1e-6, atol=1e-8,
-            time_axis=0,
+    def adj_loss(p_, y0_):
+        out = odeint_adjoint(
+            lambda t, y: vf(p_, t, y), y0_, t_short, "dopri5", rtol=1e-6,
+            atol=1e-8, time_axis=0,
         )
+        return jnp.sum(jnp.abs(out))
 
-    @jax.jit
-    def fwd_bwd(p, y0):
-        def loss(p_):
-            out = odeint_adjoint(
-                lambda t, y: vf(p_, t, y), y0, t_short, "dopri5", rtol=1e-6,
-                atol=1e-8, time_axis=0,
-            )
-            return jnp.sum(jnp.abs(out))
+    def _chain_runner(with_grad, r):
+        @jax.jit
+        def f(y):
+            def body(i, yv):
+                if with_grad:
+                    g = jax.grad(adj_loss)(params, yv)
+                    s = sum(jnp.sum(gv) for gv in
+                            jax.tree_util.tree_leaves(g))
+                    return y0 * 0.5 + yv * 1e-6 + s * 1e-6
+                out = odeint(
+                    lambda t, y_: vf(params, t, y_), yv, t_short, "dopri5",
+                    rtol=1e-6, atol=1e-8, time_axis=0,
+                )
+                return y0 * 0.5 + yv * 1e-6 + out[-1] * 1e-6
 
-        return jax.grad(loss)(p)
+            return jax.lax.fori_loop(0, r, body, y)
 
-    jax.block_until_ready(fwd_only(params, y0))
-    jax.block_until_ready(fwd_bwd(params, y0))
-    t_fwd = _median_time(lambda: jax.block_until_ready(fwd_only(params, y0)))
-    t_fb = _median_time(lambda: jax.block_until_ready(fwd_bwd(params, y0)))
-    bwd_fwd_ratio = max(t_fb - t_fwd, 1e-9) / t_fwd
+        def run():
+            float(jnp.sum(f(y0)))  # host fetch ends the timing honestly
+
+        run()  # compile
+        return run
+
+    _R = 9  # marginal divides by (R-1); small enough to keep compiles cheap
+    runners = {k: _chain_runner(g, r)
+               for k, (g, r) in {"f1": (False, 1), "fR": (False, _R),
+                                 "b1": (True, 1), "bR": (True, _R)}.items()}
+    ratios = []
+    for _ in range(5):  # K interleaved rounds -> per-round ratio + spread
+        t = {k: _median_time(fn, reps=1) for k, fn in runners.items()}
+        m_fwd = max((t["fR"] - t["f1"]) / (_R - 1), 1e-9)
+        m_fb = max((t["bR"] - t["b1"]) / (_R - 1), m_fwd)
+        ratios.append((m_fb - m_fwd) / m_fwd)
+    ratios.sort()
+    bwd_fwd_ratio = float(np.median(ratios))
+
+    # per-call series kept for cross-round trend continuity (r02-r04 records)
+    jfwd = jax.jit(lambda p, y: odeint(
+        lambda t, y_: vf(p, t, y_), y, t_short, "dopri5", rtol=1e-6,
+        atol=1e-8, time_axis=0))
+    jfb = jax.jit(lambda p, y: jax.grad(adj_loss)(p, y))
+    jax.block_until_ready(jfwd(params, y0))
+    jax.block_until_ready(jfb(params, y0))
+    t_fwd = _median_time(lambda: jax.block_until_ready(jfwd(params, y0)))
+    t_fb = _median_time(lambda: jax.block_until_ready(jfb(params, y0)))
+    bwd_fwd_ratio_call = max(t_fb - t_fwd, 1e-9) / t_fwd
 
     # --- honest CPU comparison in a subprocess (fresh process so the CPU
     # backend can be selected despite the host's TPU-forcing sitecustomize).
@@ -344,31 +461,15 @@ def main():
 
     # --- flagship D3STN train step (bs 32, device-side marginal) — the
     # model-level number next to the solver-level one (VERDICT r3 next-step
-    # 7). Subprocess with a bounded wait: the cold compile through the
-    # remote TPU compiler is ~5-15 min (cached in .bench_cache after);
-    # failure records nulls + the error, never kills the driver contract. ---
+    # 7). Hardened subprocess (VERDICT r4 next-step 1): device probe +
+    # wedge-window re-wait + one retry + stderr capture — see
+    # _run_d3stn_bench. Cold compile through the remote TPU compiler is
+    # ~5-15 min (cached in .bench_cache after); failure records nulls + a
+    # diagnosable error, never kills the driver contract. ---
     d3stn = {"d3stn_bs32_device_ms_per_step": None,
              "d3stn_bs32_samples_per_sec": None}
     if os.environ.get("PXT_BENCH_D3STN", "1") != "0":
-        try:
-            import subprocess
-            import sys
-
-            out = subprocess.run(
-                [sys.executable,
-                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "tools", "bench_d3stn.py"),
-                 "--bs", "32", "--his", "288", "--chain", "6", "--reps", "8"],
-                capture_output=True, text=True,
-                timeout=float(os.environ.get("PXT_BENCH_D3STN_TIMEOUT_S",
-                                             "2400")),
-            )
-            rec = json.loads(out.stdout.strip().splitlines()[-1])
-            d3stn["d3stn_bs32_device_ms_per_step"] = rec["device_ms_per_step"]
-            d3stn["d3stn_bs32_samples_per_sec"] = rec["device_samples_per_sec"]
-            d3stn["d3stn_backend"] = rec.get("backend")
-        except Exception as exc:  # noqa: BLE001 — recorded, not fatal
-            d3stn["d3stn_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        d3stn = _run_d3stn_bench()
 
     record = {
         "metric": "dopri5_steps_per_sec_spiral_node",
@@ -387,7 +488,11 @@ def main():
         "call_steps_spread": [round(core["dense_steps_per_sec_min"], 2),
                               round(core["dense_steps_per_sec_max"], 2)],
         "batched4096_nfe_samples_per_sec": round(nfe_samples_per_sec, 0),
+        # device-side (chained-marginal) with spread; the r02-r04 records'
+        # per-call definition continues as adjoint_bwd_fwd_ratio_call
         "adjoint_bwd_fwd_ratio": round(bwd_fwd_ratio, 3),
+        "adjoint_ratio_spread": [round(ratios[0], 3), round(ratios[-1], 3)],
+        "adjoint_bwd_fwd_ratio_call": round(bwd_fwd_ratio_call, 3),
         "nfe": nfe,
         "solver_steps": n_steps,
         "backend": core["backend"],
