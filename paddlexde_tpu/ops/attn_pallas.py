@@ -130,6 +130,36 @@ _MIDDLE = os.environ.get("PXT_ATTN_MIDDLE", "blockdiag")  # "blockdiag" | "loop"
 # blockdiag measured: module fwd+bwd 8.1 vs 10.9 ms; FULL STEP bs 32
 # 119.8 -> 98.9 ms, bs 64 203.2 -> 169.0 ms (378.7 samples/s)
 
+# How the blockdiag operands are BUILT/UNBUILT (round-5 attempt at the
+# pinned 2-3x VPU gap, VERDICT r4 next-step 5):
+# - "where": 8 per-head jnp.where selects + a lane/sublane-dim concatenate
+#   per operand (and the mirrored slice+where+sum per gradient) — pure
+#   VPU/layout work, the round-3 suspect for the gap.
+# - "dot": one matmul against a CONSTANT selector matrix per operand
+#   (k_bd = (k·E)∘M with E [Tk,cols] the tiled identity and M [D,cols] the
+#   head-alignment mask; gradients un-build with the same constants) —
+#   moves the scatter/gather onto the MXU, which the roofline analysis
+#   (ROADMAP r3 item 11b) says is 2-4x idle.
+_BD_BUILD = os.environ.get("PXT_ATTN_BD_BUILD", "where")  # "where" | "dot"
+
+
+def _bd_selectors(t_k, heads, d, head_dim):
+    """Constant selector matrices for the "dot" blockdiag build.
+
+    E [Tk, cols]: E[t, c] = 1 iff c mod Tk == t (tiled identity — expands a
+    [.., Tk] operand to head-major [.., heads*Tk] columns by copy).
+    M [D, cols]: M[d, c] = 1 iff d//head_dim == c//Tk (keeps only the block
+    where the lane's head matches the column's head)."""
+    cols = heads * t_k
+    col = jax.lax.broadcasted_iota(jnp.int32, (t_k, cols), 1)
+    colmod = col - (col // t_k) * t_k
+    row = jax.lax.broadcasted_iota(jnp.int32, (t_k, cols), 0)
+    e_sel = (colmod == row).astype(jnp.float32)
+    dcol = jax.lax.broadcasted_iota(jnp.int32, (d, cols), 1) // t_k
+    drow = jax.lax.broadcasted_iota(jnp.int32, (d, cols), 0) // head_dim
+    m_sel = (dcol == drow).astype(jnp.float32)
+    return e_sel, m_sel
+
 
 def _tile_in(ref, bt):
     """Read a [bt, tile, T, D] block as a [bt*tile, T, D] tile (the kernel
@@ -265,22 +295,44 @@ def _blockdiag_state(q, k, v, *, heads, head_dim, inv, mask, dt, dmask=None):
     dropout — its column layout IS the blockdiag layout, so it applies as one
     elementwise multiply on p. The stored state keeps the PRE-dropout softmax
     p0 (the softmax backward needs it; p0 cannot be recovered where the mask
-    zeroed p)."""
+    zeroed p).
+
+    Two builds for the block operands (knob ``PXT_ATTN_BD_BUILD``, see
+    module note): "where" (per-head select + concat, VPU) and "dot"
+    (selector-matrix matmuls, MXU). Numerically identical — the selector
+    entries are exact {0,1} floats, so the matmuls move values untouched."""
     d = q.shape[2]
     t_k = k.shape[1]
     cols = heads * t_k
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2) // head_dim
-    kt = jnp.swapaxes(k.astype(jnp.float32), 1, 2)  # [G, D, Tk]
-    sub_head = jnp.swapaxes(lane_head, 1, 2)  # [1, D, 1]
-    k_bd = jnp.concatenate(
-        [jnp.where(sub_head == h, kt, 0.0) for h in range(heads)], axis=2
-    )  # [G, D, cols]
+    if _BD_BUILD == "dot":
+        e_sel, m_sel = _bd_selectors(t_k, heads, d, head_dim)
+        # [G, Tk, D] ·(Tk) E [Tk, cols] -> [G, D, cols], masked to the block
+        k_bd = jax.lax.dot_general(
+            k.astype(jnp.float32), e_sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * m_sel
+    else:
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2) // head_dim
+        kt = jnp.swapaxes(k.astype(jnp.float32), 1, 2)  # [G, D, Tk]
+        sub_head = jnp.swapaxes(lane_head, 1, 2)  # [1, D, 1]
+        k_bd = jnp.concatenate(
+            [jnp.where(sub_head == h, kt, 0.0) for h in range(heads)], axis=2
+        )  # [G, D, cols]
     s = jax.lax.dot_general(
         q.astype(jnp.float32), k_bd, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * inv
     if mask is not None:
-        s = s + jnp.tile(mask, (1, heads))
+        if _BD_BUILD == "dot":
+            # head-tiled causal mask [Tq, cols] built directly from iota
+            # (is_mask implies Tq == Tk) — no lane-dim concatenate
+            t_q = q.shape[1]
+            mrow = jax.lax.broadcasted_iota(jnp.int32, (t_q, cols), 0)
+            mcol = jax.lax.broadcasted_iota(jnp.int32, (t_q, cols), 1)
+            mcol = mcol - (mcol // t_k) * t_k
+            s = s + jnp.where(mcol > mrow, jnp.finfo(jnp.float32).min, 0.0)
+        else:
+            s = s + jnp.tile(mask, (1, heads))
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     rid = jax.lax.broadcasted_iota(jnp.int32, (cols, cols), 0) // t_k
@@ -292,6 +344,18 @@ def _blockdiag_state(q, k, v, *, heads, head_dim, inv, mask, dt, dmask=None):
     )
     p = e / denom  # [G, Tq, cols] f32 (pre-dropout)
     p_eff = p if dmask is None else p * dmask
+    if _BD_BUILD == "dot":
+        # v in the SAME [G, D, cols] layout as k_bd (one shared build form);
+        # the attn@v contraction then runs over both operands' LAST dim
+        v_bd = jax.lax.dot_general(
+            v.astype(jnp.float32), e_sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * m_sel  # [G, D, cols]
+        x_attn = jax.lax.dot_general(
+            p_eff.astype(dt), v_bd.astype(dt), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        return x_attn, (p, k_bd, v_bd, block_sum, e_sel, m_sel)
     v_bd = jnp.concatenate(
         [jnp.where(lane_head == h, v.astype(jnp.float32), 0.0)
          for h in range(heads)],
@@ -309,7 +373,51 @@ def _blockdiag_bwd(state, q, v, dx_attn, *, heads, head_dim, inv, dmask=None):
     plus mask/recombine VPU work (no per-head loop). Returns f32
     (dq_full, dk_full, dv_full) [G, T, D]. With dropout, the mask applies to
     the value path (p_eff = p0*m feeds dv) and gates the softmax cotangent
-    (dp0 = dp_eff*m) before the usual block-softmax backward on p0."""
+    (dp0 = dp_eff*m) before the usual block-softmax backward on p0.
+
+    Mirrors the forward's ``PXT_ATTN_BD_BUILD`` choice: "dot" un-builds the
+    block-operand gradients with the same constant selectors (three extra
+    MXU matmuls) instead of the 8-way slice+where+sum VPU reduction."""
+    if _BD_BUILD == "dot":
+        p, k_bd, v_bd, block_sum, e_sel, m_sel = state
+        p_eff = p if dmask is None else p * dmask
+        g_n, t_k = v.shape[0], v.shape[1]
+        gq = dx_attn  # [G, Tq, D] f32
+        # x = p_eff ·(cols) v_bd  with v_bd [G, D, cols]
+        d_vbd = jax.lax.dot_general(  # contract Tq -> [G, D, cols]
+            gq, p_eff, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        e_b = jnp.broadcast_to(e_sel, (g_n,) + e_sel.shape)  # [G, Tk, cols]
+        dv_full = jax.lax.dot_general(  # contract cols -> [G, Tk, D]
+            e_b, d_vbd * m_sel, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(  # contract D -> [G, Tq, cols]
+            gq, v_bd, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        if dmask is not None:
+            dp = dp * dmask
+        ds = p * (
+            dp - jax.lax.dot_general(
+                dp * p, block_sum, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        ) * inv
+        dq_full = jax.lax.dot_general(  # contract cols -> [G, Tq, D]
+            ds, k_bd, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        d_kbd = jax.lax.dot_general(  # contract Tq -> [G, D, cols]
+            q.astype(jnp.float32), ds, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk_full = jax.lax.dot_general(  # contract cols -> [G, Tk, D]
+            e_b, d_kbd * m_sel, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return dq_full, dk_full, dv_full
     p, k_bd, v_bd, block_sum, lane_head, sub_head = state
     p_eff = p if dmask is None else p * dmask
     t_k = v.shape[1]

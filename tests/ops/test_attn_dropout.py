@@ -126,3 +126,51 @@ def test_dropout_actually_drops():
     out_d = _kernel(_mask(rate=0.5, seed=11), mq, mk, vs, *ws)
     out_0 = _kernel(jnp.ones((B, N, T, H * T), jnp.float32), mq, mk, vs, *ws)
     assert float(jnp.max(jnp.abs(out_d - out_0))) > 1e-3
+
+
+@pytest.mark.parametrize("causal", [(False, False, False), (True, True, True)])
+def test_dot_build_matches_where_build(monkeypatch, causal):
+    """Round-5 VPU-gap attempt: the selector-matmul ("dot") blockdiag build
+    must be numerically identical to the select+concat ("where") build —
+    the selector entries are exact {0,1} floats, so every moved value is
+    bit-preserved up to f32 summation order. Pinned fwd + input/weight
+    grads, with and without the causal mask and dropout."""
+    (mq, mk, vs), ws = _args(seed=5)
+    mask = _mask(rate=0.4, seed=9)
+
+    def run():
+        out = _kernel(mask, mq, mk, vs, *ws, causal=causal)
+        gs = jax.grad(
+            lambda *a: jnp.sum(jnp.sin(_kernel(mask, *a, causal=causal))),
+            argnums=(0, 1, 2, 3, 9),
+        )(mq, mk, vs, *ws)
+        out_nd = ap.fused_temporal_attention(
+            mq, mk, vs, *ws, causal[0], causal[1], causal[2], H, "float32",
+            True, True, False,
+        )
+        return (out, out_nd) + gs
+
+    monkeypatch.setattr(ap, "_BD_BUILD", "where")
+    ref = run()
+    monkeypatch.setattr(ap, "_BD_BUILD", "dot")
+    got = run()
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_dot_build_matches_oracle(monkeypatch):
+    """And directly against the jnp oracle (not just the sibling build)."""
+    (mq, mk, vs), ws = _args(seed=6)
+    monkeypatch.setattr(ap, "_BD_BUILD", "dot")
+    out_k = ap.fused_temporal_attention(
+        mq, mk, vs, *ws, False, False, False, H, "float32", True, True, False
+    )
+    out_r = ap._ref_impl(
+        mq, mk, vs, *ws, causal_q=False, causal_kv=False, is_mask=False,
+        heads=H, dtype_name="float32",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_r), rtol=1e-5, atol=1e-5
+    )
