@@ -380,34 +380,38 @@ def main():
     # DEVICE-SIDE via the chained-marginal method (VERDICT r4 next-step 7:
     # the per-call ratio was a difference of two ~30 ms timings through the
     # tunnel, so its 0.202->0.395 round-over-round drift was dispatch-floor
-    # noise, not a backward regression). Method: R dependency-chained
-    # fwd-only solves vs R chained fwd+adjoint-grad solves in ONE program
-    # each; marginal time per extra solve is the true device cost; ratio =
-    # (m_fb - m_fwd)/m_fwd. K independent rounds give a recorded spread so
-    # a real regression is distinguishable from variance. ---
-    t_short = t_span[:100]
+    # noise, not a backward regression). Definition: a 2-POINT t_span (the
+    # canonical adjoint regime — one backward solve of the augmented
+    # system; a dense 100/1000-point span instead measures the number of
+    # output intervals, and its ~0.1 ms fwd solve drowns in timing noise:
+    # the first cut of this metric clamped to 1e-9 and printed 2.8e6).
+    # Method: R dependency-chained fwd-only vs fwd+adjoint-grad solves in
+    # ONE program each; marginal per extra solve is the true device cost;
+    # ratio = (m_fb - m_fwd)/m_fwd; K=5 rounds of median-of-3 give a
+    # recorded spread so a real regression is distinguishable from noise. ---
+    t_two = jnp.asarray([0.0, BENCH_CONFIG["t1"]], jnp.float32)
 
-    def adj_loss(p_, y0_):
+    def _adj_loss(p_, y0_, adjoint_options=None):
         out = odeint_adjoint(
-            lambda t, y: vf(p_, t, y), y0_, t_short, "dopri5", rtol=1e-6,
-            atol=1e-8, time_axis=0,
+            lambda t, y: vf(p_, t, y), y0_, t_two, "dopri5", rtol=1e-6,
+            atol=1e-8, time_axis=0, adjoint_options=adjoint_options,
         )
-        return jnp.sum(jnp.abs(out))
+        return jnp.sum(jnp.abs(out[-1]))
 
-    def _chain_runner(with_grad, r):
+    def _chain_runner(kind, r):
         @jax.jit
         def f(y):
             def body(i, yv):
-                if with_grad:
-                    g = jax.grad(adj_loss)(params, yv)
-                    s = sum(jnp.sum(gv) for gv in
-                            jax.tree_util.tree_leaves(g))
-                    return y0 * 0.5 + yv * 1e-6 + s * 1e-6
-                out = odeint(
-                    lambda t, y_: vf(params, t, y_), yv, t_short, "dopri5",
-                    rtol=1e-6, atol=1e-8, time_axis=0,
-                )
-                return y0 * 0.5 + yv * 1e-6 + out[-1] * 1e-6
+                if kind == "fwd":
+                    out = odeint(
+                        lambda t, y_: vf(params, t, y_), yv, t_two, "dopri5",
+                        rtol=1e-6, atol=1e-8, time_axis=0,
+                    )
+                    return y0 * 0.5 + yv * 1e-6 + out[-1] * 1e-6
+                opts = {"norm": "seminorm"} if kind == "sem" else None
+                g = jax.grad(_adj_loss)(params, yv, adjoint_options=opts)
+                s = sum(jnp.sum(gv) for gv in jax.tree_util.tree_leaves(g))
+                return y0 * 0.5 + yv * 1e-6 + s * 1e-6
 
             return jax.lax.fori_loop(0, r, body, y)
 
@@ -417,24 +421,45 @@ def main():
         run()  # compile
         return run
 
-    _R = 9  # marginal divides by (R-1); small enough to keep compiles cheap
-    runners = {k: _chain_runner(g, r)
-               for k, (g, r) in {"f1": (False, 1), "fR": (False, _R),
-                                 "b1": (True, 1), "bR": (True, _R)}.items()}
-    ratios = []
+    # asymmetric chain lengths: each marginal needs >=~25 ms of device
+    # signal to clear the per-call noise (the fwd solve is ~0.24 ms, the
+    # backward ~16 ms — a shared R starves one side or the other)
+    _CHAINS = {"f1": ("fwd", 1), "fR": ("fwd", 129),
+               "b1": ("grad", 1), "bR": ("grad", 9),
+               "s1": ("sem", 1), "sR": ("sem", 9)}
+    runners = {k: _chain_runner(kind, r) for k, (kind, r) in _CHAINS.items()}
+    ratios, sem_ratios, m_fwds, m_fbs = [], [], [], []
     for _ in range(5):  # K interleaved rounds -> per-round ratio + spread
-        t = {k: _median_time(fn, reps=1) for k, fn in runners.items()}
-        m_fwd = max((t["fR"] - t["f1"]) / (_R - 1), 1e-9)
-        m_fb = max((t["bR"] - t["b1"]) / (_R - 1), m_fwd)
+        t = {k: _median_time(fn, reps=3) for k, fn in runners.items()}
+        m_fwd = max((t["fR"] - t["f1"]) / (_CHAINS["fR"][1] - 1), 1e-9)
+        m_fb = max((t["bR"] - t["b1"]) / (_CHAINS["bR"][1] - 1), m_fwd)
+        m_sem = max((t["sR"] - t["s1"]) / (_CHAINS["sR"][1] - 1), m_fwd)
+        m_fwds.append(m_fwd)
+        m_fbs.append(m_fb)
         ratios.append((m_fb - m_fwd) / m_fwd)
+        sem_ratios.append((m_sem - m_fwd) / m_fwd)
     ratios.sort()
+    sem_ratios.sort()
     bwd_fwd_ratio = float(np.median(ratios))
+    bwd_fwd_ratio_seminorm = float(np.median(sem_ratios))
+    adj_fwd_ms = float(np.median(m_fwds) * 1e3)
+    adj_fb_ms = float(np.median(m_fbs) * 1e3)
 
-    # per-call series kept for cross-round trend continuity (r02-r04 records)
+    # per-call series kept for cross-round trend continuity (r02-r04
+    # records: 100-point span, per-call wall-clock incl. dispatch floor)
+    t_short = t_span[:100]
+
+    def adj_loss_100(p_, y0_):
+        out = odeint_adjoint(
+            lambda t, y: vf(p_, t, y), y0_, t_short, "dopri5", rtol=1e-6,
+            atol=1e-8, time_axis=0,
+        )
+        return jnp.sum(jnp.abs(out))
+
     jfwd = jax.jit(lambda p, y: odeint(
         lambda t, y_: vf(p, t, y_), y, t_short, "dopri5", rtol=1e-6,
         atol=1e-8, time_axis=0))
-    jfb = jax.jit(lambda p, y: jax.grad(adj_loss)(p, y))
+    jfb = jax.jit(lambda p, y: jax.grad(adj_loss_100)(p, y))
     jax.block_until_ready(jfwd(params, y0))
     jax.block_until_ready(jfb(params, y0))
     t_fwd = _median_time(lambda: jax.block_until_ready(jfwd(params, y0)))
@@ -488,10 +513,16 @@ def main():
         "call_steps_spread": [round(core["dense_steps_per_sec_min"], 2),
                               round(core["dense_steps_per_sec_max"], 2)],
         "batched4096_nfe_samples_per_sec": round(nfe_samples_per_sec, 0),
-        # device-side (chained-marginal) with spread; the r02-r04 records'
-        # per-call definition continues as adjoint_bwd_fwd_ratio_call
+        # device-side (chained-marginal, 2-point span) with spread; the
+        # r02-r04 records' per-call definition continues as _call
         "adjoint_bwd_fwd_ratio": round(bwd_fwd_ratio, 3),
         "adjoint_ratio_spread": [round(ratios[0], 3), round(ratios[-1], 3)],
+        # the documented fast path: adjoint_options={"norm": "seminorm"}
+        # excludes parameter cotangents from the backward error norm
+        # (Kidger's trick) — ~10x vs ~70-110x on this problem
+        "adjoint_bwd_fwd_ratio_seminorm": round(bwd_fwd_ratio_seminorm, 3),
+        "adjoint_fwd_device_ms": round(adj_fwd_ms, 3),
+        "adjoint_fwdbwd_device_ms": round(adj_fb_ms, 3),
         "adjoint_bwd_fwd_ratio_call": round(bwd_fwd_ratio_call, 3),
         "nfe": nfe,
         "solver_steps": n_steps,
