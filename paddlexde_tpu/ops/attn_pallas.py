@@ -130,7 +130,7 @@ _MIDDLE = os.environ.get("PXT_ATTN_MIDDLE", "blockdiag")  # "blockdiag" | "loop"
 # blockdiag measured: module fwd+bwd 8.1 vs 10.9 ms; FULL STEP bs 32
 # 119.8 -> 98.9 ms, bs 64 203.2 -> 169.0 ms (378.7 samples/s)
 
-# How the blockdiag operands are BUILT/UNBUILT (round-5 attempt at the
+# How the blockdiag operands are BUILT/UNBUILT (round-5 closure of the
 # pinned 2-3x VPU gap, VERDICT r4 next-step 5):
 # - "where": 8 per-head jnp.where selects + a lane/sublane-dim concatenate
 #   per operand (and the mirrored slice+where+sum per gradient) — pure
@@ -139,8 +139,11 @@ _MIDDLE = os.environ.get("PXT_ATTN_MIDDLE", "blockdiag")  # "blockdiag" | "loop"
 #   (k_bd = (k·E)∘M with E [Tk,cols] the tiled identity and M [D,cols] the
 #   head-alignment mask; gradients un-build with the same constants) —
 #   moves the scatter/gather onto the MXU, which the roofline analysis
-#   (ROADMAP r3 item 11b) says is 2-4x idle.
-_BD_BUILD = os.environ.get("PXT_ATTN_BD_BUILD", "where")  # "where" | "dot"
+#   (ROADMAP r3 item 11b) said was 2-4x idle. "dot" is the DEFAULT since
+#   round 5 — MEASURED (v5e, bs 32, tile 17, chained): module fwd
+#   3.124 -> 2.638 ms, fwd+bwd 8.398 -> 6.100 ms (-27%); FULL D3STN step
+#   60.2 -> 46.44 ms device-side (531 -> 689 samples/s).
+_BD_BUILD = os.environ.get("PXT_ATTN_BD_BUILD", "dot")  # "dot" | "where"
 
 
 def _bd_selectors(t_k, heads, d, head_dim):
@@ -149,15 +152,30 @@ def _bd_selectors(t_k, heads, d, head_dim):
     E [Tk, cols]: E[t, c] = 1 iff c mod Tk == t (tiled identity — expands a
     [.., Tk] operand to head-major [.., heads*Tk] columns by copy).
     M [D, cols]: M[d, c] = 1 iff d//head_dim == c//Tk (keeps only the block
-    where the lane's head matches the column's head)."""
+    where the lane's head matches the column's head).
+
+    Built with raw ``lax`` primitives, NOT jnp operators: this runs at the
+    DEEPEST point of the whole train-step trace (flax init -> encoder ->
+    pallas kernel trace), and jnp's operator-dispatch/promotion frames here
+    tipped the full on-chip pytest run over the recursion limit (every tpu
+    test RecursionError'd; standalone passed — razor-thin margin)."""
+    lax = jax.lax
     cols = heads * t_k
-    col = jax.lax.broadcasted_iota(jnp.int32, (t_k, cols), 1)
-    colmod = col - (col // t_k) * t_k
-    row = jax.lax.broadcasted_iota(jnp.int32, (t_k, cols), 0)
-    e_sel = (colmod == row).astype(jnp.float32)
-    dcol = jax.lax.broadcasted_iota(jnp.int32, (d, cols), 1) // t_k
-    drow = jax.lax.broadcasted_iota(jnp.int32, (d, cols), 0) // head_dim
-    m_sel = (dcol == drow).astype(jnp.float32)
+    i32 = jnp.int32
+
+    def div(a, b):
+        return lax.div(a, lax.full_like(a, b))
+
+    def onehot(a, b):
+        return lax.convert_element_type(lax.eq(a, b), jnp.float32)
+
+    col = lax.broadcasted_iota(i32, (t_k, cols), 1)
+    row = lax.broadcasted_iota(i32, (t_k, cols), 0)
+    colmod = lax.sub(col, lax.mul(div(col, t_k), lax.full_like(col, t_k)))
+    e_sel = onehot(colmod, row)
+    dcol = div(lax.broadcasted_iota(i32, (d, cols), 1), t_k)
+    drow = div(lax.broadcasted_iota(i32, (d, cols), 0), head_dim)
+    m_sel = onehot(dcol, drow)
     return e_sel, m_sel
 
 
@@ -325,12 +343,19 @@ def _blockdiag_state(q, k, v, *, heads, head_dim, inv, mask, dt, dmask=None):
     if mask is not None:
         if _BD_BUILD == "dot":
             # head-tiled causal mask [Tq, cols] built directly from iota
-            # (is_mask implies Tq == Tk) — no lane-dim concatenate
+            # (is_mask implies Tq == Tk) — no lane-dim concatenate; raw lax
+            # for the same peak-trace-depth reason as _bd_selectors
+            lax = jax.lax
             t_q = q.shape[1]
-            mrow = jax.lax.broadcasted_iota(jnp.int32, (t_q, cols), 0)
-            mcol = jax.lax.broadcasted_iota(jnp.int32, (t_q, cols), 1)
-            mcol = mcol - (mcol // t_k) * t_k
-            s = s + jnp.where(mcol > mrow, jnp.finfo(jnp.float32).min, 0.0)
+            mrow = lax.broadcasted_iota(jnp.int32, (t_q, cols), 0)
+            mcol = lax.broadcasted_iota(jnp.int32, (t_q, cols), 1)
+            mcol = lax.sub(
+                mcol, lax.mul(lax.div(mcol, lax.full_like(mcol, t_k)),
+                              lax.full_like(mcol, t_k)))
+            s = s + lax.select(
+                lax.gt(mcol, mrow),
+                lax.full((t_q, cols), jnp.finfo(jnp.float32).min, jnp.float32),
+                lax.full((t_q, cols), 0.0, jnp.float32))
         else:
             s = s + jnp.tile(mask, (1, heads))
     s = s - jnp.max(s, axis=-1, keepdims=True)

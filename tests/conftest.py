@@ -25,11 +25,16 @@ if TPU_MODE:
     # has died with RecursionError inside jnp dtype conversion (observed
     # round 5, cold cache on a fresh host — every on-chip test in that run
     # failed; the standalone tools/verify_mesh_kernels.py run of the SAME
-    # tree passed). Headroom is cheap; 3000 matches what large JAX programs
-    # commonly need.
+    # tree passed). 3000 was NOT enough: the round-5 dot-build selectors
+    # added a handful of frames at the trace's deepest point (flax init ->
+    # pallas kernel trace) and the full-suite run RecursionError'd again
+    # while every single-test run passed. The kernel now uses raw lax at
+    # that depth (fewer dispatch frames), and the limit carries real
+    # headroom — the margin must never again be within one helper-function
+    # of the cliff.
     import sys as _sys
 
-    _sys.setrecursionlimit(max(3000, _sys.getrecursionlimit()))
+    _sys.setrecursionlimit(max(10000, _sys.getrecursionlimit()))
 
 
 def _host_cache_key():
