@@ -20,21 +20,23 @@ import pytest
 TPU_MODE = os.environ.get("PXT_TPU_TESTS", "0") == "1"
 
 if TPU_MODE:
-    # The D3STN train-step trace sits near CPython's default 1000-frame limit;
-    # under pytest's deeper call stack the same trace that passes standalone
-    # has died with RecursionError inside jnp dtype conversion (observed
-    # round 5, cold cache on a fresh host — every on-chip test in that run
-    # failed; the standalone tools/verify_mesh_kernels.py run of the SAME
-    # tree passed). 3000 was NOT enough: the round-5 dot-build selectors
-    # added a handful of frames at the trace's deepest point (flax init ->
-    # pallas kernel trace) and the full-suite run RecursionError'd again
-    # while every single-test run passed. The kernel now uses raw lax at
-    # that depth (fewer dispatch frames), and the limit carries real
-    # headroom — the margin must never again be within one helper-function
-    # of the cliff.
+    # POST-MORTEM of the round-5 "recursion" saga (keep this — two rounds
+    # of fixes chased the wrong mechanism): every on-chip test failed with
+    # RecursionError while each passed standalone. It was NEVER stack
+    # depth — pytest COLLECTION imports every test module, and one of them
+    # (test_weak_order_implicit -> tools/measure_weak_orders) ran a
+    # module-level jax.config.update("jax_enable_x64", True). Under x64,
+    # Mosaic's _convert_element_type lowering helper infinitely recurses on
+    # the int64 casts x64 introduces into the Pallas kernels (jax
+    # lowering.py _convert_helper re-emits the same unsupported cast).
+    # Fixed at the source (the tool enables x64 in main()/measure(), not at
+    # import) AND guarded below: TPU-mode kernels are f32, x64 must be OFF
+    # no matter what collection imported. setrecursionlimit stays mildly
+    # raised only because deep solver traces deserve headroom under
+    # pytest's extra frames — it was not the fix.
     import sys as _sys
 
-    _sys.setrecursionlimit(max(10000, _sys.getrecursionlimit()))
+    _sys.setrecursionlimit(max(3000, _sys.getrecursionlimit()))
 
 
 def _host_cache_key():
@@ -121,6 +123,9 @@ def _drop_live_executables():
 
 def pytest_collection_modifyitems(config, items):
     if TPU_MODE:
+        # runs AFTER collection imported every test module: undo any
+        # import-time global config mutation (the x64 post-mortem above)
+        jax.config.update("jax_enable_x64", False)
         skip = pytest.mark.skip(
             reason="non-tpu test skipped under PXT_TPU_TESTS=1 (CPU suite "
             "runs without the env var)"

@@ -42,18 +42,34 @@ import argparse
 import json
 
 import jax
-
-jax.config.update("jax_enable_x64", True)
-
 import jax.numpy as jnp
 import numpy as np
+
+
+def _require_x64():
+    """Enable f64 for the measurement runtime.
+
+    Called from main()/measure(), NOT at import: a module-level
+    ``jax.config.update("jax_enable_x64", True)`` here fired during PYTEST
+    COLLECTION of the on-chip suite (test_weak_order_implicit imports this
+    module) and flipped x64 on for the whole TPU-mode session — under which
+    Mosaic's _convert_element_type lowering helper infinitely recurses on
+    the int64 converts x64 introduces (jax lowering.py _convert_helper
+    re-emits the same unsupported cast). Every on-chip kernel test then
+    died with RecursionError while single-file runs passed; two rounds of
+    recursion-limit raises were chasing this exact import-time side effect.
+    Import-time global config mutation is the bug class; never reintroduce.
+    """
+    jax.config.update("jax_enable_x64", True)
 
 from paddlexde_tpu import odeint, sdeint
 from paddlexde_tpu.brownian.api import BrownianInterval
 
 Y0 = 1.3
 T1 = 1.0
-Y02 = jnp.array([1.3, -0.7], jnp.float64)
+# module-level constants stay NUMPY so importing this file needs no jax
+# config (see _require_x64); jnp converts them under the x64 runtime at use
+Y02 = np.array([1.3, -0.7], np.float64)
 
 # Two oracle regimes. "gentle" resolves the sra1 family's h^2 bias cleanly.
 # The foster2 family's bias constant on the gentle oracle sits BELOW the
@@ -63,12 +79,12 @@ Y02 = jnp.array([1.3, -0.7], jnp.float64)
 REGIMES = {
     "gentle": {
         "TH": 1.5,
-        "A2": jnp.array([[-1.5, 0.8], [0.0, -0.9]], jnp.float64),
+        "A2": np.array([[-1.5, 0.8], [0.0, -0.9]], np.float64),
         "amp": 0.5,
     },
     "stiff": {
         "TH": 6.0,
-        "A2": jnp.array([[-6.0, 1.6], [0.0, -4.0]], jnp.float64),
+        "A2": np.array([[-6.0, 1.6], [0.0, -4.0]], np.float64),
         "amp": 1.0,
     },
 }
@@ -146,6 +162,7 @@ def run_scheme(scheme, general, levy, n_list, n_paths, seed, TH, A2, sig,
 def measure(scheme, general=False, levy="space-time", regime="gentle",
             n_list=(4, 8, 16, 32, 64), n_paths=16384, seed=11,
             gate_sigmas=5.0):
+    _require_x64()
     TH, A2, sig, g2 = make_problem(regime)
     vals = run_scheme(scheme, general, levy, n_list, n_paths, seed, TH, A2,
                       sig, g2)
@@ -203,6 +220,7 @@ SCHEMES = [
 
 
 def main():
+    _require_x64()
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_paths", type=int, default=16384)
     ap.add_argument("--only", type=str, default=None)

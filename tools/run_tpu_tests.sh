@@ -11,4 +11,4 @@
 set -e
 cd "$(dirname "$0")/.."
 PXT_TPU_TESTS=1 PYTHONPATH="$PWD:/root/.axon_site" \
-    timeout 2400 python -m pytest tests/ -m tpu -q "$@"
+    timeout 5400 python -m pytest tests/ -m tpu -q "$@"
